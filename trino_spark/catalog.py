@@ -1,0 +1,100 @@
+"""Catalog / federation registry.
+
+Trino's engine owns no storage: every table resolves through a connector's
+ConnectorMetadata (reference: core/trino-spi/.../connector/ConnectorMetadata.java,
+CatalogSchemaTableName.java). This module is our equivalent: a registry that
+maps table names to DataFrame sources (parquet dirs today; jdbc/csv/json/orc
+behind the same interface), registering each as a Spark temp view so both the
+DataFrame API and `spark.sql` resolve them.
+
+Spark-first: reading stays in `spark.read.*` (DataSource V2 — vectorized
+parquet reader, predicate pushdown, partition pruning). We never materialize
+or cache eagerly; registration is lazy plan construction only.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver-generated tables (TESTDATA.md / FIXTURES.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTENSION_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass
+class TableSource:
+    """One registered table: format + location + reader options."""
+
+    name: str
+    path: str
+    format: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.format).options(**self.options)
+        return reader.load(self.path)
+
+
+class Catalog:
+    """Maps table names -> sources; registers them as temp views.
+
+    Equivalent in role to a Trino catalog backed by the hive/iceberg
+    connector over a filesystem (reference:
+    plugin/trino-hive/.../HivePageSourceProvider.java:85) minus the
+    metastore: parquet footers are the schema source of truth.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, TableSource] = {}
+
+    def register_parquet_dir(self, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:
+        for name in tables:
+            self.register(TableSource(name=name, path=os.path.join(sf_dir, f"{name}.parquet")))
+
+    def register(self, source: TableSource) -> None:
+        self._sources[source.name] = source
+        source.load(self.spark).createOrReplaceTempView(source.name)
+
+    def register_jdbc(self, name: str, url: str, dbtable: str, **options: str) -> None:
+        """Federated JDBC source (Trino: plugin/trino-base-jdbc/.../JdbcClient.java:56).
+
+        Spark's JDBC DSv2 pushes filters/limits/aggregates to the remote DB,
+        matching Trino's connector pushdown behavior.
+        """
+        opts = {"url": url, "dbtable": dbtable, **options}
+        self.register(TableSource(name=name, path="", format="jdbc", options=opts))
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._sources:
+            return self._sources[name].load(self.spark)
+        return self.spark.table(name)
+
+    def tables(self) -> list[str]:
+        return sorted(self._sources)
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
+    """Register all testdata tables from `sf_dir` as temp views; return catalog."""
+    cat = Catalog(spark)
+    cat.register_parquet_dir(sf_dir)
+    return cat
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain one-table loader used by query builders (no view side effects)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,59 @@
+"""Query registry plumbing.
+
+Each QuerySpec pairs a Spark DataFrame builder with the equivalent ANSI SQL
+that DuckDB runs as the differential oracle — the same strategy Trino's own
+test harness uses with H2 (reference:
+testing/trino-testing/src/main/java/io/trino/testing/QueryAssertions.java:154).
+
+Conventions (driver contract):
+- builder(spark, sf_dir) -> DataFrame; never collects.
+- every computed column aliased identically in Spark and oracle SQL.
+- integer-typed aggregates cast to BIGINT on both sides (DuckDB widens
+  sums of INTEGER to HUGEINT otherwise); EXTRACT-style fields to INTEGER.
+- oracle=None marks non-SQL-expressible operators (driver does a weaker
+  rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+class QueryRegistry:
+    def __init__(self) -> None:
+        self._specs: dict[str, QuerySpec] = {}
+
+    def add(self, name: str, oracle: str | None, doc: str = ""):
+        """Decorator registering a builder under `name`."""
+
+        def deco(fn: Callable[[SparkSession, str], DataFrame]):
+            self._specs[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+            return fn
+
+        return deco
+
+    def specs(self) -> dict[str, QuerySpec]:
+        return dict(self._specs)
+
+    def merge(self, other: "QueryRegistry") -> None:
+        overlap = set(self._specs) & set(other._specs)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        self._specs.update(other._specs)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (schema from parquet footer)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

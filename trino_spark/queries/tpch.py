@@ -1,0 +1,811 @@
+"""Adapted TPC-H corpus over the driver's TPC-H-ish testdata.
+
+Source queries: Trino's vendored benchmark SQL (reference:
+testing/trino-benchmark-queries/src/main/resources/sql/trino/tpch/q01.sql …
+q22.sql). The testdata (FIXTURES.md) is a TPC-H subset — no `partsupp`, no
+l_commitdate/l_receiptdate/l_shipmode/container/phone/comment columns — so
+queries touching those are adapted to equivalent plan shapes on available
+columns (noted per query). q02/q11 are inherently partsupp-centric and are
+replaced by plan-shape equivalents (q02 -> min-per-group + join on the
+lineitem bridge; q11 omitted — same shape as q16's agg+having).
+
+Every builder is pure DataFrame API (Catalyst plans it); the oracle string is
+ANSI SQL for DuckDB. Scale notes inline: dimension joins that are broadcast-
+safe at 100 TB (region=5 rows, nation=25 rows always; part/supplier grow with
+SF) get explicit broadcast hints; fact-fact joins rely on AQE + runtime bloom
+filters (Trino's dynamic-filtering analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@REG.add(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           sum(l_extendedprice)                                   AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           avg(l_quantity)                                        AS avg_qty,
+           avg(l_extendedprice)                                   AS avg_price,
+           avg(l_discount)                                        AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 verbatim shape: scan-filter + 8-agg hash aggregation.
+
+    Physical intent: single shuffle on (l_returnflag, l_linestatus) with
+    partial aggregation map-side (Spark does the partial/final split that
+    Trino implements via PushPartialAggregationThroughExchange).
+    """
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_rev()).alias("sum_disc_price"),
+            F.sum(_rev() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.add(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (minus absent o_shippriority): 3-way join + agg + top-N.
+
+    customer is filtered to one segment before the join, so Catalyst/AQE can
+    broadcast it; orders->lineitem is the fact join (shuffle on orderkey,
+    bloom-filtered probe).
+    """
+    cust = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join (Trino: HashSemiJoinOperator,
+    main/operator/HashSemiJoinOperator.java:44). Late-line predicate
+    l_commitdate<l_receiptdate adapted to l_shipdate>o_orderdate (columns absent).
+    """
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@REG.add(
+    "q05_local_supplier_volume",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. region/nation broadcast (constant size at any
+    SF); supplier broadcast at test SF via AQE. Join order leaves the
+    lineitem-orders fact join as the only large shuffle."""
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf, "nation")
+    supplier = t(spark, sf, "supplier")
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf, "lineitem")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    sup_nr = supplier.join(F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup_nr, (li.l_suppkey == sup_nr.s_suppkey) & (cust.c_nationkey == sup_nr.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@REG.add(
+    "q06_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate. All four predicates push to the
+    parquet scan (verify via PushedFilters in explain); single global agg."""
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@REG.add(
+    "q07_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: nation-pair disjunction + year extraction. Both nation
+    aliases broadcast; the residual pair predicate is a post-join filter
+    (Trino models this as JoinNode.filter, plan/JoinNode.java:60)."""
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    joined = (
+        li.join(t(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@REG.add(
+    "q08_market_share",
+    """
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: 8-way join + conditional aggregation (market share)."""
+    part = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    li = t(spark, sf, "lineitem")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(t(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = joined.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        _rev().alias("volume"),
+        F.col("nation"),
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@REG.add(
+    "q09_product_type_profit",
+    """
+    SELECT nation, o_year, sum(amount) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 minus partsupp (absent): profit = revenue (no supplycost
+    term). LIKE filter on part name; group by supplier nation x year."""
+    part = t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    li = t(spark, sf, "lineitem")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t(spark, sf, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t(spark, sf, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@REG.add(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (minus absent address/phone/comment): returned-item ranking."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@REG.add(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 with l_shipmode (absent) replaced by l_linestatus as the
+    grouping key: join + conditional counts."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@REG.add(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: left outer join with join-condition filter + double agg
+    (Trino: LookupOuterOperator emits unmatched rows,
+    main/operator/join/LookupOuterOperator.java:35)."""
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@REG.add(
+    "q14_promo_revenue",
+    """
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: join + conditional-ratio global aggregate."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(t(spark, sf, "part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
+                / F.sum(_rev())
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@REG.add(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: CTE reuse + scalar-subquery max (Trino:
+    EnforceSingleRowOperator, main/operator/EnforceSingleRowOperator.java:28).
+    DataFrame form decorrelates to agg + cross-join-filter on the max."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t(spark, sf, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@REG.add(
+    "q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 with the partsupp bridge (absent) replaced by lineitem:
+    distinct-count aggregation over a filtered join."""
+    part = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@REG.add(
+    "q17_small_quantity_order",
+    """
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery, decorrelated to a per-partkey
+    pre-aggregation + join (the same rewrite Trino performs —
+    main/sql/planner/iterative/rule/TransformCorrelatedScalarSubquery.java)."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@REG.add(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: IN over agg-HAVING subquery -> left-semi join on the
+    qualifying keys."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf, "orders").join(
+        big.withColumnRenamed("l_orderkey", "big_orderkey"),
+        F.col("o_orderkey") == F.col("big_orderkey"),
+        "left_semi",
+    )
+    return (
+        orders.join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@REG.add(
+    "q19_discounted_revenue",
+    """
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-column predicate spanning both join
+    sides (exercises Catalyst's CNF conversion for partial pushdown)."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(F.sum(_rev()).alias("revenue"))
+
+
+@REG.add(
+    "q20_promo_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 2900
+    )
+    ORDER BY s_name
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape minus partsupp: nested semi join over an aggregated
+    HAVING subquery."""
+    part = t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    qual = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 2900)
+        .select("l_suppkey")
+    )
+    return (
+        t(spark, sf, "supplier")
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@REG.add(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated with inequality
+    (Trino: semi join + anti join with residual filters). The
+    commit/receipt lateness predicate (columns absent) is adapted to
+    l_shipdate > o_orderdate.
+
+    Decorrelated DataFrame form: per-order aggregates over other-supplier
+    lines (count, late-count) joined back — one pass over lineitem instead
+    of two correlated probes, which is also the 100 TB-friendly plan.
+    """
+    li = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # other-supplier lines per (orderkey, suppkey): exists -> any other supp;
+    # not-exists -> no other supp late. Aggregate per order over all lines.
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_shipdate").alias("r_shipdate"),
+    )
+    joined = l1.join(l2, F.col("l_orderkey") == F.col("r_orderkey"))
+    per_line = joined.groupBy("l_orderkey", "l_suppkey", "o_orderdate").agg(
+        F.sum(F.when(F.col("r_suppkey") != F.col("l_suppkey"), 1).otherwise(0)).alias("n_other"),
+        F.sum(
+            F.when(
+                (F.col("r_suppkey") != F.col("l_suppkey"))
+                & (F.col("r_shipdate") > F.col("o_orderdate")),
+                1,
+            ).otherwise(0)
+        ).alias("n_other_late"),
+    )
+    # NB: the grouped decorrelation collapses duplicate (orderkey, suppkey)
+    # lines; re-expand by joining back to l1 so counts match the row-level
+    # EXISTS semantics.
+    qualifying = per_line.filter((F.col("n_other") > 0) & (F.col("n_other_late") == 0)).select(
+        F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
+    )
+    waiting = l1.join(
+        qualifying,
+        (F.col("l_orderkey") == F.col("q_orderkey")) & (F.col("l_suppkey") == F.col("q_suppkey")),
+        "left_semi",
+    )
+    return (
+        waiting.join(t(spark, sf, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@REG.add(
+    "q22_global_sales_opportunity",
+    """
+    SELECT n_name, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 with c_phone country codes (absent) replaced by nation:
+    uncorrelated scalar subquery + anti join (Trino: NOT EXISTS ->
+    anti-join rewrite, TransformExistsApplyToCorrelatedJoin.java)."""
+    cust = t(spark, sf, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+    recent_orders = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    no_orders = rich.join(
+        recent_orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .orderBy("n_name")
+    )
