@@ -45,6 +45,11 @@ class TableSource:
     options: dict[str, str] = field(default_factory=dict)
 
     def load(self, spark: SparkSession) -> DataFrame:
+        if self.format == "parquet" and not self.options:
+            # Shared path normalizes ns-timestamp columns (events.ts).
+            sf_dir, fname = os.path.split(self.path)
+            if fname == f"{self.name}.parquet":
+                return load(spark, sf_dir, self.name)
         reader = spark.read.format(self.format).options(**self.options)
         return reader.load(self.path)
 
@@ -96,5 +101,25 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalo
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Plain one-table loader used by query builders (no view side effects)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """One-table loader used by query builders (no view side effects).
+
+    events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as LongType
+    (legacy conf) and rebuild a microsecond timestamp — the testdata's actual
+    precision is µs, so the ns->µs division is lossless. DuckDB oracles see
+    the native TIMESTAMP_NS column; equality holds because sub-µs digits are
+    zero by construction.
+    """
+    df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)

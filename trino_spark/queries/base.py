@@ -55,5 +55,17 @@ class QueryRegistry:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (schema from parquet footer)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one testdata table as a DataFrame (schema from parquet footer).
+
+    Delegates to catalog.load, which normalizes events.ts (parquet ns
+    timestamps) to a Spark TimestampType.
+    """
+    from trino_spark.catalog import load
+
+    return load(spark, sf_dir, name)
+
+
+def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for spark.sql-based builders."""
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,361 @@
+"""Scalar-function coverage queries (SURVEY.md §2.8): string, regex, math,
+datetime, JSON, conditional/try, array/higher-order — each oracle-checked
+against DuckDB's same-named (or equivalent) functions.
+
+DuckDB deltas handled in the oracle SQL:
+- no width_bucket -> closed-form floor arithmetic;
+- regexp_replace needs the 'g' flag to match Spark's replace-all;
+- date_trunc returns DATE for day+ units -> CAST to TIMESTAMP;
+- no regexp_count -> len(regexp_split_to_array)-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.functions import strings as ts_str
+from trino_spark.functions import vectors as ts_vec
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "func_string_ops",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)        AS n_len,
+           upper(substring(text, 1, 12))       AS head_upper,
+           reverse(lang)                       AS lang_rev,
+           replace(source, 'src', 'origin_')   AS src_renamed,
+           CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+           lpad(lang, 5, '*')                  AS lang_pad,
+           concat_ws('|', lang, source)        AS lang_src,
+           translate(lang, 'aeiou', 'AEIOU')   AS lang_vowels,
+           split_part(source, 'rc', 2)         AS src_num,
+           CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_en,
+           md5(text)                           AS text_md5,
+           trim(concat('  ', lang, '  '))      AS lang_trim
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def func_string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """String library parity (Trino: StringFunctions.java:70)."""
+    return (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_len"),
+            F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+            F.reverse(F.col("lang")).alias("lang_rev"),
+            F.replace(F.col("source"), F.lit("src"), F.lit("origin_")).alias("src_renamed"),
+            F.instr("text", "data").cast("long").alias("pos_data"),
+            F.lpad("lang", 5, "*").alias("lang_pad"),
+            F.concat_ws("|", "lang", "source").alias("lang_src"),
+            F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels"),
+            ts_str.split_part("source", "rc", 2).alias("src_num"),
+            F.levenshtein("lang", F.lit("en")).cast("long").alias("lev_en"),
+            F.md5("text").alias("text_md5"),
+            F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@REG.add(
+    "func_regex_ops",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '(s[a-z]+)', 1)                       AS first_s_word,
+           regexp_replace(text, '[aeiou]', '_', 'g')                  AS devoweled_head,
+           CAST(len(regexp_split_to_array(text, 'data')) - 1 AS BIGINT) AS n_data,
+           regexp_matches(text, '^[a-z ]+$')                          AS is_lower
+    FROM (SELECT doc_id, substring(text, 1, 40) AS text FROM documents WHERE doc_id < 100) d
+    ORDER BY doc_id
+    """,
+)
+def func_regex_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex library (Trino: JoniRegexpFunctions.java:48 — like/extract/
+    replace/split/count)."""
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 40).alias("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_head"),
+        F.regexp_count("text", F.lit("data")).cast("long").alias("n_data"),
+        F.col("text").rlike(r"^[a-z ]+$").alias("is_lower"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "func_math_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                       AS abs_c,
+           ceil(l_extendedprice / 1000)                 AS ceil_k,
+           floor(l_extendedprice / 1000)                AS floor_k,
+           round(l_extendedprice, 1)                    AS round_1,
+           sqrt(l_quantity)                             AS sqrt_q,
+           ln(l_extendedprice)                          AS ln_p,
+           log10(l_extendedprice)                       AS log10_p,
+           exp(l_discount)                              AS exp_d,
+           power(l_quantity, 2.0)                       AS q_sq,
+           mod(CAST(l_quantity AS BIGINT), 7)           AS qty_mod7,
+           sign(l_discount - 0.05)                      AS sgn,
+           greatest(l_quantity, 25.0)                   AS hi,
+           least(l_quantity, 25.0)                      AS lo,
+           CAST(CASE WHEN l_quantity < 0 THEN 0
+                     WHEN l_quantity >= 50 THEN 6
+                     ELSE 1 + floor(l_quantity / 10) END AS BIGINT) AS qty_bucket
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def func_math_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Math library (Trino: MathFunctions.java:79). qty_bucket is
+    width_bucket(q, 0, 50, 5) — DuckDB lacks width_bucket, so the oracle
+    spells out the closed form; Spark uses the builtin."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_c"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("ceil_k"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("floor_k"),
+        F.round("l_extendedprice", 1).alias("round_1"),
+        F.sqrt("l_quantity").alias("sqrt_q"),
+        F.log(F.col("l_extendedprice")).alias("ln_p"),
+        F.log10("l_extendedprice").alias("log10_p"),
+        F.exp("l_discount").alias("exp_d"),
+        F.pow("l_quantity", F.lit(2.0)).alias("q_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("lo"),
+        F.width_bucket("l_quantity", F.lit(0.0), F.lit(50.0), F.lit(5)).alias("qty_bucket"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@REG.add(
+    "func_datetime_ops",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)      AS month_start,
+           CAST(extract(year FROM o_orderdate) AS INTEGER)          AS yr,
+           CAST(extract(month FROM o_orderdate) AS INTEGER)         AS mo,
+           CAST(extract(day FROM o_orderdate) AS INTEGER)           AS dom,
+           CAST(extract(quarter FROM o_orderdate) AS INTEGER)       AS qtr,
+           o_orderdate + INTERVAL 90 DAY                            AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           strftime(o_orderdate, '%Y-%m-%d')                        AS iso_day,
+           CAST(epoch(o_orderdate) AS BIGINT)                       AS unix_ts
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def func_datetime_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime library (Trino: DateTimeFunctions.java:72): trunc/extract/
+    interval arithmetic/diff/format/epoch. iso_day goes through our
+    MySQL-pattern translator (datetimes.mysql_to_java)."""
+    from trino_spark.functions import datetimes as dtf
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        dtf.date_add("day", 90, "o_orderdate").alias("due_date"),
+        dtf.date_diff("day", F.lit("1995-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_since_95"
+        ),
+        dtf.format_datetime("o_orderdate", "%Y-%m-%d").alias("iso_day"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    ).orderBy("o_orderkey")
+
+
+@REG.add(
+    "func_json_ops",
+    """
+    SELECT event_type,
+           avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+           min(json_extract_string(props, '$.k'))                 AS min_k_str
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def func_json_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction (Trino: JsonFunctions.java:54 json_extract_scalar)
+    via get_json_object, aggregated to keep the check value-stable."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.avg(k.cast("double")).alias("avg_k"),
+            F.count(k).alias("n_k"),
+            F.min(k).alias("min_k_str"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@REG.add(
+    "func_try_cast",
+    """
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER)                       AS lang_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER)   AS chars_int,
+           coalesce(TRY_CAST(lang AS INTEGER), -1)         AS lang_or_neg1
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def func_try_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """TRY_CAST / try()-style null-on-error semantics (Trino:
+    TryCastFunction.java, TryFunction.java:40)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    lang_int = F.col("lang").try_cast("int")
+    return d.select(
+        "doc_id",
+        lang_int.alias("lang_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_int"),
+        F.coalesce(lang_int, F.lit(-1)).alias("lang_or_neg1"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "func_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                                  AS dim,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)), 9) AS sq_sum,
+           round(list_max(embedding::DOUBLE[]), 9)                          AS max_v,
+           round(list_min(embedding::DOUBLE[]), 9)                          AS min_v,
+           round(list_sum(list_filter(embedding::DOUBLE[], x -> x > 0)), 9) AS pos_sum,
+           list_sort(list_transform(embedding[1:4]::DOUBLE[], x -> round(x, 3))) AS head_sorted
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+)
+def func_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions (Trino: ArrayTransformFunction.java:72,
+    ArrayFilterFunction.java, ArrayReduceFunction.java, ArraySortFunction.java)
+    = Spark transform/filter/aggregate/array_sort."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    vd = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 9).alias("sq_sum"),
+        F.round(F.array_max(vd), 9).alias("max_v"),
+        F.round(F.array_min(vd), 9).alias("min_v"),
+        F.round(
+            F.aggregate(F.filter(vd, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 9
+        ).alias("pos_sum"),
+        F.array_sort(F.transform(F.slice(vd, 1, 4), lambda x: F.round(x, 3))).alias("head_sorted"),
+    ).orderBy("vec_id")
+
+
+@REG.add(
+    "func_vector_math",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS dot,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos_sim,
+           round(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 9) AS norm_a
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 30
+    ORDER BY a.vec_id
+    """,
+)
+def func_vector_math(spark: SparkSession, sf: str) -> DataFrame:
+    """dot_product / cosine_similarity parity (Trino:
+    ArrayVectorFunctions.java, MathFunctions.java cosine_similarity) via the
+    trino_spark.functions.vectors expression library."""
+    e = t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")).filter(
+        F.col("id_a") < 30
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ts_vec.dot_product("emb_a", "emb_b"), 9).alias("dot"),
+            F.round(ts_vec.cosine_similarity("emb_a", "emb_b"), 9).alias("cos_sim"),
+            F.round(ts_vec.l2_norm("emb_a"), 9).alias("norm_a"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@REG.add(
+    "func_hash_ops",
+    """
+    SELECT doc_id,
+           md5(text)                       AS h_md5,
+           sha256(text)                    AS h_sha256,
+           md5(concat(lang, ':', source))  AS h_key
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def func_hash_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash/binary functions (Trino: VarbinaryFunctions.java:41 — md5, sha256;
+    xxhash64 exists both sides but with different seeds, so it's exercised in
+    unit tests instead of the oracle)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.md5(F.concat("lang", F.lit(":"), "source")).alias("h_key"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "func_url_ops",
+    """
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'k=([a-z]+)', 1) AS param_k
+    FROM (SELECT doc_id, concat('https://', source, '.example.com/docs/', lang, '?k=', lang) AS url
+          FROM documents WHERE doc_id < 50) u
+    ORDER BY doc_id
+    """,
+)
+def func_url_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """URL extraction (Trino: UrlFunctions.java:41 url_extract_host/path/
+    parameter) — Spark parse_url; DuckDB oracle uses the equivalent regexes."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/docs/"), "lang", F.lit("?k="), "lang"
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("param_k"),
+    ).orderBy("doc_id")

@@ -62,8 +62,10 @@ def get_spark(
         # --- Python/Arrow boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # parquet ns timestamps in testdata (events.ts) -> truncate to micros
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # parquet ns timestamps in testdata (events.ts): Spark rejects
+        # TIMESTAMP(NANOS) outright; read as long and rebuild µs timestamps
+        # in the catalog loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
