@@ -1,0 +1,105 @@
+"""Ground-truth tests for the non-SQL-expressible LLM-ops operators:
+minhash-LSH recall vs exact jaccard, simhash sanity, LSH-ANN recall vs
+brute force, multimodal stub plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_spark.operators import dedup, similarity
+from trino_spark.queries.base import t
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return t(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return t(spark, SF, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """Every pair with true jaccard >= 0.7 must be found by the LSH pass
+    (P=64, b=16, r=4 => ~99% per-pair probability; corpus this small should
+    hit 100%), and reported pairs must verify >= threshold exactly."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(docs, threshold=0.7).collect()
+    }
+    assert truth, "fixture should contain near-duplicates (FIXTURES.md)"
+    missed = truth - found
+    assert len(missed) <= max(1, len(truth) // 20), f"LSH recall too low: missed {missed}"
+    # no false positives: candidates are jaccard-verified
+    assert found <= {
+        (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.699).collect()
+    }
+
+
+def test_minhash_dedup_keeps_earliest(spark, docs):
+    pairs = dedup.minhash_candidate_pairs(docs, threshold=0.7).collect()
+    kept = {r.doc_id for r in dedup.minhash_dedup(docs, threshold=0.7).collect()}
+    for p in pairs:
+        assert p.id_b not in kept, f"doc {p.id_b} near-dups earlier {p.id_a} but survived"
+        # earliest doc of a pair survives unless itself a dup of something earlier
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    dropped = all_ids - kept
+    assert dropped == {p.id_b for p in pairs}
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    out = dedup.exact_dedup(doubled, "doc_id", "text")
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    assert out.agg(F.max("doc_id")).collect()[0][0] < 10_000
+
+
+def test_simhash_finds_neardups(spark, docs):
+    """Near-identical docs should land within a few simhash bits; unrelated
+    docs should not be flagged at a tight threshold."""
+    truth = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.9).collect()
+    if not truth:
+        pytest.skip("no >=0.9 jaccard pairs at this SF")
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_candidate_pairs(docs, max_hamming=10).collect()}
+    hit = sum(1 for r in truth if (r.id_a, r.id_b) in pairs)
+    assert hit / len(truth) >= 0.8
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.lsh_topk(emb, queries, k=10, nbits=4, n_tables=16, dim=64).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"LSH mean recall {mean_recall:.2f} too low"
+
+
+def test_multimodal_stub_schema_and_batching(spark, docs):
+    from trino_spark.operators.multimodal import attach_fake_binary, decode_images
+
+    feats = decode_images(attach_fake_binary(docs.limit(50)), impl="stub")
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r.format == "stub" and r.n_bytes > 0 and 0 <= r.mean_luma <= 1
+    with pytest.raises(NotImplementedError):
+        decode_images(attach_fake_binary(docs), impl="pil")

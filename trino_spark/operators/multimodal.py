@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, decoded/feature-extracted via Arrow-batched Pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio libs in this container):
+`decode_images(impl="stub")` produces deterministic fake features derived
+from the bytes, and `impl="pil"` raises NotImplementedError unless PIL is
+importable. Everything around the stub — schema, batching, partitioning,
+mapInPandas signature — is the real shape a production decoder plugs into.
+
+Scale notes: binary payloads ride the scan (parquet binary column); decode
+is mapInPandas so bytes never hit the driver and each task processes Arrow
+batches; feature extraction keys no shuffle at all (narrow transform);
+downstream groupBys shuffle only the small feature columns, never the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, mean_luma double"
+)
+
+
+def attach_fake_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Manufacture a binary 'media' column from text bytes (the testdata has
+    no real media; this exercises BinaryType end-to-end)."""
+    return df.select(
+        F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("content")
+    )
+
+
+def _stub_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decoder: features are pure functions of the bytes,
+    so results are reproducible and SQL-checkable."""
+    n = batch["content"].map(len)
+    first = batch["content"].map(lambda b: b[0] if len(b) else 0)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": n.astype("int64"),
+            "format": ["stub"] * len(batch),
+            "width": (n % 640).astype("int32"),
+            "height": ((n * 7) % 480).astype("int32"),
+            "mean_luma": (first.astype("float64") / 255.0).round(9),
+        }
+    )
+
+
+def decode_images(df: DataFrame, impl: str = "stub") -> DataFrame:
+    """Binary column -> typed feature rows via mapInPandas (Arrow batches).
+
+    impl='stub' -> deterministic fake features; impl='pil' -> real decode if
+    PIL is available, else NotImplementedError (clearly-marked stub gate).
+    """
+    if impl == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "real image decode requires PIL, which is not in this "
+                "environment; use impl='stub' (deterministic fake features)"
+            ) from exc
+        raise NotImplementedError("pil decode path not implemented yet")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _stub_decode(b)
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 1-in-N 'frame' sampler (modulo on id) — the video
+    frame-sampling shape without a video decoder."""
+    return df.filter(F.col(id_col) % every_nth == 0)

@@ -1,0 +1,150 @@
+"""Embedding similarity search: brute-force cosine top-k and an LSH-bucketed
+approximate variant.
+
+Scale design (100 TB / billions of vectors):
+- brute-force: the query set is broadcast (small side), the corpus is
+  scanned once, partition-parallel; the only shuffle is the per-query top-k
+  (W.partitionBy(query_id) over k*|queries| rows after a partial prune).
+- LSH (random hyperplanes, Charikar 2002): corpus is bucketed by an
+  nbits-signature — at scale you'd write the corpus bucketed/partitioned by
+  signature so probes touch only matching partitions (partition pruning);
+  multi-probe (hamming-1 neighbors) trades recall for probe fan-out.
+- all math is zip_with/aggregate expressions (JVM, codegen) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from trino_spark.functions.vectors import cosine_similarity, dot_product, vector_normalize
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box-Muller over an LCG —
+    stable across runs without numpy RNG state)."""
+    import math
+
+    x = seed or 1
+
+    def nxt() -> float:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return (x >> 11) / float(1 << 52)  # uniform [0,1)
+
+    planes = []
+    for _ in range(nbits):
+        v = []
+        while len(v) < dim:
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v[:dim])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as a long (nbits <= 63)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(w)) for w in p])
+        d = dot_product(vec, plane)
+        sig = sig.bitwiseOR(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Returns (query_id, vec_id, cos_sim, rank<=k). Deterministic tie-break on
+    vec_id. The queries side is broadcast; corpus side never shuffles until
+    the final per-query top-k."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_buckets(vec: Column, planes: list[list[float]], nbits: int, n_tables: int) -> Column:
+    """array<struct<table:int, bucket:long>> — one bucket id per hash table.
+
+    Multi-table LSH (the AND-OR construction): each table uses its own
+    `nbits` hyperplanes; a pair is a candidate if it agrees on ALL bits of
+    ANY table. P(candidate | angle theta) = 1-(1-p^nbits)^n_tables with
+    p = 1 - theta/pi — tables trade selectivity for recall the same way
+    minhash bands do."""
+    entries = []
+    for ti in range(n_tables):
+        sig = lsh_signature(vec, planes[ti * nbits : (ti + 1) * nbits])
+        entries.append(F.struct(F.lit(ti).alias("table"), sig.alias("bucket")))
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH,
+    exact re-rank of candidates.
+
+    Defaults (4 bits x 16 tables) target weakly-clustered corpora
+    (neighbor cosine ~0.3 -> p~0.6 -> per-pair recall ~0.89). Tight corpora
+    (neighbor cosine >= 0.9) should raise nbits to 12-16 for selectivity.
+    At scale the corpus side is written pre-bucketed (partitionBy(table,
+    bucket)) so each probe is a partition-pruned scan, not a full pass.
+    Recall is measured against brute_force_topk in tests."""
+    planes = _hyperplanes(dim, nbits * n_tables)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")).select(
+        "vec_id",
+        "_cv",
+        F.explode(lsh_buckets(F.col("_cv").cast("array<double>"), planes, nbits, n_tables)).alias("_b"),
+    ).select("vec_id", "_cv", F.col("_b.table").alias("_table"), F.col("_b.bucket").alias("_bucket"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")).select(
+        "query_id",
+        "_qv",
+        F.explode(lsh_buckets(F.col("_qv").cast("array<double>"), planes, nbits, n_tables)).alias("_b"),
+    ).select("query_id", "_qv", F.col("_b.table").alias("_table"), F.col("_b.bucket").alias("_bucket"))
+    scored = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("cos_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def normalize_corpus(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize embeddings so cosine reduces to dot product (do this
+    once at ingest on a real deployment)."""
+    return corpus.withColumn(vec_col, vector_normalize(F.col(vec_col)))

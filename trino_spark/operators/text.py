@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (codegen; zero Python on the hot path), so each
+is also SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trino_spark.functions.strings import normalize_text
+
+# Minimal per-language marker sets for the n-gram/stopword heuristic
+# (language-ID over web text normally uses char-trigram models; marker words
+# are the degenerate-but-deterministic version that suits synthetic corpora).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (Trino-side analog: cardinality(split(...)))."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-piece split on 4-char chunks —
+    ceil(len(word)/4) summed. A deterministic stand-in for a BPE vocab."""
+    return F.aggregate(
+        tokens(text), F.lit(0).cast("long"), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-score features (Gopher/C4-style filters):
+    length, token stats, punctuation/digit/space ratios, mean word length."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    return (
+        df.withColumn("n_chars_m", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_tok)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("punct_ratio", (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1)))
+        .withColumn("digit_ratio", (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))) / F.greatest(n_chars, F.lit(1)))
+        .withColumn("space_ratio", (F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))) / F.greatest(n_chars, F.lit(1)))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Scalar [0,1] quality score combining the feature family — monotone in
+    'looks like prose'. Deterministic, documented weights."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    mean_wl = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+    return F.round(len_ok * 0.6 + wl_ok * 0.4, 6)
+
+
+def lang_scores(text: Column | str) -> Column:
+    """map<string,double> of per-language marker-hit ratios."""
+    toks = tokens(normalize_text(F.col(text) if isinstance(text, str) else text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+        entries.append(F.struct(F.lit(lang).alias("key"), (hits / n).alias("value")))
+    return F.map_from_entries(F.array(*entries))
+
+
+def detect_lang(text: Column | str) -> Column:
+    """argmax over lang_scores with 'und' fallback when all-zero."""
+    m = lang_scores(text)
+    entries = F.map_entries(m)
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0.0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return best["key"]
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Stable 128-bit content fingerprint of the normalized text (md5 hex)."""
+    return F.md5(normalize_text(F.col(text) if isinstance(text, str) else text))
+
+
+def rolling_hash(text: Column | str, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over characters (base 31, mod 2^31-1) —
+    the per-window primitive for content-defined chunking."""
+    chars = F.split(F.col(text) if isinstance(text, str) else text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(mod),
+    )

@@ -1,0 +1,310 @@
+"""LLM-data-pipeline operator queries (the extension tier from BASELINE.json:
+dedup, similarity search, text analysis, multimodal) over the documents and
+embeddings tables.
+
+Oracle policy: everything whose math both engines share (normalization,
+jaccard, cosine, md5, rolling hash, stub decode arithmetic) is
+DuckDB-checked; xxhash64-seeded operators (minhash, simhash, LSH signatures)
+have no cross-engine oracle and are covered by ground-truth recall tests in
+tests/test_llmops.py instead (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from trino_spark.operators import dedup, similarity, text
+from trino_spark.operators.multimodal import attach_fake_binary, decode_images
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS k
+      FROM corpus
+    )
+    SELECT k AS content_key, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM keyed
+    GROUP BY k
+    HAVING count(*) > 1
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup pass over a corpus with injected clones (testdata has no
+    byte-identical dups): groups sharing a normalized-content key."""
+    d = t(spark, sf, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    from trino_spark.functions.strings import normalize_text
+
+    keyed = corpus.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key"))
+    return (
+        keyed.groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+@REG.add(
+    "text_ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingle_set
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents) base
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 9) AS jaccard_sim
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+    WHERE a.doc_id < 200
+      AND CAST(len(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over a sliding id window (the ground-truth
+    primitive behind minhash dedup; window-restricted to stay linear)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200 + 5)
+    s = d.select(F.col("doc_id"), dedup.shingles("text", 3).alias("shingle_set"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sh_a")).filter(
+        F.col("id_a") < 200
+    )
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sh_b"))
+    return (
+        a.join(b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 5))
+        .withColumn("jaccard_sim", F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 9))
+        .filter(F.col("jaccard_sim") >= 0.2)
+        .select("id_a", "id_b", "jaccard_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@REG.add("dedup_minhash_pairs", None)
+def dedup_minhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, jaccard-verified (>= 0.5).
+    xxhash64-based — no cross-engine oracle; recall vs exact jaccard is
+    asserted in tests/test_llmops.py."""
+    return dedup.minhash_candidate_pairs(
+        t(spark, sf, "documents"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@REG.add("dedup_minhash_keep", None)
+def dedup_minhash_keep_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus after minhash dedup (earliest-id survivor per near-dup set)."""
+    return (
+        dedup.minhash_dedup(t(spark, sf, "documents"), threshold=0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@REG.add("dedup_simhash_pairs", None)
+def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6 on 64-bit signatures)."""
+    return dedup.simhash_candidate_pairs(
+        t(spark, sf, "documents"), max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+@REG.add(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 9) AS mean_word_len,
+           round(CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 9) AS space_ratio,
+           CAST(list_sum([ceil(length(w) / 4.0) for w in list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')]) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality features (length stats, space ratio, BPE-ish
+    subword estimate)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    c = F.col("text")
+    n_tok = text.token_count(c)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars_m"),
+        F.round(F.length(F.regexp_replace(c, r"\s+", "")) / n_tok, 9).alias("mean_word_len"),
+        F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))) / F.greatest(F.length(c), F.lit(1)),
+            9,
+        ).alias("space_ratio"),
+        text.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "text_lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE) / greatest(len(tk), 1), 9) AS en_score,
+           round(CAST(len(list_filter(tk, x -> list_contains(['der','die','und','das','ist'], x))) AS DOUBLE) / greatest(len(tk), 1), 9) AS de_score
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language-ID scores (the deterministic heuristic from
+    operators/text.py lang_scores)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    scores = text.lang_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(F.element_at(scores, "en"), 9).alias("en_score"),
+        F.round(F.element_at(scores, "de"), 9).alias("de_score"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp_md5,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')]),
+                            (a, c) -> (a * 31 + c) % 2147483647) AS BIGINT) AS fp_rolling
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + base-31 polynomial
+    rolling hash (content-defined-chunking primitive)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        text.fingerprint("text").alias("fp_md5"),
+        text.rolling_hash("text").alias("fp_rolling"),
+    ).orderBy("doc_id")
+
+
+@REG.add(
+    "similarity_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, round(cs, 9) AS cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT query_id, vec_id, cs,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+          FROM scored) r
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_bruteforce_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 5 query vectors (brute force —
+    the recall baseline for the LSH variant)."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = similarity.brute_force_topk(emb, queries, k=10)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@REG.add("similarity_lsh_topk", None)
+def similarity_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate (random-hyperplane LSH, multiprobe) cosine top-10 for the
+    same 5 queries; recall vs brute force asserted in tests/test_llmops.py."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = similarity.lsh_topk(emb, queries, k=10, nbits=4, n_tables=16, dim=64)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@REG.add(
+    "similarity_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def similarity_embedding_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.99) — the embedding-space
+    analog of minhash dedup (id-windowed to stay small at test SF)."""
+    from trino_spark.functions.vectors import cosine_similarity
+
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .withColumn("cos_sim", cosine_similarity("ea", "eb"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@REG.add(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes,
+           'stub'                                          AS format,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER)       AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           round(CAST(ascii(substring(text, 1, 1)) AS DOUBLE) / 255.0, 9) AS mean_luma
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_stub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text -> binary column -> mapInPandas
+    Arrow-batched 'decode' (deterministic stub) -> typed features. The
+    oracle reproduces the stub arithmetic relationally, so the whole
+    Python-boundary path is value-checked."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    features = decode_images(attach_fake_binary(d), impl="stub")
+    return features.orderBy("doc_id")
