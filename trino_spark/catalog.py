@@ -105,10 +105,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as LongType
-    (legacy conf) and rebuild a microsecond timestamp — the testdata's actual
-    precision is µs, so the ns->µs division is lossless. DuckDB oracles see
-    the native TIMESTAMP_NS column; equality holds because sub-µs digits are
-    zero by construction.
+    (legacy conf) and rebuild a microsecond timestamp with INTEGER division
+    (`div`): the raw ns value exceeds 2^53, so a double-precision divide
+    would corrupt the low microsecond digit. Truncation (floor) matches what
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does, so oracles agree to the µs.
     """
     df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -116,7 +116,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,355 @@
+"""Aggregate-function parity corpus (SURVEY.md §2.4 / §2.8).
+
+Covers the Trino aggregate library beyond the basics already exercised by
+the TPC-H and relational corpora: statistical aggregates (corr/covar/regr —
+reference: core/trino-main/.../aggregation/DoubleCorrelationAggregation.java,
+DoubleRegressionAggregation.java), bool/bit aggregates
+(BooleanAndAggregation.java), geometric_mean, checksum
+(ChecksumAggregationFunction.java), histogram (histogram/Histogram.java),
+map_agg / map_union (MapAggregationFunction.java, MapUnionAggregation.java),
+listagg (listagg/ListaggAggregationFunction.java), reduce_agg
+(ReduceAggregationFunction.java), numeric_histogram (NumericHistogram.java),
+approx_distinct / approx_percentile (ApproximateCountDistinctAggregation.java,
+TDigestAggregationFunction.java), approx_most_frequent
+(ApproximateMostFrequentHistogram.java), and the GROUPS window frame
+(main/operator/window/GroupsFraming.java:28) which Spark lacks — emulated
+with dense_rank arithmetic per SURVEY.md §2.5.
+
+Scale notes: every query here is a single hash-aggregation (one shuffle on
+the grouping key, map-side partial agg automatic); the GROUPS-frame
+emulation deliberately aggregates per (partition, rank-group) FIRST so the
+window slides over the (small) distinct-group frame, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+
+def _md5_60bit(col) -> F.Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as BIGINT.
+
+    Stands in for Trino checksum()'s per-row hash (reference:
+    main/operator/aggregation/ChecksumAggregationFunction.java) with a
+    formulation both Spark and DuckDB can compute exactly.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@REG.add(
+    "agg_corr_regr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)         AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6)   AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 6)    AS covar_p,
+           round(regr_slope(l_extendedprice, l_quantity), 6)   AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)      AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family: corr, covar_samp/pop, regr_slope/
+    intercept/r2/count per return flag."""
+    li = t(spark, sf, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 6).alias("covar_s"),
+            F.round(F.covar_pop(q, p), 6).alias("covar_p"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 6).alias("intercept"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+            F.regr_count(p, q).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add(
+    "agg_bool_bit",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 5000)  AS all_over_5k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(bit_and(o_custkey) AS BIGINT) AS custkey_and,
+           CAST(bit_or(o_custkey) AS BIGINT)  AS custkey_or,
+           CAST(bit_xor(o_custkey) AS BIGINT) AS custkey_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_bool_bit(spark: SparkSession, sf: str) -> DataFrame:
+    """bool_and/bool_or and bitwise and/or/xor aggregates per priority."""
+    o = t(spark, sf, "orders")
+    ck = F.col("o_custkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 5000).alias("all_over_5k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.bit_and(ck).cast("long").alias("custkey_and"),
+            F.bit_or(ck).cast("long").alias("custkey_or"),
+            F.bit_xor(ck).cast("long").alias("custkey_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@REG.add(
+    "agg_geomean_checksum",
+    """
+    SELECT p_brand,
+           round(exp(avg(ln(p_retailprice))), 6) AS geo_mean_price,
+           CAST(bit_xor(CAST(('0x' || substr(md5(p_name), 1, 15)) AS BIGINT)) AS BIGINT)
+             AS name_checksum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def agg_geomean_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """geometric_mean (exp∘avg∘ln) and an order-independent content
+    checksum (xor of 60-bit md5 prefixes) per brand."""
+    p = t(spark, sf, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.exp(F.avg(F.ln("p_retailprice"))), 6).alias("geo_mean_price"),
+            F.bit_xor(_md5_60bit(F.col("p_name"))).cast("long").alias("name_checksum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@REG.add(
+    "agg_histogram_map",
+    """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def agg_histogram_map(spark: SparkSession, sf: str) -> DataFrame:
+    """histogram()/map_agg(): builds a lang→count map per source, then
+    explodes it back to rows (the map is the operator under test; the
+    exploded form gives a stable oracle shape)."""
+    d = t(spark, sf, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = per.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "cnt"))).alias("hist")
+    )
+    return (
+        hist.select("source", F.explode("hist").alias("lang", "cnt"))
+        .orderBy("source", "lang")
+    )
+
+
+@REG.add(
+    "agg_map_union",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def agg_map_union(spark: SparkSession, sf: str) -> DataFrame:
+    """map_union(): per-source histogram maps merged by summing values
+    across maps (explode → re-aggregate — the scalable merge: one extra
+    shuffle on the map key, never a driver-side fold)."""
+    d = t(spark, sf, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "cnt"))).alias("hist")
+    )
+    return (
+        maps.select(F.explode("hist").alias("lang", "cnt"))
+        .groupBy("lang")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+@REG.add(
+    "agg_listagg",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """listagg(x, ',' ORDER BY x): ordered string concatenation aggregate
+    (reference: main/operator/aggregation/listagg/)."""
+    r, n = t(spark, sf, "region"), t(spark, sf, "nation")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@REG.add(
+    "agg_reduce_product",
+    """
+    SELECT l_orderkey,
+           round(product(1.0 + l_tax), 6) AS tax_factor,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def agg_reduce_product(spark: SparkSession, sf: str) -> DataFrame:
+    """reduce_agg(): lambda-fold aggregation — compounded tax factor per
+    order via F.aggregate over the collected multiplier list (reference:
+    main/operator/aggregation/ReduceAggregationFunction.java)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(1.0 + F.col("l_tax")).alias("fs"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_orderkey",
+            F.round(F.aggregate("fs", F.lit(1.0), lambda acc, x: acc * x), 6).alias("tax_factor"),
+            "n_lines",
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@REG.add(
+    "agg_numeric_histogram",
+    """
+    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(avg(l_extendedprice), 6) AS mean
+    FROM lineitem
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_numeric_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """numeric_histogram / width_bucket binning: fixed-width price buckets
+    with per-bucket stats (single shuffle on the computed bucket)."""
+    li = t(spark, sf, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9)).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@REG.add(
+    "agg_top_frequent",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 5
+    """,
+)
+def agg_top_frequent(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters (the ground truth approx_most_frequent
+    approximates): top-5 event types by frequency."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(5)
+    )
+
+
+@REG.add("agg_approx_family", None)
+def agg_approx_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates: approx_count_distinct (HLL++, Trino's
+    approx_distinct) and approx_percentile next to their exact values.
+    Engine-specific sketches have no cross-engine oracle; error bounds are
+    asserted in tests/test_aggregates.py (driver: rows-only)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add(
+    "window_groups_frame",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice,
+             dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS g
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    per_g AS (
+      SELECT o_orderpriority, g, sum(o_totalprice) AS gsum
+      FROM o GROUP BY o_orderpriority, g
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+           round((SELECT sum(p.gsum) FROM per_g p
+                  WHERE p.o_orderpriority = o.o_orderpriority
+                    AND p.g BETWEEN o.g - 1 AND o.g + 1), 2) AS groups_frame_sum
+    FROM o
+    ORDER BY o_orderpriority, o_orderdate, o_orderkey
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING frame sum — Spark has no
+    GROUPS frames (SURVEY.md §2.5 gap), so: dense_rank → per-group partial
+    sums → RANGE frame over the rank (peer groups collapse to one row each,
+    the window slides over groups not rows) → join back. The oracle states
+    the same semantics independently as a correlated rank-distance subquery.
+    """
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    part = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice",
+        F.dense_rank().over(part).alias("g"),
+    )
+    per_g = ranked.groupBy("o_orderpriority", "g").agg(F.sum("o_totalprice").alias("gsum"))
+    frame = W.partitionBy("o_orderpriority").orderBy("g").rangeBetween(-1, 1)
+    framed = per_g.select("o_orderpriority", "g", F.sum("gsum").over(frame).alias("groups_frame_sum"))
+    return (
+        ranked.join(framed, ["o_orderpriority", "g"])
+        .select(
+            "o_orderkey", "o_orderpriority", "o_orderdate",
+            F.round("groups_frame_sum", 2).alias("groups_frame_sum"),
+        )
+        .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+    )
