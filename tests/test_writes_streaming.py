@@ -1,0 +1,96 @@
+"""Write-path round-trips and streaming==batch equivalence checks."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_spark import writes
+from trino_spark.catalog import load
+from trino_spark.queries import all_specs
+
+_TMP = Path(__file__).resolve().parents[1] / ".tmp_test"
+
+
+@pytest.fixture()
+def tmp_dir():
+    _TMP.mkdir(exist_ok=True)
+    d = _TMP / "scratch"
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ctas_roundtrip(spark, sf_dir, tmp_dir):
+    src = load(spark, sf_dir, "orders")
+    path = str(tmp_dir / "orders_ctas")
+    writes.ctas(src, path, compact_to=2)
+    back = writes.read_back(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_dir):
+    src = load(spark, sf_dir, "orders")
+    path = str(tmp_dir / "orders_part")
+    writes.ctas(src, path, partition_by=["o_orderpriority"], compact_to=1)
+    back = writes.read_back(spark, path)
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    # partition pruning must reach the scan (PartitionFilters, not PushedFilters)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_insert_append_and_dynamic_overwrite(spark, sf_dir, tmp_dir):
+    src = load(spark, sf_dir, "region")
+    path = str(tmp_dir / "region_tbl")
+    writes.ctas(src, path, partition_by=["r_regionkey"])
+    writes.insert_into(
+        src.withColumn("r_regionkey", F.col("r_regionkey") + 100),
+        path,
+        partition_by=["r_regionkey"],
+    )
+    assert writes.read_back(spark, path).count() == 2 * src.count()
+    # dynamic overwrite touches only partition 0; others must survive
+    one = src.filter(F.col("r_regionkey") == 0).withColumn("r_name", F.lit("REWRITTEN"))
+    writes.overwrite_partitions(one, path, ["r_regionkey"])
+    back = writes.read_back(spark, path)
+    assert back.count() == 2 * src.count()
+    assert back.filter(F.col("r_regionkey") == 0).select("r_name").first().r_name == "REWRITTEN"
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_dir):
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    agg = streaming.windowed_counts(events)
+    streaming.run_available_now(agg, "stream_tumbling", str(tmp_dir / "ckpt"))
+    got = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("stream_tumbling").collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in all_specs()["ts_tumbling_window"].build(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_counts_match_batch_totals(spark, sf_dir, tmp_dir):
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    sess = streaming.sessionized_counts(events)
+    streaming.run_available_now(sess, "stream_sessions", str(tmp_dir / "ckpt2"))
+    stream_df = spark.table("stream_sessions")
+    batch = all_specs()["ts_session_window"].build(spark, sf_dir)
+    # same number of sessions per user and same total event coverage
+    assert stream_df.count() == batch.count()
+    assert (
+        stream_df.agg(F.sum("n_events")).first()[0]
+        == batch.agg(F.sum("n_events")).first()[0]
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming view of the `events` table.
+
+Trino has NO streaming runtime (SURVEY.md §2.11 — no watermarks, windows,
+or stateful operators anywhere in core/trino-main/src/main/java/io/trino/
+operator/; its Kafka connector reads bounded offset ranges,
+plugin/trino-kafka/.../KafkaSplitManager.java:43). This package is the
+extension tier: the SAME windowed aggregations the batch corpus verifies
+(queries/timeseries.py), expressed over `readStream` so they run
+incrementally with watermark-bounded state.
+
+Design: batch and stream share the aggregation expressions; tests replay
+the parquet through Trigger.AvailableNow into a memory sink and assert the
+result equals the batch query — the classic backfill==live equivalence
+check, which is exactly what makes these operators trustworthy on an
+unbounded 100 TB/day feed (state is bounded by the watermark horizon, not
+the stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong) -> µs below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source (file-stream; in production the
+    same DataFrame comes from Kafka/Kinesis — the plan below is identical)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source wants a directory; scope it to the events file
+    # with a glob so sibling tables (different schemas) stay invisible.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly tumbling counts with watermark-bounded state (late rows beyond
+    the horizon are dropped; state size = #types × horizon/1h windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-close semantics identical to the batch
+    lag/cumsum formulation in queries/timeseries.py ts_session_window)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, checkpoint_dir: str) -> None:
+    """Replay the whole source through the streaming engine once
+    (Trigger.AvailableNow) into an in-memory sink; blocks until done."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,79 @@
+"""Write path: CTAS / INSERT / partitioned overwrite.
+
+Trino's write path is TableWriterOperator -> TableFinishOperator commit
+(reference: core/trino-main/.../operator/TableWriterOperator.java:69,
+TableFinishOperator.java:55) with connector page sinks. Spark's committers
+own the same job here: `df.write` gives atomic-enough directory commits
+(_SUCCESS markers, task-attempt isolation), so these helpers only encode
+the policies — layout, mode, partitioning — not a commit protocol.
+
+Scale notes:
+- `partition_by` produces hive-style directory partitioning, the layout
+  every downstream scan prunes on (static partition pruning + DPP).
+- `target_file_rows` repartitions before write so output files are
+  uniformly sized — the 100 TB failure mode is thousands of tiny files per
+  partition from over-parallel writers (AQE coalescing covers the shuffle
+  side; writers need an explicit repartition on the partition columns).
+- Dynamic partition overwrite replaces only touched partitions —
+  the idempotent backfill primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ctas(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compact_to: int | None = None,
+) -> None:
+    """CREATE TABLE AS SELECT onto a filesystem path."""
+    if compact_to:
+        df = (
+            df.repartition(compact_to, *partition_by)
+            if partition_by
+            else df.coalesce(compact_to)
+        )
+    w = df.write.format(format).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def insert_into(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
+    """INSERT INTO semantics: append to an existing table location.
+
+    `partition_by` must match the table's existing layout — appending
+    unpartitioned files into a hive-partitioned directory leaves them
+    invisible to partition-discovering readers.
+    """
+    w = df.write.format(format).mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """INSERT OVERWRITE only the partitions present in `df` (dynamic mode) —
+    Trino's metadata-only partition replace analog
+    (main/operator/TableMutationOperator.java)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.format("parquet").mode("overwrite").partitionBy(*partition_by).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_back(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    return spark.read.format(format).load(path)
