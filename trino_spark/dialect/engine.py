@@ -1,0 +1,45 @@
+"""TrinoEngine: the `engine.sql(trino_sql)` entry point.
+
+Role-equivalent to the reference's dispatch path (SQL text in →
+DispatchManager.createQueryInternal → parse → analyze → plan → execute,
+core/trino-main/.../dispatcher/DispatchManager.java:208) collapsed onto
+Spark: dialect-translate, then let Catalyst do analysis/optimization and
+Tungsten execute. See SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_spark.catalog import ALL_TABLES, Catalog
+from trino_spark.dialect.rewrites import translate
+
+__all__ = ["TrinoEngine", "translate"]
+
+
+class TrinoEngine:
+    """Trino-dialect SQL in, DataFrame out."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        if sf_dir:
+            self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
+
+    def sql(self, trino_sql: str) -> DataFrame:
+        df = self.spark.sql(translate(trino_sql))
+        # FETCH ... WITH TIES leaves a helper rank column; drop it here.
+        if "__rk" in df.columns:
+            df = df.drop("__rk")
+        return df
+
+    def explain(self, trino_sql: str, mode: str = "formatted") -> str:
+        """EXPLAIN wrapper (reference: ExplainRewrite.java /
+        main/operator/ExplainAnalyzeOperator.java:35)."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.sql(trino_sql).explain(mode=mode)
+        return buf.getvalue()

@@ -1,0 +1,459 @@
+"""Token-stream rewrites: Trino surface forms → Spark SQL equivalents.
+
+Function inventory sourced from the reference registry
+(core/trino-main/.../metadata/SystemFunctionBundle.java:389 and
+main/operator/scalar/ — see SURVEY.md §2.8 for the per-category mapping).
+Only names that differ or need argument surgery appear here; everything
+Spark accepts verbatim passes through untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from trino_spark.dialect.tokenizer import (
+    Tok,
+    match_paren,
+    next_code,
+    prev_code,
+    render,
+    split_args,
+    tokenize,
+)
+from trino_spark.functions.datetimes import mysql_to_java
+
+
+class TrinoSqlError(ValueError):
+    """Raised for Trino constructs we explicitly do not translate."""
+
+
+# ---------------------------------------------------------------- functions
+
+_RENAME = {
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "cardinality": "size",
+    "codepoint": "ascii",
+    "from_unixtime": "timestamp_seconds",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "random": "rand",
+    "is_nan": "isnan",
+    "ceiling": "ceil",
+    "contains": "array_contains",
+    "repeat": "array_repeat",  # Trino repeat(elem, n) builds an array
+    "zip": "arrays_zip",
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "day_of_month": "dayofmonth",
+}
+
+
+def _quoted(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("'") and s.endswith("'")):
+        raise TrinoSqlError(f"expected a string literal, got: {s}")
+    return s[1:-1].replace("''", "'")
+
+
+def _unit(arg: str) -> str:
+    u = _quoted(arg).upper()
+    allowed = {
+        "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY",
+        "WEEK", "MONTH", "QUARTER", "YEAR",
+    }
+    if u not in allowed:
+        raise TrinoSqlError(f"unsupported datetime unit: {u}")
+    return u
+
+
+def _t_strpos(args: list[str]) -> str:
+    if len(args) != 2:
+        raise TrinoSqlError("strpos(string, substring, instance) instance>1 unsupported")
+    return f"locate({args[1]}, {args[0]})"
+
+
+def _t_date_diff(args: list[str]) -> str:
+    return f"timestampdiff({_unit(args[0])}, {args[1]}, {args[2]})"
+
+
+def _t_date_add(args: list[str]) -> str:
+    return f"timestampadd({_unit(args[0])}, {args[1]}, {args[2]})"
+
+
+def _t_date_format(args: list[str]) -> str:
+    return f"date_format({args[0]}, '{mysql_to_java(_quoted(args[1]))}')"
+
+
+def _t_date_parse(args: list[str]) -> str:
+    return f"to_timestamp({args[0]}, '{mysql_to_java(_quoted(args[1]))}')"
+
+
+def _t_format_datetime(args: list[str]) -> str:
+    # Joda-pattern subset == java.time for y/M/d/H/m/s/S; pass through.
+    return f"date_format({args[0]}, {args[1]})"
+
+
+def _t_parse_datetime(args: list[str]) -> str:
+    return f"to_timestamp({args[0]}, {args[1]})"
+
+
+def _t_to_unixtime(args: list[str]) -> str:
+    return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) / 1000000.0)"
+
+
+def _t_truncate(args: list[str]) -> str:
+    a = args[0]
+    return f"(sign({a}) * floor(abs({a})))"
+
+
+def _t_map(args: list[str]) -> str:
+    if len(args) == 2:
+        return f"map_from_arrays({args[0]}, {args[1]})"
+    if len(args) == 0:
+        return "map()"
+    raise TrinoSqlError("map() accepts zero args or two array args in Trino")
+
+
+def _t_dow(args: list[str]) -> str:
+    # Trino: ISO Monday=1..Sunday=7; Spark dayofweek: Sunday=1.
+    return f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+
+
+def _t_url_part(part: str) -> Callable[[list[str]], str]:
+    def tmpl(args: list[str]) -> str:
+        return f"parse_url({args[0]}, '{part}')"
+
+    return tmpl
+
+
+def _t_url_param(args: list[str]) -> str:
+    return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+
+
+def _t_bitwise(op: str) -> Callable[[list[str]], str]:
+    def tmpl(args: list[str]) -> str:
+        if op == "~":
+            return f"(~ {args[0]})"
+        return f"({args[0]} {op} {args[1]})"
+
+    return tmpl
+
+
+def _t_split_to_map(args: list[str]) -> str:
+    return f"str_to_map({args[0]}, {args[1]}, {args[2]})"
+
+
+def _t_json_parse(args: list[str]) -> str:
+    # JSON stays a string on our side (SURVEY.md §1.2); parse==validate.
+    return f"({args[0]})"
+
+
+def _t_json_format(args: list[str]) -> str:
+    return f"({args[0]})"
+
+
+_TEMPLATE: dict[str, Callable[[list[str]], str]] = {
+    "strpos": _t_strpos,
+    "date_diff": _t_date_diff,
+    "date_add": _t_date_add,
+    "date_format": _t_date_format,
+    "date_parse": _t_date_parse,
+    "format_datetime": _t_format_datetime,
+    "parse_datetime": _t_parse_datetime,
+    "to_unixtime": _t_to_unixtime,
+    "truncate": _t_truncate,
+    "map": _t_map,
+    "day_of_week": _t_dow,
+    "dow": _t_dow,
+    "url_extract_host": _t_url_part("HOST"),
+    "url_extract_path": _t_url_part("PATH"),
+    "url_extract_protocol": _t_url_part("PROTOCOL"),
+    "url_extract_query": _t_url_part("QUERY"),
+    "url_extract_fragment": _t_url_part("REF"),
+    "url_extract_parameter": _t_url_param,
+    "bitwise_and": _t_bitwise("&"),
+    "bitwise_or": _t_bitwise("|"),
+    "bitwise_xor": _t_bitwise("^"),
+    "bitwise_not": _t_bitwise("~"),
+    "split_to_map": _t_split_to_map,
+    "json_parse": _t_json_parse,
+    "json_format": _t_json_format,
+}
+
+
+def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD":
+            j = next_code(toks, i + 1)
+            name = t.text.lower()
+            if j < len(toks) and toks[j].is_sym("(") and (name in _RENAME or name in _TEMPLATE):
+                close = match_paren(toks, j)
+                if name in _RENAME:
+                    out.append(Tok("WORD", _RENAME[name]))
+                    out.extend(_rewrite_functions(toks[i + 1 : close + 1]))
+                else:
+                    spans = split_args(toks, j, close)
+                    args = [render(_rewrite_functions(toks[a:b])).strip() for a, b in spans]
+                    out.extend(tokenize(_TEMPLATE[name](args)))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------ syntax
+
+def _rewrite_fetch(toks: list[Tok]) -> tuple[list[Tok], bool]:
+    """FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY → LIMIT n.
+    FETCH ... WITH TIES → handled at the query level (returns ties=True so
+    the caller wraps with a rank() filter)."""
+    out: list[Tok] = []
+    i = 0
+    ties = False
+    while i < len(toks):
+        t = toks[i]
+        if t.is_word("FETCH"):
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_word("FIRST", "NEXT"):
+                k = next_code(toks, j + 1)
+                n = "1"
+                if k < len(toks) and toks[k].kind == "NUM":
+                    n = toks[k].text
+                    k = next_code(toks, k + 1)
+                if k < len(toks) and toks[k].is_word("ROW", "ROWS"):
+                    e = next_code(toks, k + 1)
+                    if e < len(toks) and toks[e].is_word("ONLY"):
+                        out.extend(tokenize(f"LIMIT {n}"))
+                        i = e + 1
+                        continue
+                    w2 = next_code(toks, e + 1)
+                    if (
+                        e < len(toks)
+                        and toks[e].is_word("WITH")
+                        and w2 < len(toks)
+                        and toks[w2].is_word("TIES")
+                    ):
+                        # leave a marker; caller rewrites the whole query
+                        out.extend(tokenize(f"__FETCH_TIES__ {n}"))
+                        ties = True
+                        i = w2 + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out, ties
+
+
+def _rewrite_ties(sql: str) -> str:
+    """Top-level `ORDER BY <keys> __FETCH_TIES__ n` → rank()-filter wrap.
+    Trino rewrites WITH TIES the same way (main/sql/planner/iterative/rule/
+    ImplementLimitWithTies.java). The helper column `__rk` is dropped by
+    TrinoEngine.sql after execution."""
+    toks = tokenize(sql)
+    # find depth-0 ORDER BY ... __FETCH_TIES__ n at the end
+    depth = 0
+    order_i = -1
+    for idx, t in enumerate(toks):
+        if t.is_sym("("):
+            depth += 1
+        elif t.is_sym(")"):
+            depth -= 1
+        elif depth == 0 and t.is_word("ORDER"):
+            j = next_code(toks, idx + 1)
+            if j < len(toks) and toks[j].is_word("BY"):
+                order_i = idx
+    marker = next((k for k, t in enumerate(toks) if t.is_word("__FETCH_TIES__")), -1)
+    if order_i < 0 or marker < 0 or marker < order_i:
+        raise TrinoSqlError("FETCH ... WITH TIES requires a top-level ORDER BY")
+    n_i = next_code(toks, marker + 1)
+    n = toks[n_i].text
+    body = render(toks[:order_i]).strip()
+    keys = render(toks[next_code(toks, next_code(toks, order_i + 1) + 1) : marker]).strip()
+    return (
+        f"SELECT * FROM (SELECT __t.*, rank() OVER (ORDER BY {keys}) AS __rk "
+        f"FROM ({body}) __t) WHERE __rk <= {n} ORDER BY {keys}"
+    )
+
+
+def _rewrite_tablesample(toks: list[Tok]) -> list[Tok]:
+    """TABLESAMPLE BERNOULLI(p) / SYSTEM(p) → TABLESAMPLE (p PERCENT)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.is_word("TABLESAMPLE"):
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_word("BERNOULLI", "SYSTEM"):
+                o = next_code(toks, j + 1)
+                if o < len(toks) and toks[o].is_sym("("):
+                    c = match_paren(toks, o)
+                    pct = render(toks[o + 1 : c]).strip()
+                    out.extend(tokenize(f"TABLESAMPLE ({pct} PERCENT)"))
+                    i = c + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
+    """[CROSS JOIN | ,] UNNEST(expr[, expr2]) [WITH ORDINALITY] AS t(c...)
+    → LATERAL VIEW explode/inline(...) t AS c...
+
+    Single array → explode; WITH ORDINALITY → inline(transform(x,(v,i)->
+    struct(v, CAST(i+1 AS BIGINT)))); two arrays → inline(zip_with(...)).
+    (Trino: plan/UnnestNode.java, operator/unnest/UnnestOperator.java:45.)
+    """
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        is_cross = t.is_word("CROSS")
+        is_comma = t.is_sym(",")
+        if is_cross or is_comma:
+            j = next_code(toks, i + 1)
+            if is_cross:
+                if not (j < len(toks) and toks[j].is_word("JOIN")):
+                    out.append(t)
+                    i += 1
+                    continue
+                j = next_code(toks, j + 1)
+            if j < len(toks) and toks[j].is_word("UNNEST"):
+                o = next_code(toks, j + 1)
+                c = match_paren(toks, o)
+                spans = split_args(toks, o, c)
+                exprs = [render(toks[a:b]).strip() for a, b in spans]
+                k = next_code(toks, c + 1)
+                ordinality = False
+                if k < len(toks) and toks[k].is_word("WITH"):
+                    k2 = next_code(toks, k + 1)
+                    if k2 < len(toks) and toks[k2].is_word("ORDINALITY"):
+                        ordinality = True
+                        k = next_code(toks, k2 + 1)
+                if not (k < len(toks) and toks[k].is_word("AS")):
+                    raise TrinoSqlError("UNNEST requires an AS alias(col, ...) clause")
+                a_i = next_code(toks, k + 1)
+                alias = toks[a_i].text
+                p_i = next_code(toks, a_i + 1)
+                pc = match_paren(toks, p_i)
+                cols = [render(toks[a:b]).strip() for a, b in split_args(toks, p_i, pc)]
+                out.extend(tokenize(" " + _unnest_lateral(exprs, cols, ordinality, alias)))
+                i = pc + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _unnest_lateral(exprs: list[str], cols: list[str], ordinality: bool, alias: str) -> str:
+    if len(exprs) == 1 and not ordinality:
+        if len(cols) != 1:
+            raise TrinoSqlError("UNNEST of one array produces one column")
+        return f"LATERAL VIEW explode({exprs[0]}) {alias} AS {cols[0]}"
+    if len(exprs) == 1 and ordinality:
+        if len(cols) != 2:
+            raise TrinoSqlError("UNNEST ... WITH ORDINALITY produces (value, ordinality)")
+        return (
+            f"LATERAL VIEW inline(transform({exprs[0]}, "
+            f"(__v, __i) -> struct(__v, CAST(__i + 1 AS BIGINT)))) {alias} AS {cols[0]}, {cols[1]}"
+        )
+    if len(exprs) == 2 and not ordinality:
+        if len(cols) != 2:
+            raise TrinoSqlError("UNNEST of two arrays produces two columns")
+        return (
+            f"LATERAL VIEW inline(zip_with({exprs[0]}, {exprs[1]}, "
+            f"(__a, __b) -> struct(__a, __b))) {alias} AS {cols[0]}, {cols[1]}"
+        )
+    raise TrinoSqlError("unsupported UNNEST form (maps / >2 arrays)")
+
+
+def _rewrite_array_literal(toks: list[Tok]) -> list[Tok]:
+    """ARRAY[a, b, ...] → array(a, b, ...) (Spark has no bracket form)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD" and t.text.upper() == "ARRAY":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_sym("["):
+                depth = 0
+                close = -1
+                for k in range(j, len(toks)):
+                    if toks[k].is_sym("["):
+                        depth += 1
+                    elif toks[k].is_sym("]"):
+                        depth -= 1
+                        if depth == 0:
+                            close = k
+                            break
+                if close < 0:
+                    raise TrinoSqlError("unbalanced ARRAY[ literal")
+                out.append(Tok("WORD", "array"))
+                out.append(Tok("SYM", "("))
+                out.extend(_rewrite_array_literal(toks[j + 1 : close]))
+                out.append(Tok("SYM", ")"))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------- types
+
+_TYPE_RENAME = {
+    "VARBINARY": "BINARY",
+    "REAL": "FLOAT",
+}
+
+
+def _rewrite_types(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD" and t.text.upper() == "DOUBLE":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_word("PRECISION"):
+                out.append(Tok("WORD", "DOUBLE"))
+                i = j + 1
+                continue
+        if t.kind == "WORD" and t.text.upper() in _TYPE_RENAME:
+            j = next_code(toks, i + 1)
+            prev = prev_code(toks, len(out) - 1)
+            # only in CAST/type position: preceded by AS or followed by )
+            if prev >= 0 and out[prev].is_word("AS"):
+                out.append(Tok("WORD", _TYPE_RENAME[t.text.upper()]))
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------------ driver
+
+def translate(sql: str) -> str:
+    """Trino-dialect SQL → Spark-SQL text."""
+    toks = tokenize(sql)
+    toks = _rewrite_array_literal(toks)
+    toks = _rewrite_functions(toks)
+    toks = _rewrite_tablesample(toks)
+    toks = _rewrite_unnest(toks)
+    toks = _rewrite_types(toks)
+    toks, ties = _rewrite_fetch(toks)
+    result = render(toks)
+    if ties:
+        result = _rewrite_ties(result)
+    return result

@@ -15,7 +15,16 @@ def all_specs() -> dict[str, QuerySpec]:
 
     reg = QueryRegistry()
     reg.merge(tpch.REG)
-    for mod_name in ("relational", "functions_q", "llmops", "aggregates", "timeseries", "merge_q", "streaming_q"):
+    for mod_name in (
+        "relational",
+        "functions_q",
+        "llmops",
+        "aggregates",
+        "timeseries",
+        "merge_q",
+        "dialect_q",
+        "streaming_q",
+    ):
         try:
             import importlib
 

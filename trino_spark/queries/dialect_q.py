@@ -1,0 +1,114 @@
+"""Driver-visible queries executed through the Trino-dialect layer: the SQL
+text below is Trino dialect (strpos/date_diff/UNNEST/FETCH...WITH TIES),
+run via TrinoEngine.sql -> translate -> spark.sql."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_spark.dialect import TrinoEngine
+from trino_spark.queries.base import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def _run(spark: SparkSession, sf: str, trino_sql: str) -> DataFrame:
+    return TrinoEngine(spark, sf).sql(trino_sql)
+
+
+@REG.add(
+    "dialect_q6_trino",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def dialect_q6_trino(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 stated in Trino dialect, through the translation layer."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND date_diff('day', l_shipdate, DATE '1995-01-01') > 0
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+@REG.add(
+    "dialect_datetime_fns",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS age_days,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def dialect_datetime_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Trino datetime surface: unit-first date_diff + MySQL-pattern
+    date_format, translated to timestampdiff/date_format."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT o_orderkey,
+               date_diff('day', DATE '1995-01-01', o_orderdate) AS age_days,
+               date_format(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+        """,
+    )
+
+
+@REG.add(
+    "dialect_unnest_ordinality",
+    """
+    SELECT n_name, w, CAST(o AS BIGINT) AS o FROM (
+      SELECT n_name,
+             unnest(string_split(n_name, ' ')) AS w,
+             generate_subscripts(string_split(n_name, ' '), 1) AS o
+      FROM nation) u
+    ORDER BY n_name, o
+    """,
+)
+def dialect_unnest_ordinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Trino UNNEST ... WITH ORDINALITY translated to a LATERAL VIEW
+    inline(transform(...)) that preserves 1-based ordinality."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT n_name, w, o FROM nation
+        CROSS JOIN UNNEST(split(n_name, ' ')) WITH ORDINALITY AS t(w, o)
+        ORDER BY n_name, o
+        """,
+    )
+
+
+@REG.add(
+    "dialect_fetch_ties",
+    """
+    SELECT o_orderpriority, o_orderdate
+    FROM (SELECT o_orderpriority, o_orderdate,
+                 rank() OVER (ORDER BY o_orderdate) AS rk FROM orders) t
+    WHERE rk <= 10 ORDER BY o_orderdate
+    """,
+)
+def dialect_fetch_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """FETCH FIRST 10 ROWS WITH TIES via the rank() rewrite (Trino:
+    ImplementLimitWithTies.java)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT o_orderpriority, o_orderdate FROM orders
+        ORDER BY o_orderdate FETCH FIRST 10 ROWS WITH TIES
+        """,
+    )
