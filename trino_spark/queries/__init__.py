@@ -23,6 +23,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "timeseries",
         "merge_q",
         "dialect_q",
+        "patterns_q",
         "streaming_q",
     ):
         try:

@@ -1,0 +1,89 @@
+"""MATCH_RECOGNIZE corpus: row-pattern matching over the events stream.
+
+The funnel query is fully value-checked: greedy `V+ P` with SKIP PAST LAST
+ROW semantics is equivalently expressible as a gaps-and-islands SQL (view
+runs joined to the immediately-following purchase), which DuckDB runs as
+the independent oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from trino_spark.operators.match_recognize import match_recognize
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+_FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("match_no", T.LongType()),
+        T.StructField("n_views", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("purchase_value", T.DoubleType()),
+    ]
+)
+
+
+@REG.add(
+    "match_recognize_funnel",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS grp
+      FROM o
+    ),
+    view_runs AS (
+      SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+             CAST(count(*) AS BIGINT) AS n_views,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS start_us
+      FROM runs WHERE event_type = 'view'
+      GROUP BY user_id, grp
+    )
+    SELECT v.user_id,
+           CAST(row_number() OVER (PARTITION BY v.user_id ORDER BY v.srn) AS BIGINT) AS match_no,
+           v.n_views, v.start_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           round(p.value, 6) AS purchase_value
+    FROM view_runs v
+    JOIN o p ON p.user_id = v.user_id AND p.rn = v.ern + 1 AND p.event_type = 'purchase'
+    ORDER BY v.user_id, match_no
+    """,
+)
+def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel via MATCH_RECOGNIZE: PATTERN (V+ P), V = view,
+    P = purchase, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW —
+    each maximal run of views immediately followed by a purchase."""
+    e = t(spark, sf, "events").select("user_id", "ts", "event_type", "value")
+
+    define = {
+        "V": lambda pdf, i, start: pdf["event_type"].iat[i] == "view",
+        "P": lambda pdf, i, start: pdf["event_type"].iat[i] == "purchase",
+    }
+
+    def _us(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1000)
+
+    measures = {
+        "n_views": lambda sl, labels: labels.count("V"),
+        "start_us": lambda sl, labels: _us(sl["ts"].iloc[0]),
+        "purchase_us": lambda sl, labels: _us(sl["ts"].iloc[-1]),
+        "purchase_value": lambda sl, labels: round(float(sl["value"].iloc[-1]), 6),
+    }
+    out = match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        pattern="V+ P",
+        define=define,
+        measures=measures,
+        output_schema=_FUNNEL_SCHEMA,
+    )
+    return out.orderBy("user_id", "match_no")
