@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from trino_spark.functions.arrays import word_ngrams
 from trino_spark.functions.strings import normalize_text
+from trino_spark.operators.util import fan_out
 
 # MinHash parameters: P permutations split into B bands of R rows.
 # P(candidate | jaccard=s) = 1-(1-s^R)^B: s=0.7 -> 0.988, s=0.5 -> 0.64,
@@ -53,9 +54,38 @@ def _perm_params(p: int = MINHASH_PERMS) -> list[tuple[int, int]]:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text (single-column
+    form — fine for small inputs; hot paths use `with_shingles`)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.array_distinct(word_ngrams(normalize_text(c), n))
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """(id, shingle-set) with the tokenization materialized as its own
+    projection FIRST.
+
+    Load-bearing performance shape: expressions referenced inside a
+    higher-order-function lambda are not common-subexpression-eliminated
+    across the lambda boundary, so a fused
+    `transform(ngrams(split(normalize(text))), ...)` re-runs the
+    regex-normalize+split once per produced n-gram (measured 17x slower at
+    sf0.1). Splitting into token projection -> shingle projection keeps the
+    per-element lambda work O(1) array reads.
+    """
+    from trino_spark.functions.arrays import ngrams
+
+    return (
+        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", F.split(normalize_text(F.col("_t")), " ").alias("_toks"))
+        .select(
+            "_id",
+            F.array_distinct(
+                F.transform(ngrams(F.col("_toks"), n), lambda g: F.array_join(g, " "))
+            ).alias(out),
+        )
+    )
 
 
 def minhash_signatures(
@@ -115,7 +145,7 @@ def minhash_candidate_pairs(
     Plan: shingle+sign per row -> explode band buckets -> self-join on
     (band, bucket) -> distinct pairs -> verify jaccard >= threshold.
     """
-    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    base = with_shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(base)
     banded = sigs.select(
         "_id", F.explode(minhash_bands_from_cols()).alias("_b")
@@ -186,12 +216,7 @@ def simhash_signatures(
     ~9 MB task binaries and runs minutes instead of seconds — see
     minhash_signatures docstring.)
     """
-    feats = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(word_ngrams(normalize_text(F.col(text_col)), n))
-        ).alias("_f"),
-    )
+    feats = with_shingles(df, id_col, text_col, n).select("_id", F.explode("_sh").alias("_f"))
     h = F.xxhash64(F.col("_f"))
     aggs = [
         F.sum(
@@ -252,7 +277,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for ALL pairs (quadratic — ground-truth/debug
     tool; production uses minhash_candidate_pairs)."""
-    s = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    s = with_shingles(df, id_col, text_col, n)
     a = s.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = s.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (

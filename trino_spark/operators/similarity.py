@@ -14,10 +14,13 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from trino_spark.functions.vectors import cosine_similarity, dot_product, vector_normalize
+from trino_spark.operators.util import fan_out
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -71,7 +74,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    c = fan_out(corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")))
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
@@ -99,6 +102,30 @@ def lsh_buckets(vec: Column, planes: list[list[float]], nbits: int, n_tables: in
     return F.array(*entries)
 
 
+def _lsh_buckets_udf(planes: list[list[float]], nbits: int, n_tables: int):
+    """Vectorized bucket-id computation: one numpy matmul per Arrow batch.
+
+    The pure-expression formulation (`lsh_buckets`) builds
+    n_tables*nbits*dim literal Column nodes — at 16 tables x 4 bits x 64
+    dims that is ~16k py4j calls and a plan whose ANALYSIS takes 10x longer
+    than its execution. A pandas UDF keeps the plan one node and the math
+    one (batch, dim) @ (dim, bits) product — the documented fast path for
+    embedding operators."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_tables*nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (M @ P.T) > 0  # (batch, n_tables*nbits)
+        ids = (bits.reshape(len(M), n_tables, nbits) * weights).sum(axis=2)
+        return pd.Series(list(ids.astype(np.int64)))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,16 +147,15 @@ def lsh_topk(
     bucket)) so each probe is a partition-pruned scan, not a full pass.
     Recall is measured against brute_force_topk in tests."""
     planes = _hyperplanes(dim, nbits * n_tables)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")).select(
-        "vec_id",
-        "_cv",
-        F.explode(lsh_buckets(F.col("_cv").cast("array<double>"), planes, nbits, n_tables)).alias("_b"),
-    ).select("vec_id", "_cv", F.col("_b.table").alias("_table"), F.col("_b.bucket").alias("_bucket"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")).select(
-        "query_id",
-        "_qv",
-        F.explode(lsh_buckets(F.col("_qv").cast("array<double>"), planes, nbits, n_tables)).alias("_b"),
-    ).select("query_id", "_qv", F.col("_b.table").alias("_table"), F.col("_b.bucket").alias("_bucket"))
+    buckets = _lsh_buckets_udf(planes, nbits, n_tables)
+    c = (
+        fan_out(corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")))
+        .select("vec_id", "_cv", F.posexplode(buckets(F.col("_cv"))).alias("_table", "_bucket"))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .select("query_id", "_qv", F.posexplode(buckets(F.col("_qv"))).alias("_table", "_bucket"))
+    )
     scored = (
         c.join(F.broadcast(q), ["_table", "_bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -296,14 +296,27 @@ def agg_approx_family(spark: SparkSession, sf: str) -> DataFrame:
     Engine-specific sketches have no cross-engine oracle; error bounds are
     asserted in tests/test_aggregates.py (driver: rows-only)."""
     li = t(spark, sf, "lineitem")
+    # Two passes joined on the (tiny) group key: combining countDistinct
+    # with sketch aggregates in one agg triggers the Expand-based distinct
+    # plan, which runs every sketch over the expanded input (measured ~6x
+    # slower than two clean passes + a 3-row join).
+    pcts = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        pcts[0].alias("approx_p50"),
+        pcts[1].alias("approx_p90"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag", "approx_orders", "exact_orders",
+            "approx_p50", "exact_p50", "approx_p90",
         )
         .orderBy("l_returnflag")
     )

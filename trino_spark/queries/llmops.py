@@ -86,7 +86,9 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-3-gram Jaccard over a sliding id window (the ground-truth
     primitive behind minhash dedup; window-restricted to stay linear)."""
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 200 + 5)
-    s = d.select(F.col("doc_id"), dedup.shingles("text", 3).alias("shingle_set"))
+    s = dedup.with_shingles(d, "doc_id", "text", 3, out="shingle_set").withColumnRenamed(
+        "_id", "doc_id"
+    )
     a = s.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sh_a")).filter(
         F.col("id_a") < 200
     )

@@ -59,6 +59,16 @@ def get_spark(
         # --- runtime filters (Trino: DynamicFilterService) ---
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # InferFiltersFromGenerate rewrites explode(f(x)) into
+        # Filter(size(f(x))>0) + explode and pushes that filter to the scan,
+        # duplicating the (possibly expensive, lambda-bearing) array
+        # expression below every repartition — measured 20x slowdown on the
+        # dedup shingle pipelines. The guard only skips empty arrays, which
+        # our generators handle anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- Python/Arrow boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
