@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trino_spark.catalog import ALL_TABLES, Catalog
 from trino_spark.dialect.rewrites import translate
+from trino_spark.infoschema import register_information_schema, rewrite_show
 
 __all__ = ["TrinoEngine", "translate"]
 
@@ -25,8 +26,16 @@ class TrinoEngine:
         self.catalog = Catalog(spark)
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
+            schemas = {
+                name: [(f.name, f.dataType.simpleString()) for f in spark.table(name).schema]
+                for name in ALL_TABLES
+            }
+            register_information_schema(spark, schemas)
 
     def sql(self, trino_sql: str) -> DataFrame:
+        shown = rewrite_show(trino_sql)
+        if shown is not None:
+            return self.spark.sql(shown)
         df = self.spark.sql(translate(trino_sql))
         # FETCH ... WITH TIES leaves a helper rank column; drop it here.
         if "__rk" in df.columns:

@@ -289,6 +289,37 @@ def similarity_embedding_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @REG.add(
+    "ai_sentiment_stub",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z'']+') AS w
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CASE WHEN len(list_filter(w, x -> list_contains(['good','great','excellent','love','best','happy','win'], x)))
+                   > len(list_filter(w, x -> list_contains(['bad','terrible','awful','hate','worst','sad','lose'], x)))
+                THEN 'POSITIVE'
+                WHEN len(list_filter(w, x -> list_contains(['bad','terrible','awful','hate','worst','sad','lose'], x)))
+                   > len(list_filter(w, x -> list_contains(['good','great','excellent','love','best','happy','win'], x)))
+                THEN 'NEGATIVE'
+                ELSE 'NEUTRAL' END AS sentiment
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def ai_sentiment_stub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ai_analyze_sentiment (reference: plugin/trino-ai-functions/.../
+    AiFunctions.java:55) through the Arrow-batched pandas-UDF path with the
+    deterministic offline client; the oracle restates the stub's lexicon
+    heuristic relationally, so the whole Python boundary is value-checked."""
+    from trino_spark.functions.ai import ai_analyze_sentiment
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", ai_analyze_sentiment("text").alias("sentiment")).orderBy("doc_id")
+
+
+@REG.add(
     "multimodal_decode_stub",
     """
     SELECT doc_id,
