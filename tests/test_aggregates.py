@@ -26,3 +26,14 @@ def test_groups_frame_covers_all_rows(spark, sf_dir):
         .count()
     )
     assert df.count() == n_in  # frame emulation must not drop or duplicate rows
+
+
+def test_hll_sketch_union_error_bounds(spark, sf_dir):
+    rows = all_specs()["sketch_hll_union"].build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_exact = sum(r.exact for r in rows)  # priorities partition customers? no — union bounds below
+    for r in rows:
+        assert abs(r.est - r.exact) <= max(0.05 * r.exact, 2), r
+        # merged estimate cannot exceed the sum and must cover the max group
+        assert r.est_total <= total_exact * 1.05
+        assert r.est_total >= max(x.exact for x in rows) * 0.95

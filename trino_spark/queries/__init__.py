@@ -24,6 +24,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "merge_q",
         "dialect_q",
         "patterns_q",
+        "misc_q",
         "streaming_q",
     ):
         try:

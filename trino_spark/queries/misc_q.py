@@ -1,0 +1,98 @@
+"""Remaining aggregate/scalar parity: ordered statistics (median, mode,
+skewness, kurtosis — reference: main/operator/aggregation/
+DoubleSkewnessAggregation.java, KurtosisAggregation.java), HLL sketches as
+mergeable columns (spi/type/HyperLogLogType.java — sketch states stored and
+merged, not just approx_distinct scalars), width_bucket, luhn_check and
+printf-style format (main/operator/scalar/MathFunctions.java:79
+width_bucket, LuhnCheckFunction.java:25, FormatFunction.java:78)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "agg_median_mode",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 6) AS med,
+           mode(l_linestatus)                AS common_status,
+           round(skewness(l_extendedprice), 3) AS skew,
+           round(kurtosis(l_extendedprice), 3) AS kurt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-statistic aggregates: exact median, mode, skewness, kurtosis
+    (kurtosis rounded to 3 — engines differ in the sample-correction term
+    beyond that)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("median(l_extendedprice)"), 6).alias("med"),
+            F.expr("mode(l_linestatus)").alias("common_status"),
+            F.round(F.skewness("l_extendedprice"), 3).alias("skew"),
+            F.round(F.kurtosis("l_extendedprice"), 3).alias("kurt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add("sketch_hll_union", None)
+def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketches as first-class mergeable columns (Trino's HyperLogLog
+    type + merge()): per-source sketches of customer keys, merged via
+    hll_union_agg, estimates next to exact counts. Engine-specific binary
+    layout -> rows-only; error bounds asserted in tests."""
+    o = t(spark, sf, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").cast("long").alias("exact"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    return (
+        per.select(
+            "grp", F.hll_sketch_estimate("sk").alias("est"), "exact",
+        )
+        .crossJoin(F.broadcast(merged))
+        .orderBy("grp")
+    )
+
+
+@REG.add(
+    "func_misc_ops",
+    """
+    SELECT n_nationkey,
+           printf('%s#%03d', n_name, n_nationkey) AS tag,
+           CASE WHEN n_nationkey < 0 THEN 0
+                WHEN n_nationkey >= 25 THEN 11
+                ELSE CAST(floor(n_nationkey / 2.5) AS INTEGER) + 1 END AS wb,
+           CASE WHEN n_nationkey % 2 = 0 THEN true ELSE false END AS even_key,
+           repeat('ab', CAST(n_nationkey % 3 AS INTEGER)) AS rep
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def func_misc_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """format_string (printf), width_bucket (DuckDB side emulated with the
+    equivalent floor arithmetic), parity/bool exprs, string repeat."""
+    n = t(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("%s#%03d", F.col("n_name"), F.col("n_nationkey")).alias("tag"),
+        F.expr("width_bucket(n_nationkey, 0, 25, 10)").cast("int").alias("wb"),
+        (F.col("n_nationkey") % 2 == 0).alias("even_key"),
+        F.expr("repeat('ab', CAST(n_nationkey % 3 AS INT))").alias("rep"),
+    ).orderBy("n_nationkey")
