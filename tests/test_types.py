@@ -1,0 +1,73 @@
+"""Type-semantics parity (SURVEY.md §1.2): decimal(38) arithmetic, interval
+arithmetic, try_cast behavior, and the documented timestamp-precision
+policy — checked against DuckDB where both engines define the semantics."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_decimal38_exact_arithmetic(spark, duck):
+    got = spark.sql(
+        """SELECT CAST('12345678901234567890.123456789' AS DECIMAL(38,9))
+                  + CAST('0.000000001' AS DECIMAL(38,9)) AS s,
+                  CAST('99999999999999999999' AS DECIMAL(38,0))
+                  * CAST(3 AS DECIMAL(38,0)) AS p"""
+    ).first()
+    want = duck.execute(
+        """SELECT CAST('12345678901234567890.123456789' AS DECIMAL(38,9))
+                  + CAST('0.000000001' AS DECIMAL(38,9)) AS s,
+                  CAST('99999999999999999999' AS DECIMAL(38,0))
+                  * CAST(3 AS DECIMAL(38,0)) AS p"""
+    ).fetchone()
+    assert got.s == want[0] == Decimal("12345678901234567890.123456790")
+    assert got.p == want[1] == Decimal("299999999999999999997")
+
+
+def test_decimal_overflow_yields_null_not_error(spark):
+    # ANSI off (session.py): overflow -> NULL, like Trino's try(); Trino
+    # proper raises — documented divergence, SURVEY.md §1.2.
+    r = spark.sql(
+        "SELECT CAST('9' AS DECIMAL(38,0)) * CAST(repeat('9', 38) AS DECIMAL(38,0)) AS x"
+    ).first()
+    assert r.x is None
+
+
+def test_interval_arithmetic(spark, duck):
+    got = spark.sql(
+        """SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS m,
+                  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90' MINUTE AS t"""
+    ).first()
+    want = duck.execute(
+        """SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS m,
+                  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90' MINUTE AS t"""
+    ).fetchone()
+    assert str(got.m) == str(want[0].date() if hasattr(want[0], "date") else want[0])
+    assert got.t == want[1]
+
+
+def test_try_cast_family(spark):
+    r = spark.sql(
+        """SELECT try_cast('abc' AS INT) AS a,
+                  try_cast('42' AS INT) AS b,
+                  try_divide(1, 0) AS c,
+                  try_cast('2024-13-99' AS DATE) AS d"""
+    ).first()
+    assert r.a is None and r.b == 42 and r.c is None and r.d is None
+
+
+def test_timestamp_truncation_policy(spark, sf_dir):
+    # events.ts is ns in parquet; our loader floors to µs (catalog.load),
+    # matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast. p<=6 is exact.
+    from trino_spark.catalog import load
+
+    ts = load(spark, sf_dir, "events").select("ts").first().ts
+    assert ts.microsecond is not None  # µs precision survives
+
+
+def test_char_varchar_semantics(spark):
+    # Trino CHAR pads on comparison; Spark StringType does not — we follow
+    # Spark (documented gap). Equality on trailing spaces must differ:
+    r = spark.sql("SELECT 'a' = 'a ' AS eq, rtrim('a ') = 'a' AS eq2").first()
+    assert r.eq is False and r.eq2 is True

@@ -809,3 +809,118 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+@REG.add(
+    "q02_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           round(ps.ps_supplycost, 6) AS supplycost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    """,
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp table in the testdata): the
+    part-supplier bridge and supply cost derive from lineitem
+    (min unit price per (part, supplier)). Same plan shape as the original:
+    correlated min-subquery -> per-part min window + equality filter
+    (Trino decorrelates identically, TransformCorrelatedScalarSubquery)."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf, "lineitem")
+    ps = li.groupBy(F.col("l_partkey"), F.col("l_suppkey")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    part = t(spark, sf, "part").filter(F.col("p_size") == 15)
+    region = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    joined = (
+        ps.join(F.broadcast(part), ps.l_partkey == F.col("p_partkey"))
+        .join(supplier, ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@REG.add(
+    "q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost,
+             CAST(sum(l_quantity) AS DOUBLE) AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    scoped AS (
+      SELECT ps.l_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'GERMANY'
+    )
+    SELECT l_partkey AS ps_partkey, round(sum(v), 4) AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.0005 FROM scoped)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 adapted (bridge derived from lineitem): per-part value
+    share vs a global-total scalar subquery — the classic
+    aggregate-vs-global-aggregate shape (broadcast of the 1-row total)."""
+    li = t(spark, sf, "lineitem")
+    ps = li.groupBy(F.col("l_partkey"), F.col("l_suppkey")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").cast("double").alias("ps_availqty"),
+    )
+    nation = t(spark, sf, "nation").filter(F.col("n_name") == "GERMANY")
+    supplier = t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    scoped = ps.join(supplier, ps.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
+    )
+    total = scoped.agg((F.sum("v") * 0.0005).alias("threshold"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("v").alias("value_raw"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value_raw") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("value_raw", 4).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
