@@ -165,11 +165,15 @@ def match_recognize(
     define: dict[str, Callable[[pd.DataFrame, int, int], bool]],
     measures: dict[str, Callable[[pd.DataFrame, list[str]], object]],
     output_schema: StructType,
+    define_vectorized: dict[str, Callable[[pd.DataFrame], object]] | None = None,
 ) -> DataFrame:
     """ONE ROW PER MATCH / SKIP PAST LAST ROW row-pattern matching.
 
     define[label](pdf, i, start) -> bool: does ordered row i qualify as
     `label` for a match that began at `start`?
+    define_vectorized[label](pdf) -> bool array: start-independent labels
+    evaluated once per partition (numpy mask) instead of per NFA probe —
+    use for PREV-free predicates; falls back to `define` per label.
     measures[name](matched_pdf, labels) -> value for the output row.
     Undefined labels match any row (Trino's default `true` definition).
     """
@@ -178,8 +182,15 @@ def match_recognize(
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
+        masks = {}
+        for lbl, fn in (define_vectorized or {}).items():
+            m = fn(pdf)
+            masks[lbl] = m.to_numpy() if hasattr(m, "to_numpy") else m
 
         def test(label: str, i: int, start: int) -> bool:
+            m = masks.get(label)
+            if m is not None:
+                return bool(m[i])
             fn = define.get(label)
             return True if fn is None else bool(fn(pdf, i, start))
 

@@ -67,6 +67,10 @@ def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "V": lambda pdf, i, start: pdf["event_type"].iat[i] == "view",
         "P": lambda pdf, i, start: pdf["event_type"].iat[i] == "purchase",
     }
+    define_vec = {
+        "V": lambda pdf: pdf["event_type"] == "view",
+        "P": lambda pdf: pdf["event_type"] == "purchase",
+    }
 
     def _us(ts) -> int:
         return int(pd.Timestamp(ts).value // 1000)
@@ -85,5 +89,6 @@ def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
         define=define,
         measures=measures,
         output_schema=_FUNNEL_SCHEMA,
+        define_vectorized=define_vec,
     )
     return out.orderBy("user_id", "match_no")
