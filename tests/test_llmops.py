@@ -103,3 +103,39 @@ def test_multimodal_stub_schema_and_batching(spark, docs):
     assert r.format == "stub" and r.n_bytes > 0 and 0 <= r.mean_luma <= 1
     with pytest.raises(NotImplementedError):
         decode_images(attach_fake_binary(docs), impl="pil")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from trino_spark.catalog import load
+    from trino_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    salted = salted_join(orders, cust, "o_custkey", num_salts=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    # left join: unmatched left rows survive exactly once
+    cust_half = cust.filter(F.col("o_custkey") % 2 == 0)
+    pl = orders.join(cust_half, "o_custkey", "left").count()
+    sl = salted_join(orders, cust_half, "o_custkey", num_salts=4, how="left").count()
+    assert pl == sl
+
+
+def test_approx_top_k_matches_exact(spark, sf_dir):
+    from trino_spark.catalog import load
+    from trino_spark.operators.text import approx_top_k
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    got = [(r.event_type, r.cnt) for r in approx_top_k(e, "event_type", k=3).collect()]
+    want = [
+        (r.event_type, r.cnt)
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type").limit(3).collect()
+    ]
+    assert got == want

@@ -94,3 +94,33 @@ def test_streaming_session_counts_match_batch_totals(spark, sf_dir, tmp_dir):
         stream_df.agg(F.sum("n_events")).first()[0]
         == batch.agg(F.sum("n_events")).first()[0]
     )
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_dir):
+    from trino_spark import streaming
+    from pyspark.sql import functions as F
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    stateful = streaming.running_user_totals(events)
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName("stream_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_dir / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user equals the batch totals
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.table("stream_state").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    }
+    assert got == batch

