@@ -153,3 +153,8 @@ def test_translate_is_pure_text():
 def test_explain_wrapper(engine):
     text = engine.explain("SELECT count(*) FROM lineitem WHERE l_quantity < 10")
     assert "Physical Plan" in text
+
+
+def test_explain_analyze(engine):
+    text = engine.explain_analyze("SELECT count(*) AS c FROM lineitem WHERE l_quantity < 10")
+    assert "HashAggregate" in text

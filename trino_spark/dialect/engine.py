@@ -52,3 +52,12 @@ class TrinoEngine:
         with contextlib.redirect_stdout(buf):
             self.sql(trino_sql).explain(mode=mode)
         return buf.getvalue()
+
+    def explain_analyze(self, trino_sql: str) -> str:
+        """EXPLAIN ANALYZE: execute, then render the final (AQE-resolved)
+        physical plan with runtime statistics — the role of Trino's
+        ExplainAnalyzeOperator (main/operator/ExplainAnalyzeOperator.java:35),
+        which also runs the query and reports per-operator stats."""
+        df = self.sql(trino_sql)
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()

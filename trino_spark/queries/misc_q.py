@@ -96,3 +96,58 @@ def func_misc_ops(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_nationkey") % 2 == 0).alias("even_key"),
         F.expr("repeat('ab', CAST(n_nationkey % 3 AS INT))").alias("rep"),
     ).orderBy("n_nationkey")
+
+
+@REG.add(
+    "json_table_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def json_table_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON_TABLE-style projection (reference: SQL/JSON json_table,
+    main/operator/table/json/): from_json with an explicit schema turns the
+    JSON column into typed columns inside codegen — the scalable path (one
+    parse per row, no per-field re-parse like chained get_json_object)."""
+    from pyspark.sql import types as T
+
+    e = t(spark, sf, "events").filter(F.col("event_id") < 500)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.select("event_id", F.from_json("props", schema).alias("j"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 10).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+@REG.add(
+    "interval_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL '3' MONTH, '%Y-%m-%d')  AS plus_3mo,
+           strftime(o_orderdate - INTERVAL '45' DAY, '%Y-%m-%d')   AS minus_45d,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')             AS month_end
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+)
+def interval_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERVAL YEAR TO MONTH / DAY TO SECOND arithmetic (SURVEY §1.2 — the
+    two Trino interval families map 1:1 to Spark interval types)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd").alias("plus_3mo"),
+        F.date_format(d - F.expr("INTERVAL 45 DAY"), "yyyy-MM-dd").alias("minus_45d"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("qtr"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    ).orderBy("o_orderkey")
