@@ -1,5 +1,5 @@
 """MATCH_RECOGNIZE (row-pattern matching) — a Trino operator with no Spark
-equivalent (SURVEY.md §2.5), implemented as an applyInPandas NFA.
+equivalent (SURVEY.md §2.5), implemented over Arrow batches.
 
 Reference semantics: grammar SqlBase.g4:448, plan node
 core/trino-main/.../planner/plan/PatternRecognitionNode.java:47, NFA matcher
@@ -9,28 +9,41 @@ evaluation window/pattern/LabelEvaluator.java. Subset implemented:
 - PARTITION BY / ORDER BY
 - PATTERN over labels with concatenation, alternation `|`, grouping,
   quantifiers `* + ?` (greedy)
-- DEFINE: per-label vectorized predicates over the ordered partition
-  (receive the pandas frame plus the candidate row index and the match's
-  current start index — enough for PREV/FIRST-style conditions)
+- DEFINE: per-label predicates over the ordered partition (row-at-a-time
+  lambdas, or vectorized start-independent masks)
 - ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW
 - MEASURES computed from the matched slice + label assignment
 
-Scale notes: one shuffle on the partition keys; each group is matched
-in-memory in a single Arrow batch (applyInPandas), which is the same
-locality contract Trino's WindowOperator gives MATCH_RECOGNIZE — a
-partition must fit on one worker. Backtracking is bounded per match start
-and resumes PAST LAST ROW, so total work is O(rows × pattern states) for
-non-pathological patterns.
+Execution strategy (mirrors Trino's two-tier matcher, Matcher.java compiles
+the pattern to a program the same way):
+
+1. One shuffle on the partition keys, sort within partitions, then a SINGLE
+   `mapInPandas` pass streams every group through one Python worker call per
+   Spark partition — not one call per group, which drowns small groups in
+   per-call Arrow overhead.
+2. When every pattern label is start-independent (vectorized DEFINE or
+   undefined-ie-always-true), the pattern is compiled to a Python regex over
+   a per-row label-bitmask character string. `re.finditer` has exactly our
+   greedy / leftmost / non-overlapping semantics (property-tested in
+   tests/test_properties.py), and runs the match loop in C.
+3. Otherwise (PREV/start-dependent DEFINE lambdas) the backtracking NFA
+   interpreter below runs row-at-a-time — the general fallback.
+
+Scale notes: a partition group must fit on one worker — the same locality
+contract Trino's WindowOperator gives MATCH_RECOGNIZE. Groups larger than
+one Arrow batch are re-assembled by the stream buffer, so batch size does
+not bound group size.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import re
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 # --------------------------------------------------------------- pattern AST
@@ -106,6 +119,30 @@ def _parse_pattern(pattern: str) -> _Node:
     return root
 
 
+def _labels_of(node: _Node) -> set[str]:
+    if node.kind == "label":
+        return {node.label}
+    out: set[str] = set()
+    for k in node.kids:
+        out |= _labels_of(k)
+    return out
+
+
+def _to_regex(node: _Node, bit: dict[str, int], nmasks: int) -> str:
+    """Compile the pattern AST to a regex over bitmask characters
+    chr(0x100 + m): label L matches every mask char containing L's bit."""
+    if node.kind == "label":
+        b = bit[node.label]
+        chars = "".join(chr(0x100 + m) for m in range(nmasks) if m & b)
+        return "[" + chars + "]" if chars else "[^\\s\\S]"
+    if node.kind == "seq":
+        return "".join(_to_regex(k, bit, nmasks) for k in node.kids)
+    if node.kind == "alt":
+        return "(?:" + "|".join(_to_regex(k, bit, nmasks) for k in node.kids) + ")"
+    q = {"star": "*", "plus": "+", "opt": "?"}[node.kind]
+    return "(?:" + _to_regex(node.kids[0], bit, nmasks) + ")" + q
+
+
 def _match_from(
     node: _Node,
     row: int,
@@ -166,56 +203,174 @@ def match_recognize(
     measures: dict[str, Callable[[pd.DataFrame, list[str]], object]],
     output_schema: StructType,
     define_vectorized: dict[str, Callable[[pd.DataFrame], object]] | None = None,
+    measures_vectorized: Callable[
+        [pd.DataFrame, np.ndarray, np.ndarray, dict[str, np.ndarray]], dict
+    ]
+    | None = None,
 ) -> DataFrame:
     """ONE ROW PER MATCH / SKIP PAST LAST ROW row-pattern matching.
 
     define[label](pdf, i, start) -> bool: does ordered row i qualify as
-    `label` for a match that began at `start`?
+    `label` for a match that began at `start`? (group-local pdf/indices)
     define_vectorized[label](pdf) -> bool array: start-independent labels
-    evaluated once per partition (numpy mask) instead of per NFA probe —
-    use for PREV-free predicates; falls back to `define` per label.
-    measures[name](matched_pdf, labels) -> value for the output row.
+    evaluated once per Arrow chunk. When every pattern label is vectorized
+    (or undefined = always true), matching compiles to a C-speed regex.
+    measures[name](matched_pdf, labels) -> value per output row.
+    measures_vectorized(chunk_pdf, starts, ends, masks) -> column dict for
+    all matches at once (fast path only); overrides `measures` when usable.
     Undefined labels match any row (Trino's default `true` definition).
     """
     ast = _parse_pattern(pattern)
+    pat_labels = sorted(_labels_of(ast))
+    vec = dict(define_vectorized or {})
+    fast = len(pat_labels) <= 8 and all(
+        (l in vec) or (l not in define) for l in pat_labels
+    )
+    bit = {l: 1 << i for i, l in enumerate(pat_labels)}
+    nmasks = 1 << len(pat_labels)
+    rx = re.compile(_to_regex(ast, bit, nmasks)) if fast else None
+    # mask value -> its unique pattern label, or None if 0 or 2+ candidates
+    # (ambiguous rows fall back to an NFA replay to recover the assignment)
+    only_label: list[str | None] = [None] * nmasks
+    for m in range(nmasks):
+        cands = [l for l in pat_labels if m & bit[l]]
+        only_label[m] = cands[0] if len(cands) == 1 else None
+    out_cols = [f.name for f in output_schema.fields]
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+    def _masks(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
         n = len(pdf)
-        masks = {}
-        for lbl, fn in (define_vectorized or {}).items():
-            m = fn(pdf)
-            masks[lbl] = m.to_numpy() if hasattr(m, "to_numpy") else m
+        masks: dict[str, np.ndarray] = {}
+        for l in pat_labels:
+            if l in vec:
+                m = vec[l](pdf)
+                masks[l] = np.asarray(
+                    m.to_numpy() if hasattr(m, "to_numpy") else m, dtype=bool
+                )
+            elif l not in define:
+                masks[l] = np.ones(n, dtype=bool)
+        return masks
+
+    def _chunk_fast(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray):
+        masks = _masks(pdf)
+        bm = np.zeros(len(pdf), dtype=np.int64)
+        for l in pat_labels:
+            bm |= masks[l].astype(np.int64) * bit[l]
+        sym = (bm + 0x100).tolist()
+        a_idx: list[int] = []
+        b_idx: list[int] = []
+        match_no: list[int] = []
+        for gs, ge in zip(starts, ends):
+            text = "".join(map(chr, sym[gs:ge]))
+            cnt = 0
+            for m in rx.finditer(text):
+                ms, me = m.span()
+                if me <= ms:
+                    continue
+                cnt += 1
+                a_idx.append(gs + ms)
+                b_idx.append(gs + me)
+                match_no.append(cnt)
+        if not a_idx:
+            return None
+        a = np.asarray(a_idx, dtype=np.int64)
+        b = np.asarray(b_idx, dtype=np.int64)
+        out = {k: pdf[k].to_numpy()[a] for k in partition_by}
+        out["match_no"] = np.asarray(match_no, dtype=np.int64)
+        if measures_vectorized is not None:
+            out.update(measures_vectorized(pdf, a, b, masks))
+        else:
+            vals: dict[str, list] = {name: [] for name in measures}
+            for s_, e_ in zip(a_idx, b_idx):
+                labels = _assignment(bm, s_, e_)
+                sl = pdf.iloc[s_:e_]
+                for name, fn in measures.items():
+                    vals[name].append(fn(sl, labels))
+            out.update(vals)
+        return pd.DataFrame(out, columns=out_cols)
+
+    def _assignment(bm: np.ndarray, s_: int, e_: int) -> list[str]:
+        labels: list[str] = []
+        for i in range(s_, e_):
+            l = only_label[bm[i]]
+            if l is None:
+                break
+            labels.append(l)
+        else:
+            return labels
+        # ambiguous row: replay the NFA over the (short) matched slice
+        labels = []
 
         def test(label: str, i: int, start: int) -> bool:
-            m = masks.get(label)
-            if m is not None:
-                return bool(m[i])
-            fn = define.get(label)
-            return True if fn is None else bool(fn(pdf, i, start))
+            return bool(bm[i] & bit[label])
 
-        out_rows = []
-        match_no = 0
-        row = 0
-        while row < n:
-            labels: list[str] = []
-            end = next(_match_from(ast, row, n, test, row, labels), None)
-            if end is not None and end > row:
-                match_no += 1
-                sl = pdf.iloc[row:end]
-                rec = {k: pdf.iloc[row][k] for k in partition_by}
-                rec["match_no"] = match_no
-                for name, fn in measures.items():
-                    rec[name] = fn(sl, list(labels))
-                out_rows.append(rec)
-                row = end  # AFTER MATCH SKIP PAST LAST ROW
-            else:
-                row += 1
-        cols = [f.name for f in output_schema.fields]
-        return pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(
-            {c: pd.Series(dtype="object") for c in cols}
-        )
+        next(_match_from(ast, s_, e_, test, s_, labels), None)
+        return list(labels)
 
-    return df.repartition(*[F.col(c) for c in partition_by]).groupBy(*partition_by).applyInPandas(
-        process, schema=output_schema
+    def _chunk_slow(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray):
+        rows: list[dict] = []
+        for gs, ge in zip(starts, ends):
+            g = pdf.iloc[gs:ge].reset_index(drop=True)
+            n = len(g)
+            masks = _masks(g)
+
+            def test(label: str, i: int, start: int) -> bool:
+                m = masks.get(label)
+                if m is not None:
+                    return bool(m[i])
+                fn = define.get(label)
+                return True if fn is None else bool(fn(g, i, start))
+
+            match_no = 0
+            row = 0
+            while row < n:
+                labels: list[str] = []
+                end = next(_match_from(ast, row, n, test, row, labels), None)
+                if end is not None and end > row:
+                    match_no += 1
+                    sl = g.iloc[row:end]
+                    rec = {k: g.iloc[row][k] for k in partition_by}
+                    rec["match_no"] = match_no
+                    for name, fn in measures.items():
+                        rec[name] = fn(sl, list(labels))
+                    rows.append(rec)
+                    row = end  # AFTER MATCH SKIP PAST LAST ROW
+                else:
+                    row += 1
+        return pd.DataFrame(rows, columns=out_cols) if rows else None
+
+    _chunk = _chunk_fast if fast else _chunk_slow
+
+    def _process_chunk(pdf: pd.DataFrame):
+        codes = pdf.groupby(partition_by, sort=False).ngroup().to_numpy()
+        cuts = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(pdf)]))
+        return _chunk(pdf, starts, ends)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Groups are contiguous (sortWithinPartitions) but may straddle Arrow
+        # batches; hold the trailing (possibly incomplete) group in `tail`.
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if not len(pdf):
+                continue
+            codes = pdf.groupby(partition_by, sort=False).ngroup().to_numpy()
+            cut = int(np.searchsorted(codes, codes[-1]))
+            tail = pdf.iloc[cut:].reset_index(drop=True)
+            if cut:
+                out = _process_chunk(pdf.iloc[:cut].reset_index(drop=True))
+                if out is not None:
+                    yield out
+        if tail is not None and len(tail):
+            out = _process_chunk(tail)
+            if out is not None:
+                yield out
+
+    return (
+        df.repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+        .mapInPandas(process, schema=output_schema)
     )

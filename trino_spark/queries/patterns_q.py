@@ -7,6 +7,7 @@ the independent oracle."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -81,6 +82,20 @@ def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "purchase_us": lambda sl, labels: _us(sl["ts"].iloc[-1]),
         "purchase_value": lambda sl, labels: round(float(sl["value"].iloc[-1]), 6),
     }
+
+    def measures_vec(pdf, starts, ends, masks):
+        # all-numpy measures over every match at once; V/P are exclusive so
+        # n_views = count of V rows in [start, end)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cum_v = np.concatenate(([0], np.cumsum(masks["V"].astype(np.int64))))
+        val = pdf["value"].to_numpy()
+        return {
+            "n_views": cum_v[ends] - cum_v[starts],
+            "start_us": ts_us[starts],
+            "purchase_us": ts_us[ends - 1],
+            "purchase_value": np.round(val[ends - 1], 6),
+        }
+
     out = match_recognize(
         e,
         partition_by=["user_id"],
@@ -90,5 +105,6 @@ def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
         measures=measures,
         output_schema=_FUNNEL_SCHEMA,
         define_vectorized=define_vec,
+        measures_vectorized=measures_vec,
     )
     return out.orderBy("user_id", "match_no")
