@@ -108,6 +108,23 @@ CASES = [
         "SELECT 'example.com' AS h, '/p' AS p, '2' AS r",
     ),
     (
+        "special_values",
+        """SELECT is_finite(1.5) AS fin, is_infinite(infinity()) AS inf,
+                  is_nan(nan()) AS nn, pow(2, 10) AS p,
+                  trim_array(ARRAY[1, 2, 3, 4], 2) AS ta""",
+        """SELECT true AS fin, true AS inf, true AS nn, 1024.0 AS p,
+                  [1, 2] AS ta""",
+    ),
+    (
+        "vector_scalar",
+        """SELECT round(cosine_similarity(ARRAY[1.0, 2.0, 3.0], ARRAY[3.0, 2.0, 1.0]), 6) AS cs,
+                  dot_product(ARRAY[1.0, 2.0], ARRAY[4.0, 5.0]) AS dp,
+                  bitwise_left_shift(3, 2) AS ls,
+                  CAST(last_day_of_month(DATE '2024-02-03') AS VARCHAR) AS ld""",
+        """SELECT round(10.0 / 14.0, 6) AS cs, 14.0 AS dp, 12 AS ls,
+                  '2024-02-29' AS ld""",
+    ),
+    (
         "misc_scalar",
         """SELECT truncate(-2.7) AS tneg, truncate(2.7) AS tpos,
                   to_unixtime(TIMESTAMP '2024-01-01 00:00:01') AS ut,

@@ -55,6 +55,12 @@ _RENAME = {
     "day_of_month": "dayofmonth",
     "levenshtein_distance": "levenshtein",
     "starts_with": "startswith",
+    "pow": "power",
+    "last_day_of_month": "last_day",
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftrightunsigned",
+    "bitwise_right_shift_arithmetic": "shiftright",
+    "chr": "char",
 }
 
 
@@ -191,6 +197,27 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "sha256": lambda args: f"sha2({args[0]}, 256)",
     "sha512": lambda args: f"sha2({args[0]}, 512)",
     "e": lambda args: "exp(1)",
+    "now": lambda args: "current_timestamp()",
+    "nan": lambda args: "CAST('NaN' AS DOUBLE)",
+    "infinity": lambda args: "CAST('Infinity' AS DOUBLE)",
+    "is_finite": lambda args: (
+        f"(NOT isnan({args[0]}) AND abs({args[0]}) <> CAST('Infinity' AS DOUBLE))"
+    ),
+    "is_infinite": lambda args: f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))",
+    "trim_array": lambda args: (
+        f"slice({args[0]}, 1, greatest(size({args[0]}) - ({args[1]}), 0))"
+    ),
+    "from_unixtime_nanos": lambda args: (
+        f"timestamp_micros(CAST(({args[0]}) / 1000 AS BIGINT))"
+    ),
+    "cosine_similarity": lambda args: (
+        f"(aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        f" / (sqrt(aggregate({args[0]}, 0D, (s, v) -> s + v * v))"
+        f" * sqrt(aggregate({args[1]}, 0D, (s, v) -> s + v * v))))"
+    ),
+    "dot_product": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    ),
     "to_iso8601": lambda args: f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
     "from_iso8601_timestamp": lambda args: f"to_timestamp({args[0]})",
     "from_iso8601_date": lambda args: f"to_date({args[0]})",
@@ -436,6 +463,17 @@ def _rewrite_types(toks: list[Tok]) -> list[Tok]:
             if j < len(toks) and toks[j].is_word("PRECISION"):
                 out.append(Tok("WORD", "DOUBLE"))
                 i = j + 1
+                continue
+        if t.kind == "WORD" and t.text.upper() == "VARCHAR":
+            # bare VARCHAR (no length) is a valid Trino type but not a valid
+            # Spark one -> STRING; VARCHAR(n) passes through untouched
+            j = next_code(toks, i + 1)
+            prev = prev_code(toks, len(out) - 1)
+            in_type_pos = prev >= 0 and out[prev].is_word("AS")
+            has_len = j < len(toks) and toks[j].is_sym("(")
+            if in_type_pos and not has_len:
+                out.append(Tok("WORD", "STRING"))
+                i += 1
                 continue
         if t.kind == "WORD" and t.text.upper() in _TYPE_RENAME:
             j = next_code(toks, i + 1)

@@ -308,10 +308,16 @@ def agg_approx_family(spark: SparkSession, sf: str) -> DataFrame:
         pcts[0].alias("approx_p50"),
         pcts[1].alias("approx_p90"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    # countDistinct and exact percentile must also stay in separate passes:
+    # together they trigger the Expand plan and the percentile buffers the
+    # 2x-expanded input (measured 6.7s vs 1.6+1.7s split at sf0.1).
+    exact_cd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+    )
+    exact_pct = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
     )
+    exact = exact_cd.join(exact_pct, "l_returnflag")
     return (
         approx.join(exact, "l_returnflag")
         .select(

@@ -359,3 +359,167 @@ def func_url_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("param_k"),
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "func_ip_ops",
+    """
+    WITH ips AS (
+      SELECT o_orderkey,
+             concat(CAST(10 + o_orderkey % 160 AS VARCHAR), '.',
+                    CAST(o_orderkey % 256 AS VARCHAR), '.',
+                    CAST((o_orderkey * 7) % 256 AS VARCHAR), '.',
+                    CAST((o_orderkey * 13) % 256 AS VARCHAR)) AS ip
+      FROM orders WHERE o_orderkey < 400
+    ),
+    v AS (
+      SELECT o_orderkey, ip,
+             (CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+              + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+              + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+              + CAST(split_part(ip, '.', 4) AS BIGINT)) AS n
+      FROM ips
+    )
+    SELECT o_orderkey, ip,
+           concat(split_part(ip, '.', 1), '.', split_part(ip, '.', 2), '.',
+                  split_part(ip, '.', 3), '.0/24') AS prefix24,
+           ((n >= 167772160 AND n < 184549376)
+            OR (n >= 2886729728 AND n < 2887778304)
+            OR (n >= 3232235520 AND n < 3232301056)
+            OR (n >= 2130706432 AND n < 2147483648)
+            OR (n >= 2851995648 AND n < 2852061184)) AS is_private
+    FROM v
+    ORDER BY o_orderkey
+    """,
+)
+def func_ip_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 function family (Trino: IpAddressFunctions.java:31 ip_prefix /
+    is_private over the IPADDRESS type; ours over dotted-quad strings,
+    SURVEY.md §1.2 maps IPADDRESS -> StringType + helpers). The DuckDB
+    oracle recomputes with split_part + integer arithmetic."""
+    from trino_spark.functions import ip as ts_ip
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+    k = F.col("o_orderkey")
+    ip = F.concat_ws(
+        ".",
+        (k % 160 + 10).cast("string"),
+        (k % 256).cast("string"),
+        ((k * 7) % 256).cast("string"),
+        ((k * 13) % 256).cast("string"),
+    )
+    d = o.select("o_orderkey", ip.alias("ip"))
+    return d.select(
+        "o_orderkey",
+        "ip",
+        ts_ip.ip_prefix("ip", 24).alias("prefix24"),
+        ts_ip.is_private_ip("ip").alias("is_private"),
+    ).orderBy("o_orderkey")
+
+
+@REG.add(
+    "func_time_of_day",
+    """
+    WITH tv AS (
+      SELECT o_orderkey,
+             concat(lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0'), ':',
+                    lpad(CAST((o_orderkey * 3) % 60 AS VARCHAR), 2, '0'), ':',
+                    lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0'), '.',
+                    lpad(CAST((o_orderkey * 11) % 1000 AS VARCHAR), 3, '0')) AS tstr
+      FROM orders WHERE o_orderkey < 300
+    ),
+    n AS (
+      SELECT o_orderkey, tstr,
+             ((o_orderkey % 24) * 3600000000000
+              + ((o_orderkey * 3) % 60) * 60000000000
+              + ((o_orderkey * 7) % 60) * 1000000000
+              + ((o_orderkey * 11) % 1000) * 1000000) AS nanos
+      FROM tv
+    )
+    SELECT o_orderkey, tstr, nanos,
+           CAST(nanos // 3600000000000 AS BIGINT)        AS hh,
+           CAST((nanos // 60000000000) % 60 AS BIGINT)   AS mi,
+           CAST((nanos // 1000000) % 1000 AS BIGINT)     AS ms,
+           concat(lpad(CAST(((nanos + 5400000000000) % 86400000000000) // 3600000000000 AS VARCHAR), 2, '0'), ':',
+                  lpad(CAST((((nanos + 5400000000000) % 86400000000000) // 60000000000) % 60 AS VARCHAR), 2, '0'), ':',
+                  lpad(CAST((((nanos + 5400000000000) % 86400000000000) // 1000000000) % 60 AS VARCHAR), 2, '0'), '.',
+                  lpad(CAST((((nanos + 5400000000000) % 86400000000000) % 1000000000) // 1000000 AS VARCHAR), 3, '0')) AS plus_90m
+    FROM n
+    ORDER BY o_orderkey
+    """,
+)
+def func_time_of_day(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME(p) emulation (Trino spi/type/TimeType.java — no Spark time-of-day
+    type, SURVEY.md §1.2 policy: bigint nanos-of-day + helpers): parse,
+    field extraction, wrap-around arithmetic, format. Oracle recomputes the
+    same nanos arithmetic in DuckDB."""
+    from trino_spark.functions import timeofday as tod
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    tstr = F.concat(
+        F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(((k * 3) % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(((k * 7) % 60).cast("string"), 2, "0"), F.lit("."),
+        F.lpad(((k * 11) % 1000).cast("string"), 3, "0"),
+    )
+    d = o.select("o_orderkey", tstr.alias("tstr"))
+    nanos = tod.parse_time("tstr")
+    return d.select(
+        "o_orderkey",
+        "tstr",
+        nanos.alias("nanos"),
+        tod.time_hour(nanos).alias("hh"),
+        tod.time_minute(nanos).alias("mi"),
+        tod.time_millisecond(nanos).alias("ms"),
+        tod.format_time(tod.time_add(nanos, 90 * 60 * tod.NANOS_PER_SECOND), 3).alias(
+            "plus_90m"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@REG.add(
+    "func_stats_cdf",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(l_extendedprice) AS mu
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((s/n + 1.9208/n - 1.96 * sqrt((s/n)*(1-s/n)/n + 0.9604/(n*n)))
+                 / (1 + 3.8416/n), 6) AS wilson_lo,
+           round((s/n + 1.9208/n + 1.96 * sqrt((s/n)*(1-s/n)/n + 0.9604/(n*n)))
+                 / (1 + 3.8416/n), 6) AS wilson_hi,
+           round(0.5 + atan((mu - 30000.0) / 15000.0) / pi(), 6) AS cauchy,
+           round(least(greatest((mu - 20000.0) / 40000.0, 0.0), 1.0), 6) AS unif
+    FROM g
+    ORDER BY l_returnflag
+    """,
+)
+def func_stats_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical scalars (Trino: WilsonInterval.java, MathFunctions.java:79
+    cauchy_cdf/uniform_cdf): exact closed forms as expressions; normal_cdf /
+    inverse_normal_cdf are pytest-checked against libm (no DuckDB erf)."""
+    from trino_spark.functions import stats as st
+
+    g = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("l_extendedprice").alias("mu"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(st.wilson_interval_lower("s", "n", 1.96), 6).alias("wilson_lo"),
+        F.round(st.wilson_interval_upper("s", "n", 1.96), 6).alias("wilson_hi"),
+        F.round(st.cauchy_cdf(30000.0, 15000.0, "mu"), 6).alias("cauchy"),
+        F.round(st.uniform_cdf(20000.0, 60000.0, "mu"), 6).alias("unif"),
+    ).orderBy("l_returnflag")

@@ -35,15 +35,21 @@ def agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
     (kurtosis rounded to 3 — engines differ in the sample-correction term
     beyond that)."""
     li = t(spark, sf, "lineitem")
+    # median/mode are ObjectHashAggregate (buffering); keeping them out of
+    # the codegen'd moments pass avoids forcing the whole agg into the
+    # object path over the full input.
+    buffered = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("median(l_extendedprice)"), 6).alias("med"),
+        F.expr("mode(l_linestatus)").alias("common_status"),
+    )
+    moments = li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 3).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 3).alias("kurt"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("median(l_extendedprice)"), 6).alias("med"),
-            F.expr("mode(l_linestatus)").alias("common_status"),
-            F.round(F.skewness("l_extendedprice"), 3).alias("skew"),
-            F.round(F.kurtosis("l_extendedprice"), 3).alias("kurt"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        buffered.join(moments, "l_returnflag")
+        .select("l_returnflag", "med", "common_status", "skew", "kurt", "n")
         .orderBy("l_returnflag")
     )
 

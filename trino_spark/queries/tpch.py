@@ -733,42 +733,37 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     """
     li = t(spark, sf, "lineitem")
     orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = (
+    # One lineitem><orders join; every later step reuses its orderkey
+    # partitioning (groupBys and the back-join add no shuffle). The EXISTS
+    # pair collapses to per-order supplier counts:
+    #   EXISTS other supplier      <=> n_supp >= 2
+    #   NOT EXISTS other late supp <=> n_late_supp == 1 (l1 itself is late,
+    #                                  so the single late supplier is l1's)
+    lo = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+        # one explicit orderkey shuffle shared by both branches (exchange
+        # reuse): hash on the group-key prefix satisfies both groupBys and
+        # the l1><per_order join, so lineitem is shuffled exactly once
+        .repartition(F.col("l_orderkey"))
     )
-    # other-supplier lines per (orderkey, suppkey): exists -> any other supp;
-    # not-exists -> no other supp late. Aggregate per order over all lines.
-    l2 = li.select(
-        F.col("l_orderkey").alias("r_orderkey"),
-        F.col("l_suppkey").alias("r_suppkey"),
-        F.col("l_shipdate").alias("r_shipdate"),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_shipdate") > F.col("o_orderdate")).cast("int")).alias("is_late")
     )
-    joined = l1.join(l2, F.col("l_orderkey") == F.col("r_orderkey"))
-    per_line = joined.groupBy("l_orderkey", "l_suppkey", "o_orderdate").agg(
-        F.sum(F.when(F.col("r_suppkey") != F.col("l_suppkey"), 1).otherwise(0)).alias("n_other"),
-        F.sum(
-            F.when(
-                (F.col("r_suppkey") != F.col("l_suppkey"))
-                & (F.col("r_shipdate") > F.col("o_orderdate")),
-                1,
-            ).otherwise(0)
-        ).alias("n_other_late"),
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
     )
-    # NB: the grouped decorrelation collapses duplicate (orderkey, suppkey)
-    # lines; re-expand by joining back to l1 so counts match the row-level
-    # EXISTS semantics.
-    qualifying = per_line.filter((F.col("n_other") > 0) & (F.col("n_other_late") == 0)).select(
-        F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
+    l1 = lo.filter(F.col("l_shipdate") > F.col("o_orderdate")).select(
+        "l_orderkey", "l_suppkey"
     )
-    waiting = l1.join(
-        qualifying,
-        (F.col("l_orderkey") == F.col("q_orderkey")) & (F.col("l_suppkey") == F.col("q_suppkey")),
-        "left_semi",
+    waiting = l1.join(per_order, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        waiting.join(t(spark, sf, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(
+            t(spark, sf, "supplier"), F.col("s_suppkey") == F.col("l_suppkey")
+        )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -846,10 +841,17 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = t(spark, sf, "lineitem")
-    ps = li.groupBy(F.col("l_partkey"), F.col("l_suppkey")).agg(
+    part = t(spark, sf, "part").filter(F.col("p_size") == 15)
+    # Push the selective part filter BELOW the (partkey, suppkey) aggregation:
+    # the broadcast join prunes lineitem ~50x before the shuffle, instead of
+    # aggregating the full table and discarding 49/50 of the groups.
+    li_pruned = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    ps = li_pruned.groupBy(F.col("p_partkey"), F.col("p_brand"), F.col("l_suppkey")).agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
     )
-    part = t(spark, sf, "part").filter(F.col("p_size") == 15)
     region = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
     nation = t(spark, sf, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -857,10 +859,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     supplier = t(spark, sf, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    joined = (
-        ps.join(F.broadcast(part), ps.l_partkey == F.col("p_partkey"))
-        .join(supplier, ps.l_suppkey == F.col("s_suppkey"))
-    )
+    joined = ps.join(supplier, ps.l_suppkey == F.col("s_suppkey"))
     w = W.partitionBy("p_partkey")
     return (
         joined.withColumn("min_cost", F.min("ps_supplycost").over(w))
