@@ -108,6 +108,16 @@ CASES = [
         "SELECT 'example.com' AS h, '/p' AS p, '2' AS r",
     ),
     (
+        "sql_json_2016",
+        """SELECT json_value('{"a": {"b": 7}}', 'lax $.a.b') AS v,
+                  json_query('{"a": [1, 2]}', 'lax $.a') AS q,
+                  json_exists('{"a": 1}', 'lax $.a') AS e1,
+                  json_exists('{"a": 1}', 'lax $.zz') AS e0,
+                  format('%s|%d', 'x', 42) AS fmt""",
+        """SELECT '7' AS v, '[1,2]' AS q, true AS e1, false AS e0,
+                  'x|42' AS fmt""",
+    ),
+    (
         "special_values",
         """SELECT is_finite(1.5) AS fin, is_infinite(infinity()) AS inf,
                   is_nan(nan()) AS nn, pow(2, 10) AS p,

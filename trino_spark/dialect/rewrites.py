@@ -159,6 +159,33 @@ def _t_split_to_map(args: list[str]) -> str:
     return f"str_to_map({args[0]}, {args[1]}, {args[2]})"
 
 
+def _sqljson_path(path: str) -> str:
+    """SQL/JSON-2016 path literal -> get_json_object path: strip the
+    lax/strict mode prefix (Spark paths are implicitly lax)."""
+    p = _quoted(path).strip()
+    for mode in ("lax ", "strict ", "LAX ", "STRICT "):
+        if p.startswith(mode):
+            p = p[len(mode):].strip()
+            break
+    return p
+
+
+def _t_json_value(args: list[str]) -> str:
+    # json_value(j, 'lax $.a.b') — scalar extraction (Trino scalar/json/
+    # JsonValueFunction); RETURNING clauses are handled by an outer CAST.
+    return f"get_json_object({args[0]}, '{_sqljson_path(args[1])}')"
+
+
+def _t_json_query(args: list[str]) -> str:
+    # json_query returns the matched JSON text itself — same engine call,
+    # non-scalar matches come back as serialized JSON.
+    return f"get_json_object({args[0]}, '{_sqljson_path(args[1])}')"
+
+
+def _t_json_exists(args: list[str]) -> str:
+    return f"(get_json_object({args[0]}, '{_sqljson_path(args[1])}') IS NOT NULL)"
+
+
 def _t_json_parse(args: list[str]) -> str:
     # JSON stays a string on our side (SURVEY.md §1.2); parse==validate.
     return f"({args[0]})"
@@ -194,6 +221,10 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "split_to_map": _t_split_to_map,
     "json_parse": _t_json_parse,
     "json_format": _t_json_format,
+    "json_value": _t_json_value,
+    "json_query": _t_json_query,
+    "json_exists": _t_json_exists,
+    "format": lambda args: f"format_string({', '.join(args)})",
     "sha256": lambda args: f"sha2({args[0]}, 256)",
     "sha512": lambda args: f"sha2({args[0]}, 512)",
     "e": lambda args: "exp(1)",

@@ -112,3 +112,37 @@ def dialect_fetch_ties(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o_orderdate FETCH FIRST 10 ROWS WITH TIES
         """,
     )
+
+
+@REG.add(
+    "dialect_sql_json",
+    """
+    SELECT doc_id,
+           json_extract_string(props, '$.k') AS v,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           printf('%s#%d', lang, doc_id) AS tagged
+    FROM (SELECT d.doc_id, d.lang,
+                 concat('{"k": "', d.lang, '"}') AS props
+          FROM documents d WHERE d.doc_id < 200)
+    ORDER BY doc_id
+    """,
+)
+def dialect_sql_json(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL/JSON-2016 trio (Trino scalar/json/ JsonValue/JsonQuery/JsonExists,
+    grammar JsonPath.g4) + printf-style format (FormatFunction.java:78),
+    through the dialect translation (json_value -> get_json_object with the
+    lax-prefix stripped)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT doc_id,
+               json_value(props, 'lax $.k') AS v,
+               json_exists(props, 'lax $.k') AS has_k,
+               format('%s#%d', lang, doc_id) AS tagged
+        FROM (SELECT d.doc_id, d.lang,
+                     concat('{"k": "', d.lang, '"}') AS props
+              FROM documents d WHERE d.doc_id < 200)
+        ORDER BY doc_id
+        """,
+    )

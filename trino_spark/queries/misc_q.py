@@ -157,3 +157,28 @@ def interval_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("qtr"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
     ).orderBy("o_orderkey")
+
+
+@REG.add("sketch_quantile_union", None)
+def sketch_quantile_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile-sketch columns (Trino qdigest/tdigest:
+    spi/type/QuantileDigestType.java, QuantileDigestFunctions.java:40
+    value_at_quantile + merge): per-priority price sketches, merged to a
+    global sketch, estimates next to exact percentiles. Engine-specific
+    layout -> rows-only; error bounds asserted in tests."""
+    from trino_spark.operators import quantile_sketch as qs
+
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("price")
+    )
+    per = qs.qsketch_agg(o, ["grp"], "price")
+    merged = qs.qsketch_merge(per.select(F.lit("ALL").alias("g"), "qsketch"), ["g"])
+    per_out = per.select(
+        "grp",
+        F.round(qs.value_at_quantile("qsketch", 0.5), 4).alias("p50_est"),
+        F.round(qs.value_at_quantile("qsketch", 0.9), 4).alias("p90_est"),
+    )
+    merged_out = merged.select(
+        F.round(qs.value_at_quantile("qsketch", 0.5), 4).alias("p50_all")
+    )
+    return per_out.crossJoin(F.broadcast(merged_out)).orderBy("grp")
