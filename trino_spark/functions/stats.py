@@ -117,3 +117,16 @@ def inverse_normal_cdf(mean: Column | float, sd: Column | float, p: Column | str
         .otherwise(_center(pc - 0.5))
     )
     return m + s * z
+
+
+def great_circle_distance(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Haversine distance in km (Trino MathFunctions.java:79
+    great_circle_distance — same mean-Earth radius 6371.01 km)."""
+    rlat1, rlon1 = F.radians(_c(lat1)), F.radians(_c(lon1))
+    rlat2, rlon2 = F.radians(_c(lat2)), F.radians(_c(lon2))
+    dlat = (rlat2 - rlat1) / 2
+    dlon = (rlon2 - rlon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return 2 * 6371.01 * F.asin(F.sqrt(a))

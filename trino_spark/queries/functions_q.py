@@ -523,3 +523,41 @@ def func_stats_cdf(spark: SparkSession, sf: str) -> DataFrame:
         F.round(st.cauchy_cdf(30000.0, 15000.0, "mu"), 6).alias("cauchy"),
         F.round(st.uniform_cdf(20000.0, 60000.0, "mu"), 6).alias("unif"),
     ).orderBy("l_returnflag")
+
+
+@REG.add(
+    "func_geo_distance",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             -60.0 + (c_custkey % 120) AS lat,
+             -170.0 + ((c_custkey * 7) % 340) AS lon
+      FROM customer WHERE c_custkey < 500
+    )
+    SELECT c_custkey,
+           round(2 * 6371.01 * asin(sqrt(
+             pow(sin(radians(48.8566 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin(radians(2.3522 - lon) / 2), 2))), 4) AS km_to_paris
+    FROM pts
+    ORDER BY c_custkey
+    """,
+)
+def func_geo_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """great_circle_distance (Trino MathFunctions.java:79, haversine on the
+    6371.01 km mean-Earth sphere); oracle recomputes the formula in DuckDB."""
+    from trino_spark.functions import stats as st
+
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        (k % 120 - 60.0).cast("double").alias("lat"),
+        ((k * 7) % 340 - 170.0).cast("double").alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(
+            st.great_circle_distance("lat", "lon", F.lit(48.8566), F.lit(2.3522)), 4
+        ).alias("km_to_paris"),
+    ).orderBy("c_custkey")
