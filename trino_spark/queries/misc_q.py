@@ -182,3 +182,38 @@ def sketch_quantile_union(spark: SparkSession, sf: str) -> DataFrame:
         F.round(qs.value_at_quantile("qsketch", 0.5), 4).alias("p50_all")
     )
     return per_out.crossJoin(F.broadcast(merged_out)).orderBy("grp")
+
+
+@REG.add("sketch_setdigest_jaccard", None)
+def sketch_setdigest_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """SetDigest columns (main/type/setdigest/SetDigest.java,
+    SetDigestFunctions.java: make_set_digest, merge_set_digest, cardinality,
+    jaccard_index, intersection_cardinality): per-priority digests of the
+    customers who placed orders, every priority compared against 1-URGENT,
+    plus a merged all-priorities digest. Sketch estimates are engine-specific
+    -> rows-only; error bounds vs exact sets asserted in tests."""
+    from trino_spark.operators import setdigest as sd
+
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("ck")
+    )
+    per = sd.make_set_digest(o, ["grp"], "ck")
+    urgent = F.broadcast(
+        per.filter(F.col("grp") == "1-URGENT").select(F.col("digest").alias("ref"))
+    )
+    merged = F.broadcast(
+        sd.merge_set_digest(per.select(F.lit("ALL").alias("g"), "digest"), ["g"])
+        .select(sd.cardinality("digest").alias("card_all"))
+    )
+    return (
+        per.crossJoin(urgent)
+        .crossJoin(merged)
+        .select(
+            "grp",
+            sd.cardinality("digest").alias("card_est"),
+            F.round(sd.jaccard_index("digest", "ref"), 4).alias("jaccard_vs_urgent"),
+            sd.intersection_cardinality("digest", "ref").alias("inter_vs_urgent"),
+            "card_all",
+        )
+        .orderBy("grp")
+    )
