@@ -561,3 +561,100 @@ def func_geo_distance(spark: SparkSession, sf: str) -> DataFrame:
             st.great_circle_distance("lat", "lon", F.lit(48.8566), F.lit(2.3522)), 4
         ).alias("km_to_paris"),
     ).orderBy("c_custkey")
+
+
+@REG.add(
+    "func_format_family",
+    """
+    WITH inp AS (
+      SELECT n_nationkey AS nk,
+             printf('%.1f%s', (n_nationkey * 37 % 500) + 0.2,
+                    ['ns','us','ms','s','m','h','d'][(n_nationkey % 7) + 1]) AS dur,
+             printf('%.2f%s', (n_nationkey * 13 % 90) + 0.2,
+                    ['B','kB','MB','GB','TB'][(n_nationkey % 5) + 1]) AS sz,
+             (n_nationkey + 1) * 7 * CAST(power(10, n_nationkey % 6) AS BIGINT) AS num,
+             (n_nationkey * 321729) % 1500000 AS secs
+      FROM nation
+    ),
+    units AS (
+      SELECT *,
+             CASE WHEN dur LIKE '%ns' THEN 0.000001 WHEN dur LIKE '%us' THEN 0.001
+                  WHEN dur LIKE '%ms' THEN 1.0 WHEN dur LIKE '%s' THEN 1000.0
+                  WHEN dur LIKE '%m' THEN 60000.0 WHEN dur LIKE '%h' THEN 3600000.0
+                  ELSE 86400000.0 END AS dmult,
+             CASE WHEN sz LIKE '%kB' THEN 1024.0 WHEN sz LIKE '%MB' THEN 1048576.0
+                  WHEN sz LIKE '%GB' THEN 1073741824.0 WHEN sz LIKE '%TB' THEN 1099511627776.0
+                  ELSE 1.0 END AS smult,
+             CASE WHEN abs(num) < 1000 THEN 0 WHEN abs(num) < 1000000 THEN 1
+                  WHEN abs(num) < 1000000000 THEN 2 WHEN abs(num) < 1000000000000 THEN 3
+                  WHEN abs(num) < 1000000000000000 THEN 4 ELSE 5 END AS p
+      FROM inp
+    ),
+    fmt AS (
+      SELECT *,
+             num / power(1000, p) AS frac,
+             CASE WHEN num / power(1000, p) < 10 THEN 2
+                  WHEN num / power(1000, p) < 100 THEN 1 ELSE 0 END AS dec,
+             secs // 604800 AS w, (secs % 604800) // 86400 AS d,
+             (secs % 86400) // 3600 AS h, (secs % 3600) // 60 AS mi, secs % 60 AS s
+      FROM units
+    )
+    SELECT nk,
+           CAST(round(CAST(regexp_extract(dur, '^([0-9.]+)', 1) AS DOUBLE) * dmult)
+                AS BIGINT) AS dur_ms,
+           CAST(floor(CAST(regexp_extract(sz, '^([0-9.]+)', 1) AS DOUBLE) * smult)
+                AS BIGINT) AS size_bytes,
+           regexp_replace(
+             printf('%.2f', sign(frac) * floor(abs(frac) * power(10, dec) + 0.5)
+                            / power(10, dec)),
+             '\\.?0+$', '')
+             || ['','K','M','B','T','Q'][p + 1] AS num_fmt,
+           CASE WHEN concat_ws(', ',
+                  CASE WHEN w > 0 THEN w || ' week' || (CASE WHEN w = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN d > 0 THEN d || ' day' || (CASE WHEN d = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN h > 0 THEN h || ' hour' || (CASE WHEN h = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN mi > 0 THEN mi || ' minute' || (CASE WHEN mi = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN s > 0 THEN s || ' second' || (CASE WHEN s = 1 THEN '' ELSE 's' END) END) = ''
+                THEN '0 seconds'
+                ELSE concat_ws(', ',
+                  CASE WHEN w > 0 THEN w || ' week' || (CASE WHEN w = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN d > 0 THEN d || ' day' || (CASE WHEN d = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN h > 0 THEN h || ' hour' || (CASE WHEN h = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN mi > 0 THEN mi || ' minute' || (CASE WHEN mi = 1 THEN '' ELSE 's' END) END,
+                  CASE WHEN s > 0 THEN s || ' second' || (CASE WHEN s = 1 THEN '' ELSE 's' END) END)
+           END AS human_secs
+    FROM fmt
+    ORDER BY nk
+    """,
+)
+def func_format_family(spark: SparkSession, sf: str) -> DataFrame:
+    """parse_duration / parse_data_size / format_number /
+    human_readable_seconds (DateTimeFunctions.java:732,
+    DataSizeFunctions.java:41, FormatNumberFunction.java:60,
+    timestamp/HumanReadableSeconds.java:35); the oracle recomputes each
+    reference formula in DuckDB over the same synthesized inputs."""
+    from trino_spark.functions import formatting as fm
+
+    nk = F.col("n_nationkey")
+    inp = t(spark, sf, "nation").select(
+        nk.alias("nk"),
+        F.format_string(
+            "%.1f%s",
+            (nk * 37 % 500).cast("double") + 0.2,
+            F.element_at(F.lit(["ns", "us", "ms", "s", "m", "h", "d"]), (nk % 7) + 1),
+        ).alias("dur"),
+        F.format_string(
+            "%.2f%s",
+            (nk * 13 % 90).cast("double") + 0.2,
+            F.element_at(F.lit(["B", "kB", "MB", "GB", "TB"]), (nk % 5) + 1),
+        ).alias("sz"),
+        ((nk + 1) * 7 * F.pow(F.lit(10.0), (nk % 6).cast("double")).cast("long")).alias("num"),
+        ((nk * 321729) % 1500000).alias("secs"),
+    )
+    return inp.select(
+        "nk",
+        fm.parse_duration("dur").alias("dur_ms"),
+        fm.parse_data_size("sz").cast("long").alias("size_bytes"),
+        fm.format_number("num").alias("num_fmt"),
+        fm.human_readable_seconds("secs").alias("human_secs"),
+    ).orderBy("nk")
