@@ -1,0 +1,106 @@
+"""Unit tests for the planar geospatial family (functions/geo.py,
+operators/spatial.py) — known-shape pins + brute-force equivalence for the
+grid distance join. The DuckDB differential for the geo_* queries runs in
+test_oracle_diff.py."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from trino_spark.functions import geo
+from trino_spark.operators.spatial import distance_join
+
+
+def _ring(spark, verts):
+    return spark.createDataFrame(
+        [Row(ring=[Row(x=float(x), y=float(y)) for x, y in verts])]
+    )
+
+
+def test_area_perimeter_centroid_square(spark):
+    df = _ring(spark, [(0, 0), (2, 0), (2, 2), (0, 2)])
+    row = df.select(
+        geo.st_area("ring").alias("a"),
+        geo.st_perimeter("ring").alias("p"),
+        geo.st_centroid("ring").alias("c"),
+        geo.st_num_points("ring").alias("n"),
+    ).first()
+    assert row.a == 4.0 and row.p == 8.0 and row.n == 4
+    assert (row.c.x, row.c.y) == (1.0, 1.0)
+
+
+def test_area_clockwise_is_positive(spark):
+    df = _ring(spark, [(0, 0), (0, 3), (4, 3), (4, 0)])  # CW winding
+    assert df.select(geo.st_area("ring").alias("a")).first().a == 12.0
+
+
+def test_contains_concave(spark):
+    # Concave "M" pentagon: the notch at (2, 2) excludes points above it.
+    verts = [(0, 0), (4, 0), (4, 5), (2, 2), (0, 5)]
+    df = _ring(spark, verts)
+    checks = {(1.0, 1.0): True, (2.0, 3.5): False, (0.5, 4.0): True, (5.0, 1.0): False}
+    for (px, py), expect in checks.items():
+        got = df.select(
+            geo.st_contains("ring", geo.st_point(F.lit(px), F.lit(py))).alias("c")
+        ).first()
+        assert got.c is expect, (px, py)
+
+
+def test_envelope_and_distance(spark):
+    df = _ring(spark, [(1, -2), (5, 0), (3, 7)])
+    env = df.select(geo.st_envelope("ring").alias("e")).first().e
+    assert (env.xmin, env.ymin, env.xmax, env.ymax) == (1.0, -2.0, 5.0, 7.0)
+    d = (
+        df.select(
+            geo.st_distance(
+                geo.st_point(F.lit(0.0), F.lit(3.0)), geo.st_point(F.lit(4.0), F.lit(0.0))
+            ).alias("d")
+        )
+        .first()
+        .d
+    )
+    assert d == 5.0
+
+
+def test_wkt_roundtrip(spark):
+    wkt = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, 0.0 0.0))"
+    df = spark.createDataFrame([Row(w=wkt)])
+    parsed = df.select(geo.st_geometry_from_text("w").alias("ring"))
+    row = parsed.select(
+        geo.st_num_points("ring").alias("n"),
+        geo.st_area("ring").alias("a"),
+        geo.st_as_text("ring").alias("txt"),
+    ).first()
+    assert row.n == 3  # closing vertex dropped
+    assert row.a == 6.0
+    assert row.txt == wkt
+
+
+def test_wkt_point(spark):
+    df = spark.createDataFrame([Row(w="POINT (2.5 -1.25)")])
+    p = df.select(geo.st_geometry_from_text("w").alias("r")).select(
+        F.element_at("r", 1).alias("p")
+    ).first().p
+    assert (p.x, p.y) == (2.5, -1.25)
+
+
+def test_distance_join_matches_bruteforce(spark):
+    # Deterministic scattered points, including cross-cell and same-cell pairs.
+    pa = [(i, float((i * 53) % 97), float((i * 31) % 89)) for i in range(120)]
+    pb = [(j, float((j * 41) % 97), float((j * 59) % 89)) for j in range(80)]
+    a = spark.createDataFrame(pa, "ida int, ax double, ay double")
+    b = spark.createDataFrame(pb, "idb int, bx double, by double")
+    r = 3.0
+
+    got = {
+        (row.ida, row.idb)
+        for row in distance_join(a, b, r, lx="ax", ly="ay", rx="bx", ry="by").collect()
+    }
+    expect = {
+        (i, j)
+        for (i, ax, ay) in pa
+        for (j, bx, by) in pb
+        if math.dist((ax, ay), (bx, by)) <= r
+    }
+    assert got == expect and len(expect) > 0

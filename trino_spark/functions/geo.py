@@ -1,0 +1,177 @@
+"""Geospatial scalar functions — the planar subset of Trino's geospatial
+plugin, expression-only (JVM codegen, no UDFs).
+
+Reference: plugin/trino-geospatial/src/main/java/io/trino/plugin/geospatial/
+GeoFunctions.java:1 (ST_Point, ST_X, ST_Y, ST_Distance, ST_Area,
+ST_Centroid, ST_Contains, ST_Envelope, ST_NumPoints, ST_AsText,
+ST_GeometryFromText). Trino backs these with the ESRI geometry library and
+a serialized GEOMETRY type; we pick a Spark-native representation instead:
+
+- POINT      -> struct<x:double, y:double>
+- POLYGON    -> array<struct<x:double, y:double>> (single ring, open form:
+                the closing vertex is NOT repeated; functions close the
+                ring arithmetically)
+
+Everything below is a composition of higher-order array expressions
+(`zip_with`, `aggregate`, `transform`) so polygons stay columnar and all
+math runs inside whole-stage codegen — a million-polygon column never
+leaves the JVM. Holes/multipolygons/geodesic math are out of scope
+(documented gap; great_circle_distance in functions/stats.py covers the
+spherical distance case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def st_point(x: Column | str, y: Column | str) -> Column:
+    """GeoFunctions.java ST_Point: planar point constructor."""
+    return F.struct(_c(x).cast("double").alias("x"), _c(y).cast("double").alias("y"))
+
+
+def st_x(p: Column | str) -> Column:
+    return _c(p)["x"]
+
+
+def st_y(p: Column | str) -> Column:
+    return _c(p)["y"]
+
+
+def st_distance(a: Column | str, b: Column | str) -> Column:
+    """GeoFunctions.java ST_Distance for points (euclidean, planar)."""
+    a, b = _c(a), _c(b)
+    return F.sqrt(
+        (a["x"] - b["x"]) * (a["x"] - b["x"]) + (a["y"] - b["y"]) * (a["y"] - b["y"])
+    )
+
+
+def _edges(ring: Column) -> Column:
+    """Closed edge list of an open ring: zip vertices with the ring rotated
+    by one, yielding array<struct<x1,y1,x2,y2>>."""
+    n = F.size(ring)
+    rotated = F.concat(F.slice(ring, 2, n - 1), F.slice(ring, 1, 1))
+    return F.zip_with(
+        ring,
+        rotated,
+        lambda a, b: F.struct(
+            a["x"].alias("x1"), a["y"].alias("y1"), b["x"].alias("x2"), b["y"].alias("y2")
+        ),
+    )
+
+
+def st_num_points(ring: Column | str) -> Column:
+    return F.size(_c(ring))
+
+
+def st_area(ring: Column | str) -> Column:
+    """GeoFunctions.java ST_Area — shoelace formula over the edge list."""
+    return F.abs(_signed_area2(_c(ring))) / 2.0
+
+
+def _signed_area2(ring: Column) -> Column:
+    return F.aggregate(
+        _edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc + (e["x1"] * e["y2"] - e["x2"] * e["y1"]),
+    )
+
+
+def st_perimeter(ring: Column | str) -> Column:
+    return F.aggregate(
+        _edges(_c(ring)),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.sqrt(
+            (e["x2"] - e["x1"]) * (e["x2"] - e["x1"])
+            + (e["y2"] - e["y1"]) * (e["y2"] - e["y1"])
+        ),
+    )
+
+
+def st_centroid(ring: Column | str) -> Column:
+    """GeoFunctions.java ST_Centroid for polygons: area-weighted centroid
+    (cx, cy) = sum((v_i + v_{i+1}) * cross_i) / (3 * sum(cross_i))."""
+    ring = _c(ring)
+    acc = F.aggregate(
+        _edges(ring),
+        F.struct(F.lit(0.0).alias("a2"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")),
+        lambda s, e: F.struct(
+            (s["a2"] + (e["x1"] * e["y2"] - e["x2"] * e["y1"])).alias("a2"),
+            (s["sx"] + (e["x1"] + e["x2"]) * (e["x1"] * e["y2"] - e["x2"] * e["y1"])).alias("sx"),
+            (s["sy"] + (e["y1"] + e["y2"]) * (e["x1"] * e["y2"] - e["x2"] * e["y1"])).alias("sy"),
+        ),
+    )
+    return F.struct(
+        (acc["sx"] / (3.0 * acc["a2"])).alias("x"),
+        (acc["sy"] / (3.0 * acc["a2"])).alias("y"),
+    )
+
+
+def st_contains(ring: Column | str, p: Column | str) -> Column:
+    """GeoFunctions.java ST_Contains (polygon ⊇ point) via ray casting:
+    a rightward ray from the point crosses an odd number of edges iff the
+    point is inside. Boundary points are implementation-defined (as in the
+    ESRI library); callers should keep test points off edges."""
+    p = _c(p)
+    crossings = F.aggregate(
+        _edges(_c(ring)),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > p["y"]) != (e["y2"] > p["y"]))
+            & (
+                p["x"]
+                < (e["x2"] - e["x1"]) * (p["y"] - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def st_envelope(ring: Column | str) -> Column:
+    """Bounding box as struct<xmin,ymin,xmax,ymax> (ST_Envelope)."""
+    ring = _c(ring)
+    xs = F.transform(ring, lambda v: v["x"])
+    ys = F.transform(ring, lambda v: v["y"])
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
+def st_geometry_from_text(wkt: Column | str) -> Column:
+    """WKT parser for the supported subset (GeoFunctions.java
+    ST_GeometryFromText). POLYGON ((...)) single ring -> open vertex array
+    (the WKT closing vertex is dropped); POINT (x y) -> 1-element ring.
+    Pure string expressions: split on ',' then on whitespace."""
+    wkt = F.trim(_c(wkt))
+    body = F.regexp_extract(wkt, r"\(\(?([^()]*)\)?\)", 1)
+    verts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda s: F.struct(
+            F.split(F.trim(s), r"\s+")[0].cast("double").alias("x"),
+            F.split(F.trim(s), r"\s+")[1].cast("double").alias("y"),
+        ),
+    )
+    # WKT rings repeat the first vertex last; drop it when present.
+    closed = (F.size(verts) > 1) & (F.element_at(verts, 1) == F.element_at(verts, -1))
+    return F.when(closed, F.slice(verts, 1, F.size(verts) - 1)).otherwise(verts)
+
+
+def st_as_text(ring: Column | str) -> Column:
+    """ST_AsText for the polygon subset (re-closes the ring)."""
+    ring = _c(ring)
+    pts = F.transform(ring, lambda v: F.concat_ws(" ", v["x"], v["y"]))
+    first = F.element_at(pts, 1)
+    return F.concat(
+        F.lit("POLYGON (("), F.array_join(pts, ", "), F.lit(", "), first, F.lit("))")
+    )

@@ -25,6 +25,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "dialect_q",
         "patterns_q",
         "misc_q",
+        "geo_q",
         "streaming_q",
     ):
         try:

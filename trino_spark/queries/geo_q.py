@@ -1,0 +1,199 @@
+"""Geospatial queries — planar ST_* family + distributed spatial join.
+
+Reference: plugin/trino-geospatial/.../GeoFunctions.java:1 (scalar family),
+SpatialJoinOperator.java:41 + ExtractSpatialJoins.java:152 (join). The
+testdata has no coordinate columns, so points are derived from integer keys
+with modular arithmetic — the SAME closed-form expressions on the Spark and
+DuckDB sides, keeping the differential comparison exact.
+
+Oracles deliberately use a different formulation than the engine: the Spark
+side runs the array-typed ring functions (functions/geo.py — columnar,
+whole-stage codegen), while DuckDB recomputes via exploded edge rows +
+window/group SQL. Same math, independent implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.functions import geo
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+# Irregular pentagon (open ring) used by the point-in-polygon query.
+_PENT = [(0.15, -7.33), (8.27, -1.41), (4.93, 7.81), (-5.57, 6.59), (-8.71, -3.97)]
+
+# Metric-test rings: integer coordinates => all shoelace products exact in
+# fp, so the oracle comparison has zero rounding risk. p3 is concave and
+# wound clockwise (exercises abs() in area and sign-consistency in centroid).
+_POLYS = {
+    1: [(0, 0), (4, 0), (0, 3)],
+    2: [(1, 1), (5, 1), (5, 4), (1, 4)],
+    3: [(0, 0), (0, 5), (2, 2), (4, 5), (4, 0)],
+}
+
+
+def _ring_lit(verts: list[tuple[float, float]]):
+    return F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in verts
+        ]
+    )
+
+
+def _pent_edges_values() -> str:
+    rows = []
+    for i, (x1, y1) in enumerate(_PENT):
+        x2, y2 = _PENT[(i + 1) % len(_PENT)]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+@REG.add(
+    "geo_point_in_polygon",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 200 AS DOUBLE) / 10.0 - 10.0 AS px,
+             CAST(c_custkey * 101 % 200 AS DOUBLE) / 10.0 - 10.0 AS py
+      FROM customer
+    ), edges(x1, y1, x2, y2) AS (
+      VALUES {_pent_edges_values()}
+    )
+    SELECT c_custkey,
+           (SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+                      AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                THEN 1 ELSE 0 END) % 2 = 1) AS inside
+    FROM pts CROSS JOIN edges
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Contains via ray casting (GeoFunctions.java ST_Contains) — the
+    ring is a columnar array literal, the crossing count a single
+    `aggregate` expression; oracle re-derives it from exploded edge rows."""
+    c = t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        ((k * 37 % 200).cast("double") / 10.0 - 10.0).alias("px"),
+        ((k * 101 % 200).cast("double") / 10.0 - 10.0).alias("py"),
+    )
+    return pts.select(
+        "c_custkey",
+        geo.st_contains(_ring_lit(_PENT), geo.st_point("px", "py")).alias("inside"),
+    ).orderBy("c_custkey")
+
+
+@REG.add(
+    "geo_distance_join_grid",
+    """
+    WITH cp AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 7 % 1000 AS DOUBLE) / 10.0 AS cx,
+             CAST(c_custkey * 11 % 1000 AS DOUBLE) / 10.0 AS cy
+      FROM customer
+    ), sp AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey * 13 % 1000 AS DOUBLE) / 10.0 AS sx,
+             CAST(s_suppkey * 29 % 1000 AS DOUBLE) / 10.0 AS sy
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)), 6) AS dist
+    FROM cp CROSS JOIN sp
+    WHERE sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) <= 1.5
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def geo_distance_join_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance join WITHOUT a cross join (SpatialJoinOperator.java:41
+    parity): grid-bucketed equi-join from operators/spatial.py — one hash
+    shuffle per side, constant 9x replication of the smaller side, exact
+    post-filter. The oracle IS the cross join (fine at sf0.01; the whole
+    point is that ours isn't)."""
+    from trino_spark.operators.spatial import distance_join
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7 % 1000).cast("double") / 10.0).alias("cx"),
+        ((F.col("c_custkey") * 11 % 1000).cast("double") / 10.0).alias("cy"),
+    )
+    s = t(spark, sf, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13 % 1000).cast("double") / 10.0).alias("sx"),
+        ((F.col("s_suppkey") * 29 % 1000).cast("double") / 10.0).alias("sy"),
+    )
+    joined = distance_join(c, s, 1.5, lx="cx", ly="cy", rx="sx", ry="sy")
+    return joined.select(
+        "c_custkey", "s_suppkey", F.round("dist", 6).alias("dist")
+    ).orderBy("c_custkey", "s_suppkey")
+
+
+def _poly_values() -> str:
+    rows = []
+    for pid, verts in _POLYS.items():
+        for seq, (x, y) in enumerate(verts):
+            rows.append(f"({pid}, {seq}, CAST({x} AS DOUBLE), CAST({y} AS DOUBLE))")
+    return ", ".join(rows)
+
+
+@REG.add(
+    "geo_polygon_metrics",
+    f"""
+    WITH v(pid, seq, x, y) AS (
+      VALUES {_poly_values()}
+    ), e AS (
+      SELECT pid, x AS x1, y AS y1,
+             coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+             coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+      FROM v
+      WINDOW w AS (PARTITION BY pid ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT pid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(abs(sum(x1 * y2 - x2 * y1)) / 2, 6) AS area,
+           round(sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6) AS perim,
+           round(sum((x1 + x2) * (x1 * y2 - x2 * y1)) / (3 * sum(x1 * y2 - x2 * y1)), 6) AS cx,
+           round(sum((y1 + y2) * (x1 * y2 - x2 * y1)) / (3 * sum(x1 * y2 - x2 * y1)), 6) AS cy,
+           min(x1) AS xmin, min(y1) AS ymin, max(x1) AS xmax, max(y1) AS ymax
+    FROM e
+    GROUP BY pid
+    ORDER BY pid
+    """,
+)
+def geo_polygon_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Area / ST_Perimeter / ST_Centroid / ST_Envelope / ST_NumPoints
+    over ring-array columns (GeoFunctions.java); oracle recomputes with
+    window-lag edge SQL over the same vertex rows."""
+    rows = [
+        (pid, seq, float(x), float(y))
+        for pid, verts in _POLYS.items()
+        for seq, (x, y) in enumerate(verts)
+    ]
+    v = spark.createDataFrame(rows, "pid int, seq int, x double, y double")
+    rings = v.groupBy("pid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "x", "y"))),
+            lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+        ).alias("ring")
+    )
+    cen = geo.st_centroid("ring")
+    env = geo.st_envelope("ring")
+    return rings.select(
+        "pid",
+        geo.st_num_points("ring").cast("long").alias("n"),
+        F.round(geo.st_area("ring"), 6).alias("area"),
+        F.round(geo.st_perimeter("ring"), 6).alias("perim"),
+        F.round(cen["x"], 6).alias("cx"),
+        F.round(cen["y"], 6).alias("cy"),
+        env["xmin"].alias("xmin"),
+        env["ymin"].alias("ymin"),
+        env["xmax"].alias("xmax"),
+        env["ymax"].alias("ymax"),
+    ).orderBy("pid")
