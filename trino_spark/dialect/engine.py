@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from trino_spark.catalog import ALL_TABLES, Catalog
+from trino_spark.dialect import routines as _routines_mod
 from trino_spark.dialect.rewrites import translate
 from trino_spark.infoschema import register_information_schema, rewrite_show
 
@@ -24,6 +25,9 @@ class TrinoEngine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.catalog = Catalog(spark)
+        # SQL routines (CREATE FUNCTION ... RETURN expr), inlined as macros
+        # per dialect/routines.py (reference: SqlRoutinePlanner inlining).
+        self.routines: dict[str, _routines_mod.Routine] = {}
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
             schemas = {
@@ -33,10 +37,19 @@ class TrinoEngine:
             register_information_schema(spark, schemas)
 
     def sql(self, trino_sql: str) -> DataFrame:
+        routine = _routines_mod.parse_create_function(trino_sql)
+        if routine is not None:
+            self.routines[routine.name] = routine
+            return self.spark.createDataFrame([(routine.name.lower(),)], "function: string")
+        dropped = _routines_mod.parse_drop_function(trino_sql)
+        if dropped is not None:
+            self.routines.pop(dropped, None)
+            return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         shown = rewrite_show(trino_sql)
         if shown is not None:
             return self.spark.sql(shown)
-        df = self.spark.sql(translate(trino_sql))
+        expanded = _routines_mod.expand(trino_sql, self.routines)
+        df = self.spark.sql(translate(expanded))
         # FETCH ... WITH TIES leaves a helper rank column; drop it here.
         if "__rk" in df.columns:
             df = df.drop("__rk")

@@ -146,3 +146,39 @@ def dialect_sql_json(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY doc_id
         """,
     )
+
+
+@REG.add(
+    "dialect_sql_routine",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charged,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity * 2 > 60
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def dialect_sql_routine(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL routines (CREATE FUNCTION ... RETURN expr; reference
+    SqlRoutineAnalyzer.java / SqlRoutinePlanner inlining, docs udf/sql.md):
+    routines are inlined as macros before dialect translation, so the call
+    costs nothing at scale — the oracle is the hand-inlined SQL."""
+    eng = TrinoEngine(spark, sf)
+    eng.sql(
+        "CREATE FUNCTION charge(price DOUBLE, disc DOUBLE, tax DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1 - disc) * (1 + tax)"
+    )
+    eng.sql("CREATE FUNCTION doubled(x DOUBLE) RETURNS DOUBLE RETURN x * 2")
+    return eng.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 2) AS charged,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE doubled(l_quantity) > 60
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
