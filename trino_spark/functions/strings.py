@@ -63,3 +63,29 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def luhn_check(col: Column | str) -> Column:
+    """Luhn (mod-10) checksum validation of a digit string.
+
+    Trino: main/operator/scalar/LuhnCheckFunction.java:25. Expression-only
+    (sequence + aggregate, codegen): from the right, double every second
+    digit, subtract 9 when >9, valid iff the sum is divisible by 10.
+    Trino raises on non-digit input; here a non-digit poisons the sum to
+    NULL (try-semantics), which callers can coalesce.
+    """
+    s = F.col(col) if isinstance(col, str) else col
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("int"),
+        lambda acc, i: acc
+        + F.when(
+            ((n - i) % 2) == 1,
+            F.when(
+                F.substring(s, i, F.lit(1)).try_cast("int") * 2 > 9,
+                F.substring(s, i, F.lit(1)).try_cast("int") * 2 - 9,
+            ).otherwise(F.substring(s, i, F.lit(1)).try_cast("int") * 2),
+        ).otherwise(F.substring(s, i, F.lit(1)).try_cast("int")),
+    )
+    return (n > 0) & (total % 10 == 0)

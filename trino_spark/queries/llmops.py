@@ -341,3 +341,29 @@ def multimodal_decode_stub_q(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     features = decode_images(attach_fake_binary(d), impl="stub")
     return features.orderBy("doc_id")
+
+
+@REG.add("text_word_stem_topk", None)
+def text_word_stem_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """word_stem (WordStemFunction.java:51) over the documents corpus:
+    tokenize JVM-side, stem the DISTINCT vocabulary only (Arrow-batched
+    Porter UDF over ~thousands of words, not millions of tokens), then
+    broadcast the stem map back onto the token stream — the scale-correct
+    shape for per-row Python work. Rows-only (no Porter in DuckDB);
+    algorithm pinned against published vocabulary in tests."""
+    from trino_spark.functions.stem import word_stem
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.lower(F.regexp_replace("text", r"[^A-Za-z ]", " ")), r"\s+")
+        ).alias("w")
+    ).filter(F.length("w") >= 3)
+    vocab = toks.distinct().withColumn("stem", word_stem("w"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "stem")
+        .limit(20)
+    )

@@ -217,3 +217,37 @@ def sketch_setdigest_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@REG.add(
+    "func_luhn_check",
+    """
+    WITH t AS (
+      SELECT c_custkey, CAST(c_custkey * 7919 AS VARCHAR) AS s
+      FROM customer WHERE c_custkey <= 1000
+    )
+    SELECT c_custkey, s,
+           (list_sum(list_transform(generate_series(1, length(s)),
+              i -> CASE WHEN (length(s) - i) % 2 = 1
+                        THEN CASE WHEN 2 * CAST(substr(s, CAST(i AS INT), 1) AS INT) > 9
+                                  THEN 2 * CAST(substr(s, CAST(i AS INT), 1) AS INT) - 9
+                                  ELSE 2 * CAST(substr(s, CAST(i AS INT), 1) AS INT) END
+                        ELSE CAST(substr(s, CAST(i AS INT), 1) AS INT) END)) % 10 = 0) AS ok
+    FROM t
+    ORDER BY c_custkey
+    """,
+)
+def func_luhn_check(spark: SparkSession, sf: str) -> DataFrame:
+    """luhn_check (LuhnCheckFunction.java:25) as a sequence+aggregate
+    expression; DuckDB oracle re-derives the mod-10 rule with list lambdas."""
+    from trino_spark.functions.strings import luhn_check
+
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") <= 1000)
+    return (
+        c.select(
+            "c_custkey",
+            (F.col("c_custkey") * 7919).cast("string").alias("s"),
+        )
+        .select("c_custkey", "s", luhn_check("s").alias("ok"))
+        .orderBy("c_custkey")
+    )
