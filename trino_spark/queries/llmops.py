@@ -367,3 +367,18 @@ def text_word_stem_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "stem")
         .limit(20)
     )
+
+
+@REG.add("similarity_ivf_topk", None)
+def similarity_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate cosine top-10 via an IVF index (k-means centroid lists +
+    n_probe nearest-list search, exact re-rank) — the second scale path
+    next to LSH; recall vs brute force asserted in tests/test_llmops.py."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = similarity.ivf_topk(emb, queries, k=10, n_centroids=32, n_probe=8)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
