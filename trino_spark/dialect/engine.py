@@ -28,6 +28,8 @@ class TrinoEngine:
         # SQL routines (CREATE FUNCTION ... RETURN expr), inlined as macros
         # per dialect/routines.py (reference: SqlRoutinePlanner inlining).
         self.routines: dict[str, _routines_mod.Routine] = {}
+        # Prepared statements (PREPARE/EXECUTE/DEALLOCATE; PrepareTask.java).
+        self.prepared: dict[str, str] = {}
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
             schemas = {
@@ -37,6 +39,27 @@ class TrinoEngine:
             register_information_schema(spark, schemas)
 
     def sql(self, trino_sql: str) -> DataFrame:
+        from trino_spark.dialect import prepared as _prep
+
+        prep = _prep.parse_prepare(trino_sql)
+        if prep is not None:
+            name, body = prep
+            self.prepared[name] = body
+            return self.spark.createDataFrame([(name.lower(),)], "prepared: string")
+        dealloc = _prep.parse_deallocate(trino_sql)
+        if dealloc is not None:
+            self.prepared.pop(dealloc, None)
+            return self.spark.createDataFrame([(dealloc.lower(),)], "prepared: string")
+        imm = _prep.parse_execute_immediate(trino_sql)
+        if imm is not None:
+            stmt, args = imm
+            return self.sql(_prep.bind(stmt, args))
+        execed = _prep.parse_execute(trino_sql)
+        if execed is not None:
+            name, args = execed
+            if name not in self.prepared:
+                raise ValueError(f"prepared statement not found: {name}")
+            return self.sql(_prep.bind(self.prepared[name], args))
         routine = _routines_mod.parse_create_function(trino_sql)
         if routine is not None:
             self.routines[routine.name] = routine
