@@ -102,3 +102,27 @@ def test_catalog_format_roundtrip(spark, sf_dir, tmp_dir, fmt):
     got = {(r.n_nationkey, r.n_name) for r in back.collect()}
     want = {(r.n_nationkey, r.n_name) for r in src.collect()}
     assert got == want
+
+
+def test_json_table_outer_and_defaults(spark):
+    """JSON_TABLE subset: OUTER keeps empty-row-path rows; default column
+    path is $.<name>; missing keys yield NULL (lax semantics)."""
+    from pyspark.sql import Row
+
+    from trino_spark.operators.json_table import ColumnSpec, json_table
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, j='{"items": [{"a": 1}, {"a": 2, "b": "x"}]}'),
+            Row(id=2, j='{"items": []}'),
+            Row(id=3, j="not json"),
+        ]
+    )
+    cols = [ColumnSpec("ord", ordinality=True), ColumnSpec("a", "int"), ColumnSpec("b")]
+    inner = json_table(df, "j", "lax $.items[*]", cols).collect()
+    assert [(r.id, r.ord, r.a, r.b) for r in inner] == [
+        (1, 1, 1, None),
+        (1, 2, 2, "x"),
+    ]
+    outer = json_table(df, "j", "lax $.items[*]", cols, outer=True).collect()
+    assert {(r.id, r.ord) for r in outer} == {(1, 1), (1, 2), (2, None), (3, None)}

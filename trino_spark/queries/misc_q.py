@@ -251,3 +251,57 @@ def func_luhn_check(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "s", luhn_check("s").alias("ok"))
         .orderBy("c_custkey")
     )
+
+
+@REG.add(
+    "json_table_flatten",
+    """
+    WITH src AS (
+      SELECT user_id, event_id, event_type, round(value, 6) AS val
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq,
+           CAST(event_id AS BIGINT) AS event_id,
+           event_type,
+           val
+    FROM src
+    ORDER BY user_id, seq
+    """,
+)
+def json_table_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON_TABLE (SQL/JSON-2016 PTF; main/operator/table/json/,
+    JsonPath.g4): events are packed into one JSON document per user
+    (to_json), then JSON_TABLE flattens them back with a lax row path,
+    scalar COLUMNS and FOR ORDINALITY. The oracle computes the same rows
+    relationally — the JSON pack/unpack must be the identity."""
+    from trino_spark.operators.json_table import ColumnSpec, json_table
+
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("val"))
+    )
+    packed = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.sort_array(
+                    F.collect_list(F.struct("event_id", "event_type", "val"))
+                ).alias("events")
+            )
+        ).alias("doc")
+    )
+    flat = json_table(
+        packed,
+        "doc",
+        "lax $.events[*]",
+        [
+            ColumnSpec("seq", ordinality=True),
+            ColumnSpec("event_id", "long", "lax $.event_id"),
+            ColumnSpec("event_type", "string", "lax $.event_type"),
+            ColumnSpec("val", "double", "lax $.val"),
+        ],
+    )
+    return flat.select("user_id", "seq", "event_id", "event_type", "val").orderBy(
+        "user_id", "seq"
+    )
