@@ -124,3 +124,32 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_bucketed_ctas_elides_join_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge-join with no Exchange on either side (co-located join —
+    the bucketing scale story; see writes.ctas_bucketed docstring)."""
+    from trino_spark.catalog import load
+    from trino_spark.writes import ctas_bucketed
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    ctas_bucketed(orders, "t_orders_b", 8, ["o_orderkey"], ["o_orderkey"])
+    ctas_bucketed(li, "t_lineitem_b", 8, ["l_orderkey"], ["l_orderkey"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_orders_b").join(
+                spark.table("t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

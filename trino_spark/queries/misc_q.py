@@ -305,3 +305,33 @@ def json_table_flatten(spark: SparkSession, sf: str) -> DataFrame:
     return flat.select("user_id", "seq", "event_id", "event_type", "val").orderBy(
         "user_id", "seq"
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(start, node, depth) AS (
+      SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+      FROM customer WHERE c_custkey < 100
+      UNION ALL
+      SELECT start, CAST(floor(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+      FROM walk WHERE node > 1
+    )
+    SELECT start,
+           CAST(count(*) AS BIGINT)  AS chain_len,
+           CAST(sum(node) AS BIGINT) AS path_sum,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM walk
+    GROUP BY start
+    ORDER BY start
+"""
+
+
+@REG.add("recursive_cte_walk", _RECURSIVE_SQL)
+def recursive_cte_walk(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE (grammar SqlBase.g4 queryTerm recursion; Trino
+    supports linear recursive CTEs): ancestor walk k -> floor(k/2) -> ... 1
+    over customer keys — Spark 4 executes the recursion natively (iterative
+    union with a loop guard), DuckDB runs the identical SQL as oracle."""
+    from trino_spark.queries.base import views
+
+    views(spark, sf, "customer")
+    return spark.sql(_RECURSIVE_SQL)

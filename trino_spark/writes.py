@@ -77,3 +77,29 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
 
 def read_back(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
     return spark.read.format(format).load(path)
+
+
+def ctas_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CTAS into a hash-bucketed (optionally sort-ordered) managed table.
+
+    The Spark analog of Trino's partitioned-table write with a bucketing
+    function (spi/connector/ConnectorBucketNodeMap, Hive-connector
+    bucketed tables): rows are hash-placed into `buckets` files per
+    partition by `bucket_cols`. The payoff is at read time — two tables
+    bucketed on their join key with the same bucket count sort-merge-join
+    WITHOUT a shuffle on either side (Exchange elided by
+    EnsureRequirements), which at 100 TB turns the nightly fact-to-fact
+    join from the dominant shuffle into a local merge. Verified by plan
+    assertion in tests/test_writes_streaming.py.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
