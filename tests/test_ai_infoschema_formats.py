@@ -126,3 +126,33 @@ def test_json_table_outer_and_defaults(spark):
     ]
     outer = json_table(df, "j", "lax $.items[*]", cols, outer=True).collect()
     assert {(r.id, r.ord) for r in outer} == {(1, 1), (1, 2), (2, None), (3, None)}
+
+
+def test_show_stats(spark, sf_dir):
+    """SHOW STATS FOR table (ShowStatsRewrite.java shape): per-column rows
+    + summary row_count row, one aggregation pass."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    rows = eng.sql("SHOW STATS FOR nation").collect()
+    by_col = {r.column_name: r for r in rows}
+    assert set(by_col) >= {"n_nationkey", "n_name", "n_regionkey", None}
+    summary = by_col[None]
+    assert summary.row_count == 25.0
+    nk = by_col["n_nationkey"]
+    assert nk.nulls_fraction == 0.0 and 20 <= nk.distinct_values_count <= 30
+    assert nk.low_value == "0" and nk.high_value == "24"
+    assert by_col["n_name"].data_size > 0
+
+
+def test_describe_input_output(spark, sf_dir):
+    """DESCRIBE INPUT/OUTPUT over prepared statements (reference:
+    DescribeInputRewrite.java / DescribeOutputRewrite.java)."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    eng.sql("PREPARE p1 FROM SELECT n_name, n_nationkey + ? AS k FROM nation WHERE n_regionkey = ?")
+    out = eng.sql("DESCRIBE OUTPUT p1").collect()
+    assert [(r.column_name) for r in out] == ["n_name", "k"]
+    inp = eng.sql("DESCRIBE INPUT p1").collect()
+    assert len(inp) == 2

@@ -68,6 +68,36 @@ class TrinoEngine:
         if dropped is not None:
             self.routines.pop(dropped, None)
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
+        stripped = trino_sql.strip().rstrip(";")
+        up = stripped.upper().split()
+        if up[:3] == ["SHOW", "STATS", "FOR"]:
+            from trino_spark.infoschema import show_stats
+
+            return show_stats(self.spark, stripped.split()[3].strip('"'))
+        if up[:2] == ["DESCRIBE", "OUTPUT"] and len(up) == 3:
+            name = up[2]
+            if name not in self.prepared:
+                raise ValueError(f"prepared statement not found: {name}")
+            from trino_spark.dialect import prepared as _p
+
+            toks = _p.tokenize(self.prepared[name])
+            n = sum(1 for t in toks if t.is_sym("?"))
+            bound = _p.bind(self.prepared[name], ["NULL"] * n)
+            schema = self.spark.sql(translate(bound)).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in schema],
+                "column_name string, type string",
+            )
+        if up[:2] == ["DESCRIBE", "INPUT"] and len(up) == 3:
+            name = up[2]
+            if name not in self.prepared:
+                raise ValueError(f"prepared statement not found: {name}")
+            from trino_spark.dialect import prepared as _p
+
+            n = sum(1 for t in _p.tokenize(self.prepared[name]) if t.is_sym("?"))
+            return self.spark.createDataFrame(
+                [(i, "unknown") for i in range(n)], "position int, type string"
+            )
         shown = rewrite_show(trino_sql)
         if shown is not None:
             return self.spark.sql(shown)

@@ -54,3 +54,54 @@ def rewrite_show(sql: str) -> str | None:
             "ORDER BY ordinal_position"
         )
     return None
+
+
+def show_stats(spark: SparkSession, table: str):
+    """SHOW STATS FOR <table> — Trino's table statistics surface
+    (reference: ShowStatsRewrite.java; stats model spi/statistics/).
+
+    Output shape matches the reference: one row per column
+    (data_size for varchars, approx NDV, null fraction, min/max rendered
+    as varchar) plus a summary row with row_count. Computed on demand in
+    ONE aggregation pass over the table (each metric is a column of a
+    single agg — no per-column scans); only the 1-row agg result is
+    collected."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType, StringType
+
+    df = spark.table(table)
+    aggs = [F.count(F.lit(1)).cast("double").alias("__rows")]
+    fields = [f for f in df.schema.fields]
+    for f in fields:
+        c = f.name
+        aggs.append(F.approx_count_distinct(c).cast("double").alias(f"{c}__ndv"))
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nulls"))
+        if isinstance(f.dataType, StringType):
+            aggs.append(F.sum(F.length(c)).cast("double").alias(f"{c}__size"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__size"))
+        if isinstance(f.dataType, NumericType) or f.dataType.simpleString() in ("date", "timestamp"):
+            aggs.append(F.min(c).cast("string").alias(f"{c}__lo"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__hi"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__lo"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__hi"))
+    row = df.agg(*aggs).first()
+
+    out = [
+        (
+            f.name,
+            row[f"{f.name}__size"],
+            row[f"{f.name}__ndv"],
+            row[f"{f.name}__nulls"],
+            None,
+            row[f"{f.name}__lo"],
+            row[f"{f.name}__hi"],
+        )
+        for f in fields
+    ] + [(None, None, None, None, row["__rows"], None, None)]
+    return spark.createDataFrame(
+        out,
+        "column_name string, data_size double, distinct_values_count double, "
+        "nulls_fraction double, row_count double, low_value string, high_value string",
+    )
