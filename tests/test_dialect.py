@@ -185,3 +185,25 @@ def test_explain_wrapper(engine):
 def test_explain_analyze(engine):
     text = engine.explain_analyze("SELECT count(*) AS c FROM lineitem WHERE l_quantity < 10")
     assert "HashAggregate" in text
+
+
+def test_at_time_zone_rewrite():
+    from trino_spark.dialect.rewrites import translate
+
+    out = translate("SELECT ts AT TIME ZONE 'America/New_York' FROM events")
+    assert "convert_timezone('UTC', 'America/New_York', ts)" in out
+    out2 = translate("SELECT date_trunc('hour', e.ts) AT TIME ZONE 'UTC' AS h FROM events e")
+    assert out2.startswith("SELECT convert_timezone('UTC', 'UTC', date_trunc(")
+    out3 = translate("SELECT at_timezone(ts, 'Asia/Tokyo'), with_timezone(ts, 'Asia/Tokyo') FROM events")
+    assert "convert_timezone('UTC', 'Asia/Tokyo', ts)" in out3
+    assert "to_utc_timestamp(ts, 'Asia/Tokyo')" in out3
+
+
+def test_at_time_zone_executes(spark, sf_dir):
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    row = eng.sql(
+        "SELECT CAST(TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS s"
+    ).first()
+    assert row.s == "2024-01-01 07:00:00"

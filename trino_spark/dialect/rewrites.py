@@ -252,6 +252,12 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "to_iso8601": lambda args: f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
     "from_iso8601_timestamp": lambda args: f"to_timestamp({args[0]})",
     "from_iso8601_date": lambda args: f"to_date({args[0]})",
+    # Timezone scalars (DateTimeFunctions.java at_timezone/with_timezone).
+    # Policy per SURVEY §1.2: timestamptz values are UTC-normalized
+    # TimestampType, so at_timezone = shift the UTC instant's wall-clock
+    # into the zone; with_timezone = interpret a wall-clock as zone-local.
+    "at_timezone": lambda args: f"convert_timezone('UTC', {args[1]}, {args[0]})",
+    "with_timezone": lambda args: f"to_utc_timestamp({args[0]}, {args[1]})",
 }
 
 
@@ -280,6 +286,83 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 
 
 # ------------------------------------------------------------------ syntax
+
+def _rewrite_at_time_zone(toks: list[Tok]) -> list[Tok]:
+    """`<expr> AT TIME ZONE '<zone>'` → convert_timezone('UTC', '<zone>',
+    <expr>) (grammar SqlBase.g4 AT TIME ZONE; same UTC-normalization policy
+    as at_timezone above). The preceding expression is captured as the last
+    primary: a call/parenthesized group, or a (possibly dotted) identifier /
+    literal — which covers the practical call sites."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        j = next_code(toks, i + 1)
+        k = next_code(toks, j + 1) if j < len(toks) else len(toks)
+        if (
+            t.is_word("AT")
+            and j < len(toks)
+            and toks[j].is_word("TIME")
+            and k < len(toks)
+            and toks[k].is_word("ZONE")
+        ):
+            z = next_code(toks, k + 1)
+            if z < len(toks) and toks[z].kind == "STR":
+                # pop the preceding primary expression off `out`
+                e = len(out) - 1
+                while e >= 0 and out[e].kind == "WS":
+                    e -= 1
+                start = e
+                if e >= 0 and out[e].is_sym(")"):
+                    depth = 0
+                    while start >= 0:
+                        if out[start].is_sym(")"):
+                            depth += 1
+                        elif out[start].is_sym("("):
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        start -= 1
+                    p = start - 1
+                    while p >= 0 and out[p].kind == "WS":
+                        p -= 1
+                    if p >= 0 and out[p].kind == "WORD":
+                        start = p
+                elif e >= 0 and out[e].kind == "STR":
+                    # typed literal: TIMESTAMP '...' / DATE '...' / TIME '...'
+                    p = start - 1
+                    while p >= 0 and out[p].kind == "WS":
+                        p -= 1
+                    if p >= 0 and out[p].is_word("TIMESTAMP", "DATE", "TIME"):
+                        start = p
+                elif e >= 0 and out[e].kind in ("WORD", "QIDENT", "NUM"):
+                    while True:
+                        p = start - 1
+                        while p >= 0 and out[p].kind == "WS":
+                            p -= 1
+                        if p >= 1 and out[p].is_sym(".") :
+                            q = p - 1
+                            while q >= 0 and out[q].kind == "WS":
+                                q -= 1
+                            if q >= 0 and out[q].kind in ("WORD", "QIDENT"):
+                                start = q
+                                continue
+                        break
+                else:
+                    out.append(t)
+                    i += 1
+                    continue
+                expr = render(out[start:]).strip()
+                del out[start:]
+                out.extend(
+                    tokenize(f"convert_timezone('UTC', {toks[z].text}, {expr})")
+                )
+                i = z + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
 
 def _rewrite_fetch(toks: list[Tok]) -> tuple[list[Tok], bool]:
     """FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY → LIMIT n.
@@ -526,6 +609,7 @@ def translate(sql: str) -> str:
     toks = tokenize(sql)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_functions(toks)
+    toks = _rewrite_at_time_zone(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_unnest(toks)
     toks = _rewrite_types(toks)

@@ -182,3 +182,31 @@ def dialect_sql_routine(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@REG.add(
+    "dialect_at_time_zone",
+    """
+    SELECT event_id,
+           CAST(date_trunc('hour', ts) AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS VARCHAR) AS ny_wall
+    FROM events WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def dialect_at_time_zone(spark: SparkSession, sf: str) -> DataFrame:
+    """AT TIME ZONE (grammar SqlBase.g4; DateTimeFunctions.java at_timezone):
+    UTC instants rendered as America/New_York wall clock. The dialect layer
+    rewrites the postfix syntax to convert_timezone; DuckDB's oracle uses
+    its Postgres-style double AT TIME ZONE to produce the same naive wall
+    clock, independent of either engine's session zone."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT event_id,
+               CAST(date_trunc('hour', ts) AT TIME ZONE 'America/New_York' AS VARCHAR) AS ny_wall
+        FROM events WHERE event_id < 100
+        ORDER BY event_id
+        """,
+    )
