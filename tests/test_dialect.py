@@ -207,3 +207,20 @@ def test_at_time_zone_executes(spark, sf_dir):
         "SELECT CAST(TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS s"
     ).first()
     assert row.s == "2024-01-01 07:00:00"
+
+
+def test_hll_sketch_sql_surface(spark, sf_dir):
+    """approx_set / merge / cardinality-via-estimate in Trino-dialect SQL
+    (HyperLogLogFunctions.java:24): per-group sketches unioned to a total."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    row = eng.sql(
+        """
+        SELECT hll_sketch_estimate(merge(sk)) AS est FROM (
+          SELECT n_regionkey, approx_set(n_nationkey) AS sk
+          FROM nation GROUP BY n_regionkey
+        )
+        """
+    ).first()
+    assert 22 <= row.est <= 28  # 25 distinct keys, HLL error band

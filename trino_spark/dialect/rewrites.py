@@ -61,6 +61,12 @@ _RENAME = {
     "bitwise_right_shift": "shiftrightunsigned",
     "bitwise_right_shift_arithmetic": "shiftright",
     "chr": "char",
+    # HLL sketch scalars (HyperLogLogFunctions.java:24 / SetDigest docs):
+    # approx_set builds a mergeable sketch column, merge unions them.
+    # Spark's HLL layout differs from Trino's serialized HLL (documented
+    # gap) but the SQL surface and merge algebra match.
+    "approx_set": "hll_sketch_agg",
+    "merge": "hll_union_agg",
 }
 
 
