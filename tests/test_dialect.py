@@ -224,3 +224,16 @@ def test_hll_sketch_sql_surface(spark, sf_dir):
         """
     ).first()
     assert 22 <= row.est <= 28  # 25 distinct keys, HLL error band
+
+
+def test_engine_explain_and_session(spark, sf_dir):
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    plan = eng.sql("EXPLAIN SELECT count(*) FROM nation").first().query_plan
+    assert "Physical Plan" in plan or "Aggregate" in plan
+    row = eng.sql("SET SESSION query_max_run_time = '2h'").first()
+    assert (row.name, row.value) == ("query_max_run_time", "2h")
+    assert eng.session_properties["query_max_run_time"] == "2h"
+    eng.sql("RESET SESSION query_max_run_time")
+    assert "query_max_run_time" not in eng.session_properties

@@ -30,6 +30,8 @@ class TrinoEngine:
         self.routines: dict[str, _routines_mod.Routine] = {}
         # Prepared statements (PREPARE/EXECUTE/DEALLOCATE; PrepareTask.java).
         self.prepared: dict[str, str] = {}
+        # SET SESSION properties (SystemSessionProperties.java surface).
+        self.session_properties: dict[str, str] = {}
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
             schemas = {
@@ -70,6 +72,30 @@ class TrinoEngine:
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
+        if up[:1] == ["EXPLAIN"]:
+            # EXPLAIN [ANALYZE] <stmt> (ExplainRewrite.java): returns the
+            # rendered plan as a one-column relation, like the reference.
+            rest = stripped.split(None, 1)[1]
+            if up[1:2] == ["ANALYZE"]:
+                text = self.explain_analyze(rest.split(None, 1)[1])
+            else:
+                text = self.explain(rest)
+            return self.spark.createDataFrame([(text,)], "query_plan: string")
+        if up[:2] == ["SET", "SESSION"]:
+            # SET SESSION k = v (SystemSessionProperties.java surface):
+            # recorded per-engine; spark.* keys pass through to the conf.
+            key, _, val = stripped.split(None, 2)[2].partition("=")
+            key, val = key.strip(), val.strip().strip("'")
+            self.session_properties[key] = val
+            if key.startswith("spark."):
+                self.spark.conf.set(key, val)
+            return self.spark.createDataFrame([(key, val)], "name: string, value: string")
+        if up[:2] == ["RESET", "SESSION"]:
+            key = stripped.split()[2]
+            self.session_properties.pop(key, None)
+            if key.startswith("spark."):
+                self.spark.conf.unset(key)
+            return self.spark.createDataFrame([(key,)], "name: string")
         if up[:3] == ["SHOW", "STATS", "FOR"]:
             from trino_spark.infoschema import show_stats
 

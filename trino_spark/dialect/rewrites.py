@@ -201,6 +201,30 @@ def _t_json_format(args: list[str]) -> str:
     return f"({args[0]})"
 
 
+def _t_combinations(args: list[str]) -> str:
+    """combinations(arr, n) for literal n in {1, 2, 3} (the sizes Trino's
+    docs exercise; larger n raises). Index-ordered like the reference."""
+    a, n = args[0], args[1].strip()
+    if n == "1":
+        return f"transform({a}, x -> array(x))"
+    if n == "2":
+        pairs = (
+            f"flatten(transform(sequence(1, size({a}) - 1), i ->"
+            f" transform(sequence(i + 1, size({a})), j ->"
+            f" array(element_at({a}, i), element_at({a}, j)))))"
+        )
+        return f"IF(size({a}) < 2, slice(transform({a}, x -> array(x, x)), 1, 0), {pairs})"
+    if n == "3":
+        trips = (
+            f"flatten(flatten(transform(sequence(1, size({a}) - 2), i ->"
+            f" transform(sequence(i + 1, size({a}) - 1), j ->"
+            f" transform(sequence(j + 1, size({a})), k ->"
+            f" array(element_at({a}, i), element_at({a}, j), element_at({a}, k)))))))"
+        )
+        return f"IF(size({a}) < 3, slice(transform({a}, x -> array(x, x)), 1, 0), {trips})"
+    raise TrinoSqlError(f"combinations: only literal n in 1..3 supported, got {n}")
+
+
 _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "strpos": _t_strpos,
     "date_diff": _t_date_diff,
@@ -258,6 +282,13 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "to_iso8601": lambda args: f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
     "from_iso8601_timestamp": lambda args: f"to_timestamp({args[0]})",
     "from_iso8601_date": lambda args: f"to_date({args[0]})",
+    # Array combinatorics (ArrayNgramsFunction.java, ArrayCombinationsFunction.java)
+    # as pure higher-order expressions; n must be a literal.
+    "ngrams": lambda args: (
+        f"transform(sequence(1, greatest(size({args[0]}) - ({args[1]}) + 1, 1)),"
+        f" i -> slice({args[0]}, i, least({args[1]}, size({args[0]}))))"
+    ),
+    "combinations": _t_combinations,
     # Timezone scalars (DateTimeFunctions.java at_timezone/with_timezone).
     # Policy per SURVEY §1.2: timestamptz values are UTC-normalized
     # TimestampType, so at_timezone = shift the UTC instant's wall-clock

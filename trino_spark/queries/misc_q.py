@@ -335,3 +335,74 @@ def recursive_cte_walk(spark: SparkSession, sf: str) -> DataFrame:
 
     views(spark, sf, "customer")
     return spark.sql(_RECURSIVE_SQL)
+
+
+@REG.add(
+    "dialect_array_combinatorics",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 6) AS w
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+             list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                            i -> list_slice(w, CAST(i AS INT), CAST(i + 1 AS INT))),
+             g -> array_to_string(g, '_')), '|') AS bigrams,
+           array_to_string(list_transform(
+             flatten(list_transform(generate_series(1, len(w) - 1),
+               i -> list_transform(generate_series(i + 1, len(w)),
+                 j -> [w[CAST(i AS INT)], w[CAST(j AS INT)]]))),
+             g -> array_to_string(g, '_')), '|') AS pairs
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def dialect_array_combinatorics(spark: SparkSession, sf: str) -> DataFrame:
+    """ngrams / combinations (ArrayNgramsFunction.java,
+    ArrayCombinationsFunction.java) as dialect templates over higher-order
+    expressions; oracle recomputes both with DuckDB list lambdas."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf)
+    return eng.sql(
+        """
+        SELECT doc_id,
+               array_join(transform(ngrams(w, 2), g -> array_join(g, '_')), '|') AS bigrams,
+               array_join(transform(combinations(w, 2), g -> array_join(g, '_')), '|') AS pairs
+        FROM (SELECT doc_id, slice(split(text, ' '), 1, 6) AS w
+              FROM documents WHERE doc_id < 30)
+        ORDER BY doc_id
+        """
+    )
+
+
+@REG.add(
+    "variant_shred",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT type (spi/type/VariantType.java, spi/block/VariantBlock.java
+    -> Spark 4 VariantType): semi-structured props parsed once to variant,
+    typed field extraction with variant_get, aggregated. Oracle shreds the
+    same field with DuckDB JSON operators."""
+    from trino_spark.queries.base import views
+
+    views(spark, sf, "events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(sum(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS k_sum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
