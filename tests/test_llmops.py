@@ -162,3 +162,27 @@ def test_ivf_topk_recall(spark, emb):
     # the probe must actually prune: every query scores < n_probe/n_centroids
     # of the corpus plus slack; sanity-check via candidate counts
     assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from trino_spark.catalog import load
+    from trino_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = e.select("event_type").distinct().withColumn(
+        "tag", F.upper(F.col("event_type"))
+    )
+    plain = {(r.event_id, r.tag) for r in e.join(dim, "event_type").collect()}
+    salted = {(r.event_id, r.tag) for r in salted_join(e, dim, on="event_type").collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_resize_stub_shapes(spark, docs):
+    from trino_spark.operators.multimodal import attach_fake_binary, resize_images
+
+    src = attach_fake_binary(docs.limit(8))
+    out = resize_images(src, 16, 9).collect()
+    assert len(out) == 8
+    assert all(len(bytes(r.data)) == 16 * 9 and r.width == 16 and r.height == 9 for r in out)
+    again = {r.doc_id: bytes(r.data) for r in resize_images(src, 16, 9).collect()}
+    assert all(bytes(r.data) == again[r.doc_id] for r in out)  # deterministic

@@ -78,3 +78,41 @@ def frame_sample(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id") -> 
     """Deterministic 1-in-N 'frame' sampler (modulo on id) — the video
     frame-sampling shape without a video decoder."""
     return df.filter(F.col(id_col) % every_nth == 0)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, data binary"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    impl: str = "stub",
+    data_col: str = "content",
+) -> DataFrame:
+    """Resize the binary image column to (width, height).
+
+    Same plumbing contract as decode_images: Arrow-batched mapInPandas over
+    (doc_id, data); the stub produces a deterministic fake payload of
+    exactly width*height bytes derived from the source bytes (so tests can
+    assert size/determinism), while a real deployment swaps in a PIL/cv2
+    kernel behind impl= without touching the Spark plan. Narrow transform —
+    no shuffle; bytes never leave the partition."""
+    if impl != "stub":
+        raise NotImplementedError(
+            "real resize requires an image library not present in this "
+            "environment; use impl='stub'"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            out = []
+            for doc_id, data in zip(b["doc_id"], b[data_col]):
+                seed = hashlib.sha256(bytes(data)).digest()
+                reps = (width * height) // len(seed) + 1
+                out.append((doc_id, width, height, (seed * reps)[: width * height]))
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "data"])
+
+    return df.select("doc_id", data_col).mapInPandas(run, schema=RESIZE_SCHEMA)

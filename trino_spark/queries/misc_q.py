@@ -406,3 +406,37 @@ def variant_shred(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@REG.add(
+    "skew_salted_join",
+    """
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total
+    FROM events e JOIN (
+      SELECT DISTINCT event_type FROM events WHERE event_type <> 'view'
+    ) keep ON e.event_type = keep.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.salted_join — the manual analog
+    of Trino's SkewedPartitionRebalancer.java and AQE skew splitting):
+    event_type is a pathologically low-NDV hot key, so the small side is
+    replicated across salt buckets and the big side scatters uniformly —
+    no single reducer sees a whole hot key. Oracle is the plain join."""
+    from trino_spark.operators.skew import salted_join
+
+    e = t(spark, sf, "events")
+    keep = e.filter(F.col("event_type") != "view").select("event_type").distinct()
+    joined = salted_join(e, keep, on="event_type", num_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
