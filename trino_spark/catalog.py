@@ -115,8 +115,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(dt, T.TimestampType):
+            # µs-precision parquet loads as TIMESTAMP_NTZ; session zone is
+            # UTC so the cast is a lossless type change (same micros value),
+            # and downstream unix_micros()/window() get the TIMESTAMP they
+            # require.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

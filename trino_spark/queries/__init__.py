@@ -11,22 +11,31 @@ from trino_spark.queries.base import QueryRegistry, QuerySpec
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    from trino_spark.queries import tpch
+    """All registered query specs, in driver-verification priority order.
 
+    The driver's oracle run processes entries in registry order under a
+    budget (r1 stopped at the first 50), so modules whose queries have not
+    yet earned a green CORRECTNESS row come FIRST; the long-green TPC-H /
+    relational blocks come last. Revisit this ordering each round as rows
+    turn green.
+    """
     reg = QueryRegistry()
-    reg.merge(tpch.REG)
     for mod_name in (
-        "relational",
-        "functions_q",
-        "llmops",
-        "aggregates",
+        # -- never driver-verified as of r1: front of the line --
         "timeseries",
         "merge_q",
+        "llmops",
+        "aggregates",
         "dialect_q",
         "patterns_q",
         "misc_q",
         "geo_q",
         "streaming_q",
+        # -- partially verified (first 3 had rows in r1) --
+        "functions_q",
+        # -- fully green in r1: last --
+        "relational",
+        "tpch",
     ):
         try:
             import importlib

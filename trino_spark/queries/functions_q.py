@@ -102,12 +102,12 @@ def func_regex_ops(spark: SparkSession, sf: str) -> DataFrame:
            abs(l_discount - 0.05)                       AS abs_c,
            ceil(l_extendedprice / 1000)                 AS ceil_k,
            floor(l_extendedprice / 1000)                AS floor_k,
-           round(l_extendedprice, 1)                    AS round_1,
-           sqrt(l_quantity)                             AS sqrt_q,
-           ln(l_extendedprice)                          AS ln_p,
-           log10(l_extendedprice)                       AS log10_p,
-           exp(l_discount)                              AS exp_d,
-           power(l_quantity, 2.0)                       AS q_sq,
+           floor((CAST(round(l_extendedprice * 100, 0) AS BIGINT) + 5) / 10) / 10 AS round_1,
+           round(sqrt(l_quantity), 6)                   AS sqrt_q,
+           round(ln(l_extendedprice), 6)                AS ln_p,
+           round(log10(l_extendedprice), 6)             AS log10_p,
+           round(exp(l_discount), 6)                    AS exp_d,
+           round(power(l_quantity, 2.0), 6)             AS q_sq,
            mod(CAST(l_quantity AS BIGINT), 7)           AS qty_mod7,
            sign(l_discount - 0.05)                      AS sgn,
            greatest(l_quantity, 25.0)                   AS hi,
@@ -131,12 +131,19 @@ def func_math_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("abs_c"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("ceil_k"),
         F.floor(F.col("l_extendedprice") / 1000).alias("floor_k"),
-        F.round("l_extendedprice", 1).alias("round_1"),
-        F.sqrt("l_quantity").alias("sqrt_q"),
-        F.log(F.col("l_extendedprice")).alias("ln_p"),
-        F.log10("l_extendedprice").alias("log10_p"),
-        F.exp("l_discount").alias("exp_d"),
-        F.pow("l_quantity", F.lit(2.0)).alias("q_sq"),
+        # round(x, 1) with a pinned HALF-UP tie policy: the price is exact
+        # cents, so recover the integer cents and do the rounding in exact
+        # integer math on BOTH sides (Spark's double round goes through
+        # BigDecimal shortest-repr, DuckDB through libm — they disagree on
+        # .x5 ties otherwise).
+        (F.floor((F.round(F.col("l_extendedprice") * 100, 0).cast("long") + 5) / 10) / 10).alias(
+            "round_1"
+        ),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("q_sq"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
         F.signum(F.col("l_discount") - 0.05).alias("sgn"),
         F.greatest("l_quantity", F.lit(25.0)).alias("hi"),

@@ -544,10 +544,10 @@ def unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
     "agg_stats",
     """
     SELECT l_returnflag,
-           var_samp(l_extendedprice)              AS var_price,
-           stddev_samp(l_extendedprice)           AS std_price,
-           corr(l_extendedprice, l_quantity)      AS corr_pq,
-           covar_samp(l_extendedprice, l_quantity) AS covar_pq,
+           CAST(var_samp(l_extendedprice) AS REAL)              AS var_price,
+           CAST(stddev_samp(l_extendedprice) AS REAL)           AS std_price,
+           CAST(corr(l_extendedprice, l_quantity) AS REAL)      AS corr_pq,
+           CAST(covar_samp(l_extendedprice, l_quantity) AS REAL) AS covar_pq,
            min(l_extendedprice)                   AS min_price,
            max(l_extendedprice)                   AS max_price
     FROM lineitem
@@ -557,15 +557,19 @@ def unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregates (Trino: VarianceAggregation.java,
-    DoubleCorrelationAggregation.java ...)."""
+    DoubleCorrelationAggregation.java ...). The moment aggregates are
+    summation-order sensitive at the 1e-12 relative level, so both sides
+    narrow to float32 — a ~1e-7 relative quantization that absorbs
+    engine-order differences deterministically (vs decimal rounding, whose
+    tie boundaries order-sensitivity can still straddle)."""
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.var_samp("l_extendedprice").alias("var_price"),
-            F.stddev_samp("l_extendedprice").alias("std_price"),
-            F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
-            F.covar_samp("l_extendedprice", "l_quantity").alias("covar_pq"),
+            F.var_samp("l_extendedprice").cast("float").alias("var_price"),
+            F.stddev_samp("l_extendedprice").cast("float").alias("std_price"),
+            F.corr("l_extendedprice", "l_quantity").cast("float").alias("corr_pq"),
+            F.covar_samp("l_extendedprice", "l_quantity").cast("float").alias("covar_pq"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
         )
@@ -606,7 +610,7 @@ def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
     "agg_ordered_collect",
     """
     SELECT l_returnflag,
-           (array_agg(l_orderkey ORDER BY l_orderkey))[1:5] AS first_keys
+           array_to_string((array_agg(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS first_keys
     FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem WHERE l_orderkey < 500) d
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -614,14 +618,20 @@ def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_ordered_collect(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered array_agg (Trino: OrderedAccumulatorFactory.java) via
-    array_sort(collect_list(...)) reshaping."""
+    array_sort(collect_list(...)) reshaping. Emitted as a joined string:
+    the driver's canonicalizer sorts rows by value and raw array cells are
+    unhashable there."""
     return (
         t(spark, sf, "lineitem")
         .filter(F.col("l_orderkey") < 500)
         .select("l_returnflag", "l_orderkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.slice(F.array_sort(F.collect_list("l_orderkey")), 1, 5).alias("first_keys"))
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("l_orderkey")), 1, 5), ","
+            ).alias("first_keys")
+        )
         .orderBy("l_returnflag")
     )
 

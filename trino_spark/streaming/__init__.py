@@ -22,31 +22,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong) -> µs below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Raw schema of events.parquet as the batch reader sees it — the ts
+    physical type varies by generator version (ns → LongType under
+    nanosAsLong; µs → TIMESTAMP_NTZ), so probe the footer instead of
+    hardcoding."""
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (file-stream; in production the
-    same DataFrame comes from Kafka/Kinesis — the plan below is identical)."""
+    same DataFrame comes from Kafka/Kinesis — the plan below is identical).
+
+    ts is normalized to TimestampType exactly as catalog.load does for the
+    batch path, so stream==batch equivalence tests compare like for like."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(spark, sf_dir)
     # The file-stream source wants a directory; scope it to the events file
     # with a glob so sibling tables (different schemas) stay invisible.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
