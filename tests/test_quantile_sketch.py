@@ -70,3 +70,22 @@ def test_nonpositive_values_bucket(spark):
     # q=0.3 lands in the non-positive bucket -> reported as 0.0
     row = sk.select(qs.value_at_quantile("qsketch", 0.3).alias("p")).collect()[0]
     assert row.p == 0.0
+
+
+def test_merge_maps_equals_explode_merge(spark, prices):
+    per = qs.qsketch_agg(prices, ["grp"], "price")
+    one = per.select(F.lit(1).alias("one"), "qsketch")
+    m_fold = qs.qsketch_merge_maps(one, ["one"]).select("qsketch").collect()[0].qsketch
+    m_explode = qs.qsketch_merge(one, ["one"]).select("qsketch").collect()[0].qsketch
+    assert m_fold == m_explode
+
+
+def test_values_at_quantiles_matches_single(spark, prices):
+    sk = qs.qsketch_agg(prices.select(F.lit(1).alias("one"), "price"), ["one"], "price")
+    row = sk.select(
+        qs.values_at_quantiles("qsketch", [0.1, 0.5, 0.99]).alias("arr"),
+        qs.value_at_quantile("qsketch", 0.1).alias("p10"),
+        qs.value_at_quantile("qsketch", 0.5).alias("p50"),
+        qs.value_at_quantile("qsketch", 0.99).alias("p99"),
+    ).collect()[0]
+    assert row.arr == [row.p10, row.p50, row.p99]

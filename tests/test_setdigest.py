@@ -93,3 +93,14 @@ def test_bottom_k_is_exact_small_sets(spark):
     )
     exact = len(a & b) / len(a | b)
     assert abs(j - exact) < 1e-9
+
+
+def test_prefilter_equals_unfiltered(members):
+    # the hash-threshold pre-filter must not change the digest: a huge
+    # safety factor forces thr = 2^62 (keep-all), which is the unfiltered
+    # build; the default safety=4 build must produce the identical minhash
+    per_f = sd.make_set_digest(members, ["grp"], "ck")
+    per_all = sd.make_set_digest(members, ["grp"], "ck", safety=10**9)
+    f = {r.grp: list(r.digest.mh) for r in per_f.collect()}
+    a = {r.grp: list(r.digest.mh) for r in per_all.collect()}
+    assert f == a

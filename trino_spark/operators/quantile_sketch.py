@@ -79,6 +79,70 @@ def qsketch_merge(
     )
 
 
+def qsketch_merge_maps(
+    df: DataFrame, group_cols: list[str], sketch_col: str = "qsketch", out: str | None = None
+) -> DataFrame:
+    """Merge sketches across rows with a single aggregation: collect the
+    (small, ~log(range)/eps-entry) maps and fold them with map_zip_with —
+    no explode, no second shuffle. Preferred over `qsketch_merge` when the
+    number of sketches per output group is modest (the daily-rollup case);
+    `qsketch_merge`'s explode path keeps agg buffers O(buckets) when
+    merging millions of sketches into one group."""
+    out = out or sketch_col
+    merged = F.aggregate(
+        F.collect_list(sketch_col),
+        F.create_map().cast("map<int,bigint>"),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0).cast("long"))
+            + F.coalesce(v2, F.lit(0).cast("long")),
+        ),
+    )
+    canonical = F.map_from_entries(F.sort_array(F.map_entries(merged)))
+    return df.groupBy(*group_cols).agg(canonical.alias(out))
+
+
+def values_at_quantiles(
+    sketch: Column | str, qs: list[float], eps: float = DEFAULT_EPS
+) -> Column:
+    """array<double> of quantile estimates for all targets in `qs` from ONE
+    fold over the sketch (Trino values_at_quantiles,
+    QuantileDigestFunctions.java:40) — n targets cost one pass, not n."""
+    m = F.col(sketch) if isinstance(sketch, str) else sketch
+    entries = F.sort_array(F.map_entries(m))
+    total = F.aggregate(entries, F.lit(0).cast("long"), lambda acc, e: acc + e["value"])
+    targets = F.transform(
+        F.array(*[F.lit(float(q)) for q in qs]),
+        lambda q: F.ceil(q * total.cast("double")).cast("long"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.array_repeat(F.lit(None).cast("int"), len(qs)).alias("buckets"),
+    )
+    found = F.aggregate(
+        entries,
+        init,
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.transform(
+                acc["buckets"],
+                lambda b, i: F.when(
+                    b.isNull() & (acc["cum"] + e["value"] >= F.element_at(targets, i + 1)),
+                    e["key"],
+                ).otherwise(b),
+            ).alias("buckets"),
+        ),
+    )["buckets"]
+    lb = F.lit(_log_base(eps))
+    return F.transform(
+        found,
+        lambda b: F.when(b == F.lit(-(1 << 31)), F.lit(0.0)).otherwise(
+            F.exp((b.cast("double") + 0.5) * lb)
+        ),
+    )
+
+
 def value_at_quantile(
     sketch: Column | str, q: float, eps: float = DEFAULT_EPS
 ) -> Column:

@@ -21,13 +21,19 @@ bottom-k of that set's distinct hashes; across digests the union's
 bottom-k is recomputed from the concatenation, which is exact because
 bottom_k(A ∪ B) ⊆ bottom_k(A) ∪ bottom_k(B).
 
-Scale note: the build aggregates `collect_set` of hashes per group before
-slicing to k. That is bounded by the group's DISTINCT count; for
-very-high-cardinality groups pre-filter hashes below k/est_card * 2^31
-(uniformity makes the survivors a superset of the true bottom-k) — the
-digests themselves stay k-bounded either way, so merges and comparisons
-never grow. Binary layout is engine-specific (not Trino-interoperable —
-same policy as the HLL/qdigest sketches, COVERAGE.md Known gaps).
+Scale note: a naive build would `collect_set` ALL distinct hashes per
+group before slicing to k — unbounded agg-buffer memory for high-NDV
+groups. `make_set_digest` therefore pre-filters: a first cheap pass
+estimates each group's NDV (approx_count_distinct — map-side partial,
+tiny state), and only hashes below `safety*k/est * 2^62` enter the
+collect_set. Hash uniformity makes the survivors a superset of the true
+bottom-k w.h.p. (P[fewer than k of est survive] is a lower-tail
+Binomial(est, safety*k/est) bound — Chernoff gives < 1e-200 at k=512,
+safety=4), so the digest is identical to the unfiltered build
+(equivalence asserted in tests) while the buffer holds ~safety*k values
+instead of the group's full distinct set. Binary layout is
+engine-specific (not Trino-interoperable — same policy as the HLL/qdigest
+sketches, COVERAGE.md Known gaps).
 """
 
 from __future__ import annotations
@@ -51,14 +57,30 @@ def _hash64(col: Column | str) -> Column:
 
 def make_set_digest(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = DEFAULT_K,
-    out: str = "digest",
+    out: str = "digest", safety: int = 4,
 ) -> DataFrame:
-    """One digest per group (Trino make_set_digest aggregate)."""
-    h = _hash64(value_col).alias("_h")
-    return df.select(*group_cols, _c(value_col).alias("_v"), h).groupBy(*group_cols).agg(
+    """One digest per group (Trino make_set_digest aggregate).
+
+    Two passes: (1) approx NDV per group, (2) bottom-k build over only the
+    hashes below `safety*k/est` of the hash range — see module docstring
+    for why the result is identical to the unfiltered build. The HLL half
+    still sees every value (its state is constant-size anyway)."""
+    base = df.select(*group_cols, _c(value_col).alias("_v"), _hash64(value_col).alias("_h"))
+    est = base.groupBy(*group_cols).agg(F.approx_count_distinct("_v").alias("_est"))
+    # threshold in hash space; groups with est <= safety*k keep everything
+    thr = F.when(
+        F.col("_est") > safety * k,
+        (F.lit(float(safety * k) * float(1 << 62)) / F.col("_est").cast("double")).cast("long"),
+    ).otherwise(F.lit(1 << 62))
+    joined = base.join(F.broadcast(est.select(*group_cols, thr.alias("_thr"))), group_cols)
+    return joined.groupBy(*group_cols).agg(
         F.struct(
             F.hll_sketch_agg("_v").alias("hll"),
-            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("mh"),
+            F.slice(
+                F.array_sort(F.collect_set(F.when(F.col("_h") < F.col("_thr"), F.col("_h")))),
+                1,
+                k,
+            ).alias("mh"),
         ).alias(out)
     )
 

@@ -170,6 +170,57 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    nbits: int = 16,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold)
+    via banded LSH candidate generation + exact verification — the
+    embedding-space mirror of `minhash_candidate_pairs`.
+
+    Plan shape (the 100 TB path): one pandas-UDF matmul pass signs each
+    vector into `n_tables` buckets of `nbits` sign-bits -> explode ->
+    self-equi-join on (table, bucket) -> distinct candidate pairs -> exact
+    cosine only on candidates. No all-pairs / nested-loop join anywhere; the
+    join is a hash join on bucket ids, and at scale the corpus is written
+    pre-bucketed so each table probe is partition-pruned.
+
+    Recall: a pair at cosine c collides in one table w.p. (1-acos(c)/pi)^nbits.
+    Defaults (16 bits x 8 tables) give ~99.5% recall at c=0.99 and a
+    ~1.5% background candidate rate at c<=0.52. Exact duplicates (and any
+    positive scalar multiple — cosine is scale-invariant, and so are the
+    sign-bit signatures) collide in EVERY table: recall 1.0 by construction.
+    """
+    planes = _hyperplanes(dim, nbits * n_tables)
+    buckets = _lsh_buckets_udf(planes, nbits, n_tables)
+    base = fan_out(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    banded = base.select(
+        "_id", F.posexplode(buckets(F.col("_v"))).alias("_table", "_bucket")
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "_table", "_bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "_table", "_bucket")
+    pairs = (
+        left.join(right, ["_table", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def normalize_corpus(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Pre-normalize embeddings so cosine reduces to dot product (do this
     once at ingest on a real deployment)."""

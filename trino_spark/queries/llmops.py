@@ -263,29 +263,46 @@ def similarity_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 @REG.add(
     "similarity_embedding_neardup",
     """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 7 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-    WHERE a.vec_id < 150 AND b.vec_id < 150
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+           round(list_cosine_similarity(a.v, b.v), 9) AS cos_sim
+    FROM corpus a JOIN corpus b ON b.vec_id > a.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
     ORDER BY id_a, id_b
     """,
 )
 def similarity_embedding_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.99) — the embedding-space
-    analog of minhash dedup (id-windowed to stay small at test SF)."""
-    from trino_spark.functions.vectors import cosine_similarity
+    analog of minhash dedup, routed through banded-LSH candidate generation
+    + exact verify (operators/similarity.py: embedding_neardup_pairs); no
+    all-pairs join in the plan.
 
-    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("id_b") > F.col("id_a"))
-        .withColumn("cos_sim", cosine_similarity("ea", "eb"))
-        .filter(F.col("cos_sim") >= 0.99)
-        .select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
-        .orderBy("id_a", "id_b")
+    The raw corpus has no >=0.99 pairs (max natural cosine ~0.51), so the
+    query plants one scaled copy (x1.5) of every 7th vector — cosine is
+    scale-invariant, so each planted row pairs with its source at exactly
+    1.0, and sign-bit LSH recall on those pairs is exact by construction.
+    The oracle recomputes the same augmented corpus with an exact all-pairs
+    join, so both the candidate recall and the verify filter are
+    value-checked (FP candidates from shared buckets must be rejected)."""
+    from trino_spark.operators import similarity
+
+    emb = t(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias(
+            "embedding"
+        ),
     )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted)
+    res = similarity.embedding_neardup_pairs(corpus, threshold=0.99)
+    return res.select(
+        "id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
 
 
 @REG.add(

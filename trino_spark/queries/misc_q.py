@@ -172,14 +172,17 @@ def sketch_quantile_union(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("price")
     )
     per = qs.qsketch_agg(o, ["grp"], "price")
-    merged = qs.qsketch_merge(per.select(F.lit("ALL").alias("g"), "qsketch"), ["g"])
+    # map-fold merge (one agg, no explode/second shuffle) + single-fold
+    # multi-quantile read — PERF.md r2
+    merged = qs.qsketch_merge_maps(per.select(F.lit("ALL").alias("g"), "qsketch"), ["g"])
+    pq = qs.values_at_quantiles("qsketch", [0.5, 0.9])
     per_out = per.select(
         "grp",
-        F.round(qs.value_at_quantile("qsketch", 0.5), 4).alias("p50_est"),
-        F.round(qs.value_at_quantile("qsketch", 0.9), 4).alias("p90_est"),
+        F.round(pq[0], 4).alias("p50_est"),
+        F.round(pq[1], 4).alias("p90_est"),
     )
     merged_out = merged.select(
-        F.round(qs.value_at_quantile("qsketch", 0.5), 4).alias("p50_all")
+        F.round(qs.values_at_quantiles("qsketch", [0.5])[0], 4).alias("p50_all")
     )
     return per_out.crossJoin(F.broadcast(merged_out)).orderBy("grp")
 
@@ -390,20 +393,60 @@ def dialect_array_combinatorics(spark: SparkSession, sf: str) -> DataFrame:
 )
 def variant_shred(spark: SparkSession, sf: str) -> DataFrame:
     """VARIANT type (spi/type/VariantType.java, spi/block/VariantBlock.java
-    -> Spark 4 VariantType): semi-structured props parsed once to variant,
-    typed field extraction with variant_get, aggregated. Oracle shreds the
-    same field with DuckDB JSON operators."""
+    -> Spark 4 VariantType): semi-structured props with HOT FIELDS SHREDDED
+    via a typed from_json projection (what a 100 TB pipeline does at ingest
+    — variant_get(parse_json(...)) per row measured 28x slower, PERF.md r2);
+    ad-hoc VARIANT access stays available and oracle-checked in the
+    sibling `variant_get_path` query. Oracle shreds the same field with
+    DuckDB JSON operators."""
     from trino_spark.queries.base import views
 
     views(spark, sf, "events")
     return spark.sql(
         """
         SELECT event_type,
-               CAST(sum(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS k_sum,
+               CAST(sum(from_json(props, 'struct<k:int>').k) AS BIGINT) AS k_sum,
                CAST(count(*) AS BIGINT) AS n
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+        """
+    )
+
+
+@REG.add(
+    "variant_get_path",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER)                       AS k,
+           CAST(json_type(props::JSON) = 'OBJECT' AS BOOLEAN)   AS is_obj,
+           CAST(props->>'$.missing' AS INTEGER)                 AS missing_f
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def variant_get_path(spark: SparkSession, sf: str) -> DataFrame:
+    """The VARIANT surface itself (Spark 4 VariantType; reference: Trino's
+    json type + json_extract, JsonFunctions.java): parse_json once per row,
+    typed variant_get path extraction, is_variant_object, and NULL-safe
+    missing-path semantics — bounded slice, ad-hoc-exploration shape. The
+    hot-field aggregation path is `variant_shred` (from_json at ingest)."""
+    from trino_spark.queries.base import views
+
+    views(spark, sf, "events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_id, parse_json(props) AS pv
+          FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               variant_get(pv, '$.k', 'int')                    AS k,
+               startswith(schema_of_variant(pv), 'OBJECT')      AS is_obj,
+               variant_get(pv, '$.missing', 'int')              AS missing_f
+        FROM v
+        ORDER BY event_id
         """
     )
 
