@@ -22,6 +22,7 @@ def all_specs() -> dict[str, QuerySpec]:
     reg = QueryRegistry()
     for mod_name in (
         # -- never driver-verified as of r1: front of the line --
+        "federation_q",
         "timeseries",
         "merge_q",
         "llmops",

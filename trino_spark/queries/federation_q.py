@@ -1,0 +1,87 @@
+"""Federated-source queries: parquet fact tables joined to a live JDBC
+dimension (embedded Derby — on the Spark classpath) through the catalog's
+JDBC registration path.
+
+Reference: Trino's base-jdbc connector (plugin/trino-base-jdbc/.../
+JdbcClient.java:56) pushes predicates into the remote scan; Spark's JDBC
+source does the same (PushedFilters on the JDBCRelation scan — asserted in
+tests/test_federation.py). At scale the JDBC side is the small dimension
+(broadcast), the parquet side is the 100 TB fact scan; numPartitions /
+partitionColumn options shard big JDBC reads, not needed for a 25-row dim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.queries.base import QueryRegistry, t
+
+REG = QueryRegistry()
+
+_DERBY_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "derby_fed")
+
+
+def derby_url(create: bool = False) -> str:
+    return f"jdbc:derby:{_DERBY_DIR}" + (";create=true" if create else "")
+
+
+def ensure_derby_nation(spark: SparkSession, sf: str) -> None:
+    """Seed the embedded-Derby `nation` table once (idempotent).
+
+    nation is SF-invariant (25 rows at every scale factor), so any sf_dir
+    seeds the same content. Seeding is the one side effect here — it stands
+    in for the external OLTP database a real federation query talks to."""
+    try:
+        spark.read.format("jdbc").option("url", derby_url()).option(
+            "dbtable", "nation"
+        ).load().limit(1).collect()
+        return
+    except Exception:
+        pass
+    t(spark, sf, "nation").write.format("jdbc").option("url", derby_url(create=True)).option(
+        "dbtable", "nation"
+    ).mode("overwrite").save()
+
+
+def jdbc_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """The JDBC dimension via the catalog's register_jdbc path."""
+    from trino_spark.catalog import Catalog
+
+    ensure_derby_nation(spark, sf)
+    cat = Catalog(spark)
+    cat.register_jdbc("nation_jdbc", url=derby_url(), dbtable="nation")
+    return cat.table("nation_jdbc")
+
+
+@REG.add(
+    "jdbc_federated_join",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey <= 2
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def jdbc_federated_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet fact x JDBC dim federation (Trino: base-jdbc JdbcClient.java
+    predicate pushdown + cross-connector join). The region filter reaches
+    the remote scan (PushedFilters), the 25-row dim broadcasts, the
+    customer scan stays parquet-side. Oracle re-derives the dim from the
+    parquet nation table — same rows by construction."""
+    c = t(spark, sf, "customer")
+    n = jdbc_nation(spark, sf).filter(F.col("n_regionkey") <= 2)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long").alias("acct_cents"),
+        )
+        .orderBy("n_name")
+    )
