@@ -90,3 +90,79 @@ def test_match_recognize_dataframe(spark):
     rows = [(r.k, r.match_no, r.n_v) for r in out.collect()]
     # k=1: (v v p) then (v p); k=2: the x breaks contiguity -> no match
     assert rows == [(1, 1, 2), (1, 2, 1)]
+
+
+def test_bounded_quantifier_greedy():
+    # greedy takes 3 when available, leftover single A can't reach lo=2
+    assert _matches("A{2,3}", "AAAA") == [(0, 3, ["A", "A", "A"])]
+    assert _matches("A{2,3}", "AAAAA") == [(0, 3, ["A"] * 3), (3, 5, ["A"] * 2)]
+    assert _matches("A{2}", "AAA") == [(0, 2, ["A", "A"])]
+    assert _matches("A{2,}", "AAAAA") == [(0, 5, ["A"] * 5)]
+    # backtracking: A{2,3} gives back the third A so C can match
+    assert _matches("A{2,3} C", "AAAC") == [(0, 4, ["A", "A", "A", "C"])]
+    assert _matches("A{2,3} C", "AAC") == [(0, 3, ["A", "A", "C"])]
+
+
+def test_reluctant_quantifiers():
+    # lazy + takes as few as possible
+    assert _matches("A+?", "AAA") == [(0, 1, ["A"]), (1, 2, ["A"]), (2, 3, ["A"])]
+    assert _matches("A+", "AAA") == [(0, 3, ["A"] * 3)]
+    assert _matches("A{1,3}?", "AAA") == [(0, 1, ["A"]), (1, 2, ["A"]), (2, 3, ["A"])]
+    # lazy opt prefers absence, still completes via backtracking
+    assert _matches("A B?? C", "ABC") == [(0, 3, ["A", "B", "C"])]
+    assert _matches("A B?? C", "AC") == [(0, 2, ["A", "C"])]
+    # lazy still expands when the continuation requires it
+    assert _matches("A+? B", "AAB") == [(0, 3, ["A", "A", "B"])]
+
+
+def test_permute():
+    assert _matches("PERMUTE(A, B)", "AB") == [(0, 2, ["A", "B"])]
+    assert _matches("PERMUTE(A, B)", "BA") == [(0, 2, ["B", "A"])]
+    assert _matches("PERMUTE(A, B, C)", "CAB") == [(0, 3, ["C", "A", "B"])]
+    # non-overlap + skip past last
+    assert _matches("PERMUTE(A, B)", "ABBA") == [(0, 2, ["A", "B"]), (2, 4, ["B", "A"])]
+
+
+def test_all_rows_per_match_dataframe(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 5,
+            "seq": [0, 1, 2, 3, 4],
+            "et": ["s", "h", "h", "h", "x"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("match_no", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("cls", T.StringType()),
+            T.StructField("run_n", T.LongType()),
+        ]
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="S H{2,3}",
+        define={},
+        define_vectorized={
+            "S": lambda p: p["et"] == "s",
+            "H": lambda p: p["et"] == "h",
+        },
+        measures={
+            "seq": lambda sl, labels: int(sl["seq"].iloc[-1]),
+            "cls": lambda sl, labels: labels[-1],
+            "run_n": lambda sl, labels: len(labels),
+        },
+        output_schema=schema,
+        rows_per_match="all",
+    ).orderBy("seq")
+    rows = [(r.k, r.match_no, r.seq, r.cls, r.run_n) for r in out.collect()]
+    assert rows == [
+        (1, 1, 0, "S", 1),
+        (1, 1, 1, "H", 2),
+        (1, 1, 2, "H", 3),
+        (1, 1, 3, "H", 4),
+    ]

@@ -8,10 +8,13 @@ evaluation window/pattern/LabelEvaluator.java. Subset implemented:
 
 - PARTITION BY / ORDER BY
 - PATTERN over labels with concatenation, alternation `|`, grouping,
-  quantifiers `* + ?` (greedy)
+  quantifiers `* + ?` (greedy), bounded `{n}` `{n,}` `{n,m}`, reluctant
+  variants (`*?` `+?` `??` `{n,m}?`), and PERMUTE(...) (expanded to the
+  alternation of all orderings, Trino's documented preference order)
 - DEFINE: per-label predicates over the ordered partition (row-at-a-time
   lambdas, or vectorized start-independent masks)
-- ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW
+- ONE ROW PER MATCH and ALL ROWS PER MATCH (RUNNING measure semantics),
+  AFTER MATCH SKIP PAST LAST ROW
 - MEASURES computed from the matched slice + label assignment
 
 Execution strategy (mirrors Trino's two-tier matcher, Matcher.java compiles
@@ -51,13 +54,22 @@ from pyspark.sql.types import StructType
 
 @dataclass
 class _Node:
-    kind: str  # label | seq | alt | star | plus | opt
+    kind: str  # label | seq | alt | star | plus | opt | rep
     label: str | None = None
     kids: tuple["_Node", ...] = ()
+    lo: int = 0  # rep only
+    hi: int | None = None  # rep only; None = unbounded
+    lazy: bool = False  # reluctant quantifier (trailing ?)
 
 
 def _parse_pattern(pattern: str) -> _Node:
-    """Parse `A B+ (C | D)* E?` into an AST."""
+    """Parse `A B+ (C | D)* E? F{2,3} G+? PERMUTE(H, I)` into an AST.
+
+    Grammar parity (SqlBase.g4:448 patternQuantifier/patternPrimary):
+    concatenation, alternation, grouping, `* + ?`, bounded `{n}` `{n,}`
+    `{n,m}`, reluctant variants (trailing `?`), and PERMUTE(p1, ..., pk)
+    expanded to the alternation of all orderings in Trino's documented
+    preference order (lexicographic by argument position)."""
     s = pattern
     toks: list[str] = []
     j = 0
@@ -65,13 +77,18 @@ def _parse_pattern(pattern: str) -> _Node:
         c = s[j]
         if c.isspace():
             j += 1
-        elif c in "()|*+?":
+        elif c == "{":
+            k = s.index("}", j)
+            toks.append(s[j : k + 1])
+            j = k + 1
+        elif c in "()|*+?,":
             toks.append(c)
             j += 1
         else:
             k = j
             while k < len(s) and (s[k].isalnum() or s[k] == "_"):
                 k += 1
+            assert k > j, f"bad pattern char {c!r}"
             toks.append(s[j:k])
             j = k
 
@@ -95,15 +112,29 @@ def _parse_pattern(pattern: str) -> _Node:
 
     def parse_seq() -> _Node:
         items: list[_Node] = []
-        while peek() is not None and peek() not in ")|":
+        while peek() is not None and peek() not in ")|,":
             items.append(parse_quant())
         return items[0] if len(items) == 1 else _Node("seq", kids=tuple(items))
 
     def parse_quant() -> _Node:
         atom = parse_atom()
-        while peek() in ("*", "+", "?"):
+        while (p := peek()) is not None and (p in "*+?" or p.startswith("{")):
             q = eat()
-            atom = _Node({"*": "star", "+": "plus", "?": "opt"}[q], kids=(atom,))
+            if q.startswith("{"):
+                body = q[1:-1]
+                if "," in body:
+                    lo_s, hi_s = body.split(",", 1)
+                    lo = int(lo_s)
+                    hi = int(hi_s) if hi_s.strip() else None
+                else:
+                    lo = hi = int(body)
+                assert hi is None or hi >= lo, f"bad quantifier bounds {q}"
+                atom = _Node("rep", kids=(atom,), lo=lo, hi=hi)
+            else:
+                atom = _Node({"*": "star", "+": "plus", "?": "opt"}[q], kids=(atom,))
+            if peek() == "?":  # reluctant
+                eat()
+                atom = _Node(atom.kind, kids=atom.kids, lo=atom.lo, hi=atom.hi, lazy=True)
         return atom
 
     def parse_atom() -> _Node:
@@ -112,6 +143,19 @@ def _parse_pattern(pattern: str) -> _Node:
             inner = parse_alt()
             assert eat() == ")", "unbalanced pattern parens"
             return inner
+        if t.upper() == "PERMUTE":
+            from itertools import permutations
+
+            assert eat() == "(", "PERMUTE requires parenthesized arguments"
+            parts = [parse_alt()]
+            while peek() == ",":
+                eat()
+                parts.append(parse_alt())
+            assert eat() == ")", "unbalanced PERMUTE parens"
+            if len(parts) == 1:
+                return parts[0]
+            alts = tuple(_Node("seq", kids=tuple(p)) for p in permutations(parts))
+            return _Node("alt", kids=alts)
         return _Node("label", label=t)
 
     root = parse_alt()
@@ -139,7 +183,13 @@ def _to_regex(node: _Node, bit: dict[str, int], nmasks: int) -> str:
         return "".join(_to_regex(k, bit, nmasks) for k in node.kids)
     if node.kind == "alt":
         return "(?:" + "|".join(_to_regex(k, bit, nmasks) for k in node.kids) + ")"
-    q = {"star": "*", "plus": "+", "opt": "?"}[node.kind]
+    if node.kind == "rep":
+        hi = "" if node.hi is None else node.hi
+        q = f"{{{node.lo},{hi}}}" if node.hi != node.lo else f"{{{node.lo}}}"
+    else:
+        q = {"star": "*", "plus": "+", "opt": "?"}[node.kind]
+    if node.lazy:
+        q += "?"
     return "(?:" + _to_regex(node.kids[0], bit, nmasks) + ")" + q
 
 
@@ -174,19 +224,47 @@ def _match_from(
             yield from _match_from(kid, row, n, test, start, labels)
         return
     if node.kind == "opt":
-        yield from _match_from(node.kids[0], row, n, test, start, labels)
-        yield row
+        if node.lazy:
+            yield row
+            yield from _match_from(node.kids[0], row, n, test, start, labels)
+        else:
+            yield from _match_from(node.kids[0], row, n, test, start, labels)
+            yield row
         return
     if node.kind in ("plus", "star"):
         def repeat(r: int):
             for mid in _match_from(node.kids[0], r, n, test, start, labels):
+                if node.lazy:
+                    yield mid
                 if mid > r:  # guard zero-width loops
                     yield from repeat(mid)
-                yield mid
+                if not node.lazy:
+                    yield mid
 
-        yield from repeat(row)
-        if node.kind == "star":
+        if node.kind == "star" and node.lazy:
             yield row
+        yield from repeat(row)
+        if node.kind == "star" and not node.lazy:
+            yield row
+        return
+    if node.kind == "rep":
+        lo, hi = node.lo, node.hi
+
+        def rep_from(r: int, cnt: int):
+            """Greedy (or lazy) bounded repetition ending positions."""
+            can_more = hi is None or cnt < hi
+            if node.lazy and cnt >= lo:
+                yield r
+            if can_more:
+                for mid in _match_from(node.kids[0], r, n, test, start, labels):
+                    if mid > r:
+                        yield from rep_from(mid, cnt + 1)
+                    elif cnt + 1 >= lo and not node.lazy:
+                        # zero-width kid: counts toward lo but can't recurse
+                        yield mid
+            if not node.lazy and cnt >= lo:
+                yield r
+        yield from rep_from(row, 0)
         return
     raise AssertionError(node.kind)
 
@@ -207,8 +285,15 @@ def match_recognize(
         [pd.DataFrame, np.ndarray, np.ndarray, dict[str, np.ndarray]], dict
     ]
     | None = None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
-    """ONE ROW PER MATCH / SKIP PAST LAST ROW row-pattern matching.
+    """ONE ROW PER MATCH / ALL ROWS PER MATCH, SKIP PAST LAST ROW.
+
+    rows_per_match="all" emits one output row per MATCHED INPUT ROW
+    (unmatched rows are omitted — Trino's ALL ROWS PER MATCH default,
+    SqlBase.g4 rowsPerMatch); measures are evaluated with RUNNING
+    semantics: fn(prefix_slice, labels_prefix) where the slice ends at the
+    current row, so labels_prefix[-1] is CLASSIFIER() of that row.
 
     define[label](pdf, i, start) -> bool: does ordered row i qualify as
     `label` for a match that began at `start`? (group-local pdf/indices)
@@ -272,6 +357,18 @@ def match_recognize(
                 match_no.append(cnt)
         if not a_idx:
             return None
+        if rows_per_match == "all":
+            rows: list[dict] = []
+            for s_, e_, mno in zip(a_idx, b_idx, match_no):
+                labels = _assignment(bm, s_, e_)
+                for off in range(e_ - s_):
+                    rec = {k: pdf.iloc[s_ + off][k] for k in partition_by}
+                    rec["match_no"] = mno
+                    sl = pdf.iloc[s_ : s_ + off + 1]
+                    for name, fn in measures.items():
+                        rec[name] = fn(sl, labels[: off + 1])
+                    rows.append(rec)
+            return pd.DataFrame(rows, columns=out_cols)
         a = np.asarray(a_idx, dtype=np.int64)
         b = np.asarray(b_idx, dtype=np.int64)
         out = {k: pdf[k].to_numpy()[a] for k in partition_by}
@@ -327,12 +424,21 @@ def match_recognize(
                 end = next(_match_from(ast, row, n, test, row, labels), None)
                 if end is not None and end > row:
                     match_no += 1
-                    sl = g.iloc[row:end]
-                    rec = {k: g.iloc[row][k] for k in partition_by}
-                    rec["match_no"] = match_no
-                    for name, fn in measures.items():
-                        rec[name] = fn(sl, list(labels))
-                    rows.append(rec)
+                    if rows_per_match == "all":
+                        for off in range(end - row):
+                            rec = {k: g.iloc[row + off][k] for k in partition_by}
+                            rec["match_no"] = match_no
+                            sl = g.iloc[row : row + off + 1]
+                            for name, fn in measures.items():
+                                rec[name] = fn(sl, list(labels)[: off + 1])
+                            rows.append(rec)
+                    else:
+                        sl = g.iloc[row:end]
+                        rec = {k: g.iloc[row][k] for k in partition_by}
+                        rec["match_no"] = match_no
+                        for name, fn in measures.items():
+                            rec[name] = fn(sl, list(labels))
+                        rows.append(rec)
                     row = end  # AFTER MATCH SKIP PAST LAST ROW
                 else:
                     row += 1

@@ -108,3 +108,91 @@ def match_recognize_funnel(spark: SparkSession, sf: str) -> DataFrame:
         measures_vectorized=measures_vec,
     )
     return out.orderBy("user_id", "match_no")
+
+
+_BOUNDED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("match_no", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cls", T.StringType()),
+        T.StructField("run_sum", T.DoubleType()),
+    ]
+)
+
+
+@REG.add(
+    "match_recognize_bounded_allrows",
+    """
+    WITH ord AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    flags AS (
+      SELECT *, (event_type = 'signup') AS s,
+             (event_type <> 'signup' AND value >= 30) AS h
+      FROM ord
+    ),
+    starts AS (
+      SELECT user_id, rn,
+             CASE WHEN h1 AND h2 AND h3 THEN 3
+                  WHEN h1 AND h2 THEN 2 END AS hlen
+      FROM (SELECT user_id, rn, s,
+                   lead(h, 1) OVER w AS h1,
+                   lead(h, 2) OVER w AS h2,
+                   lead(h, 3) OVER w AS h3
+            FROM flags
+            WINDOW w AS (PARTITION BY user_id ORDER BY rn)) f
+      WHERE s AND h1 AND h2
+    ),
+    numbered AS (
+      SELECT user_id, rn, hlen,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS match_no
+      FROM starts
+    ),
+    expanded AS (
+      SELECT n.user_id, n.match_no, n.rn + g.off AS rn, g.off
+      FROM numbered n, LATERAL (SELECT unnest(generate_series(0, n.hlen)) AS off) g
+    )
+    SELECT e.user_id, e.match_no, o.event_id,
+           CASE WHEN e.off = 0 THEN 'S' ELSE 'H' END AS cls,
+           round(sum(o.value) OVER (PARTITION BY e.user_id, e.match_no
+                                    ORDER BY e.off), 6) AS run_sum
+    FROM expanded e JOIN flags o USING (user_id, rn)
+    ORDER BY user_id, match_no, event_id
+    """,
+)
+def match_recognize_bounded_allrows(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded quantifier + ALL ROWS PER MATCH (grammar SqlBase.g4:448
+    patternQuantifier, Matcher.java bounded repetition): PATTERN (S H{2,3})
+    with S = signup, H = any non-signup event with value >= 30, ALL ROWS
+    PER MATCH, RUNNING sum measure, CLASSIFIER() per row.
+
+    S rows never qualify as H, so matches start exactly at signup rows and
+    can never overlap — which makes greedy SKIP-PAST-LAST semantics exactly
+    expressible as the windowed-lead SQL the oracle runs (greedy = take 3
+    H rows when the lookahead allows, else 2)."""
+    e = t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+
+    define_vec = {
+        "S": lambda pdf: pdf["event_type"] == "signup",
+        "H": lambda pdf: (pdf["event_type"] != "signup") & (pdf["value"] >= 30.0),
+    }
+    measures = {
+        "event_id": lambda sl, labels: int(sl["event_id"].iloc[-1]),
+        "cls": lambda sl, labels: labels[-1],
+        "run_sum": lambda sl, labels: round(float(sl["value"].sum()), 6),
+    }
+    out = match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["event_id"],
+        pattern="S H{2,3}",
+        define={},
+        measures=measures,
+        output_schema=_BOUNDED_SCHEMA,
+        define_vectorized=define_vec,
+        rows_per_match="all",
+    )
+    return out.orderBy("user_id", "match_no", "event_id")
