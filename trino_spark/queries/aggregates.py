@@ -372,3 +372,52 @@ def window_groups_frame(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
     )
+
+
+@REG.add(
+    "sketch_most_frequent",
+    """
+    WITH counts AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    per AS (
+      SELECT c_nationkey,
+             string_agg(c_mktsegment || ':' || cnt, ',' ORDER BY cnt DESC, c_mktsegment) AS top3
+      FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                         ORDER BY cnt DESC, c_mktsegment) AS rk
+            FROM counts) r
+      WHERE rk <= 3
+      GROUP BY c_nationkey
+    ),
+    g AS (
+      SELECT string_agg(c_mktsegment || ':' || cnt, ',' ORDER BY cnt DESC, c_mktsegment) AS top3_global
+      FROM (SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS cnt,
+                   row_number() OVER (ORDER BY sum(cnt) DESC, c_mktsegment) AS rk
+            FROM counts GROUP BY c_mktsegment) s
+      WHERE rk <= 3
+    )
+    SELECT per.c_nationkey, per.top3, g.top3_global
+    FROM per, g
+    ORDER BY per.c_nationkey
+    """,
+)
+def sketch_most_frequent(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_most_frequent as a storable/mergeable SpaceSaving sketch
+    (ApproximateMostFrequentHistogram.java): per-nation sketches of market
+    segments, merged to a global sketch. mktsegment NDV (5) < k (8), so
+    err = 0 and the sketch is EXACT — the oracle checks both the per-group
+    build and the merge path value-for-value; trimming + error-bound
+    behavior under k < NDV is pinned in tests/test_spacesaving.py."""
+    from trino_spark.operators import spacesaving as ss
+
+    c = t(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    per = ss.spacesaving_agg(c, ["c_nationkey"], "c_mktsegment", k=8)
+    merged = ss.spacesaving_merge(
+        per.select(F.lit(1).alias("_g"), "sketch"), ["_g"], k=8
+    )
+    per_out = per.select(
+        "c_nationkey", ss.most_frequent_string("sketch", 3).alias("top3")
+    )
+    global_out = merged.select(ss.most_frequent_string("sketch", 3).alias("top3_global"))
+    return per_out.crossJoin(F.broadcast(global_out)).orderBy("c_nationkey")
