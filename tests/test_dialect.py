@@ -237,3 +237,86 @@ def test_engine_explain_and_session(spark, sf_dir):
     assert eng.session_properties["query_max_run_time"] == "2h"
     eng.sql("RESET SESSION query_max_run_time")
     assert "query_max_run_time" not in eng.session_properties
+
+
+class TestRoutineControlFlow:
+    def test_if_body_compiles_to_inlined_case(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION grade(x BIGINT) RETURNS VARCHAR "
+            "BEGIN IF x > 10 THEN RETURN 'big'; ELSE RETURN 'small'; END IF; END"
+        )
+        # macro path: no registered UDF, call inlines into the plan
+        assert "GRADE" in eng.routines and "GRADE" not in eng.python_routines
+        rows = eng.sql("SELECT grade(20) AS g, grade(3) AS h").collect()
+        assert rows[0].g == "big" and rows[0].h == "small"
+
+    def test_straight_line_declare_set_inlines(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION net(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+            "BEGIN DECLARE r DOUBLE DEFAULT 1 - d; SET r = r * p; RETURN r; END"
+        )
+        assert "NET" in eng.routines
+        assert abs(float(eng.sql("SELECT net(100.0, 0.25) AS v").collect()[0].v) - 75.0) < 1e-9
+
+    def test_while_loop_interpreted(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION fib(n BIGINT) RETURNS BIGINT BEGIN "
+            "DECLARE a BIGINT DEFAULT 0; DECLARE b BIGINT DEFAULT 1; "
+            "DECLARE i BIGINT DEFAULT 0; DECLARE t BIGINT; "
+            "WHILE i < n DO SET t = a + b; SET a = b; SET b = t; SET i = i + 1; END WHILE; "
+            "RETURN a; END"
+        )
+        assert "FIB" in eng.python_routines
+        got = [r.f for r in eng.sql(
+            "SELECT fib(CAST(id AS BIGINT)) AS f FROM range(10) ORDER BY id"
+        ).collect()]
+        assert got == [0, 1, 1, 2, 3, 5, 8, 13, 21, 34]
+
+    def test_repeat_until_and_leave(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION collatz_steps(n BIGINT) RETURNS BIGINT BEGIN "
+            "DECLARE c BIGINT DEFAULT 0; DECLARE x BIGINT DEFAULT n; "
+            "outer_l: LOOP "
+            "  IF x <= 1 THEN LEAVE outer_l; END IF; "
+            "  IF x % 2 = 0 THEN SET x = x / 2; ELSE SET x = 3 * x + 1; END IF; "
+            "  SET c = c + 1; "
+            "END LOOP; "
+            "RETURN c; END"
+        )
+        # collatz(6): 6 3 10 5 16 8 4 2 1 -> 8 steps
+        assert eng.sql("SELECT collatz_steps(6) AS s").collect()[0].s == 8
+
+    def test_language_python(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION rev(s VARCHAR) RETURNS VARCHAR LANGUAGE PYTHON "
+            "AS $$\ndef rev(s):\n    return s[::-1]\n$$"
+        )
+        assert eng.sql("SELECT rev('abc') AS r").collect()[0].r == "cba"
+
+    def test_drop_function_removes_python_routine(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        eng.sql(
+            "CREATE FUNCTION tmp_f(n BIGINT) RETURNS BIGINT BEGIN "
+            "DECLARE i BIGINT DEFAULT 0; WHILE i < n DO SET i = i + 1; END WHILE; "
+            "RETURN i; END"
+        )
+        assert "TMP_F" in eng.python_routines
+        eng.sql("DROP FUNCTION tmp_f")
+        assert "TMP_F" not in eng.python_routines

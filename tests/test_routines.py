@@ -38,11 +38,24 @@ def test_parse_not_a_function():
     assert parse_drop_function("DROP FUNCTION IF EXISTS a.b.f") == "F"
 
 
-def test_control_flow_rejected():
-    with pytest.raises(ValueError, match="control-flow"):
-        parse_create_function(
-            "CREATE FUNCTION f(x INT) RETURNS INT BEGIN RETURN x; END"
-        )
+def test_begin_body_compiles_to_expression():
+    # BEGIN bodies without loops compile to an inlinable expression Routine
+    r = parse_create_function(
+        "CREATE FUNCTION f(x INT) RETURNS INT BEGIN RETURN x; END"
+    )
+    assert r is not None and hasattr(r, "body")
+
+
+def test_loop_body_becomes_python_routine():
+    from trino_spark.dialect.routines import PythonRoutine
+
+    r = parse_create_function(
+        "CREATE FUNCTION f(n BIGINT) RETURNS BIGINT BEGIN "
+        "DECLARE i BIGINT DEFAULT 0; "
+        "WHILE i < n DO SET i = i + 1; END WHILE; RETURN i; END"
+    )
+    assert isinstance(r, PythonRoutine)
+    assert r.fn(5) == 5 and r.fn(0) == 0
 
 
 def test_expand_nested_and_args():

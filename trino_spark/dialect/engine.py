@@ -28,6 +28,9 @@ class TrinoEngine:
         # SQL routines (CREATE FUNCTION ... RETURN expr), inlined as macros
         # per dialect/routines.py (reference: SqlRoutinePlanner inlining).
         self.routines: dict[str, _routines_mod.Routine] = {}
+        # Control-flow / LANGUAGE PYTHON routines, registered as Spark UDFs
+        # (reference: SqlRoutineCompiler.java bytecode path + PythonEngine).
+        self.python_routines: dict[str, _routines_mod.PythonRoutine] = {}
         # Prepared statements (PREPARE/EXECUTE/DEALLOCATE; PrepareTask.java).
         self.prepared: dict[str, str] = {}
         # SET SESSION properties (SystemSessionProperties.java surface).
@@ -64,11 +67,19 @@ class TrinoEngine:
             return self.sql(_prep.bind(self.prepared[name], args))
         routine = _routines_mod.parse_create_function(trino_sql)
         if routine is not None:
-            self.routines[routine.name] = routine
+            if isinstance(routine, _routines_mod.PythonRoutine):
+                # Row-interpreted path (loops / LANGUAGE PYTHON): a real UDF.
+                # Spark resolves the registered name during analysis, so no
+                # macro expansion is needed (or possible) for these.
+                self.python_routines[routine.name] = routine
+                self.spark.udf.register(routine.name.lower(), routine.fn, routine.returns)
+            else:
+                self.routines[routine.name] = routine
             return self.spark.createDataFrame([(routine.name.lower(),)], "function: string")
         dropped = _routines_mod.parse_drop_function(trino_sql)
         if dropped is not None:
             self.routines.pop(dropped, None)
+            self.python_routines.pop(dropped, None)
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()

@@ -10,13 +10,19 @@ body may use Trino-dialect constructs. The inlined expression then flows
 through Catalyst like any other (codegen, pushdown, constant folding) —
 a routine call costs nothing at scale, unlike an opaque Python UDF.
 
-Control-flow bodies (BEGIN/IF/LOOP — grammar SqlBase.g4:1104) are not
-macro-expandable; the supported answer there is a Python function composing
-Spark expressions (SURVEY.md §7 M2). We raise a clear error for those.
+Control-flow bodies (BEGIN/IF/LOOP — grammar SqlBase.g4:1104) compile via
+dialect/routine_body.py: straight-line and IF/RETURN bodies collapse to a
+single inlinable expression (stays on this macro path), loop bodies become
+a per-row Python callable surfaced as `PythonRoutine` — the engine
+registers it as a Spark UDF. `CREATE FUNCTION ... LANGUAGE PYTHON ...
+AS $$...$$` (reference: plugin/trino-functions-python/.../PythonEngine.java)
+also yields a PythonRoutine, executing the user's handler.
 """
 
 from __future__ import annotations
 
+import re as _re
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from trino_spark.dialect.tokenizer import Tok, match_paren, next_code, render, split_args, tokenize
@@ -31,10 +37,31 @@ class Routine:
     body: tuple[Tok, ...]  # RETURN expression tokens (untranslated dialect)
 
 
-def parse_create_function(sql: str) -> Routine | None:
+@dataclass(frozen=True)
+class PythonRoutine:
+    """A routine that must execute as a Spark UDF (loops / LANGUAGE PYTHON)."""
+
+    name: str
+    params: tuple[str, ...]
+    fn: Callable
+    returns: str  # Spark SQL type string, e.g. "bigint"
+
+
+_TYPE_MAP = {
+    "BIGINT": "bigint", "INTEGER": "int", "INT": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "DOUBLE": "double", "REAL": "float", "DECIMAL": "double",
+    "VARCHAR": "string", "CHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+}
+
+
+def parse_create_function(sql: str) -> Routine | PythonRoutine | None:
     """Parse CREATE [OR REPLACE] FUNCTION name(p type, ...) RETURNS type
-    [characteristics] RETURN expr. Returns None if `sql` is not a CREATE
-    FUNCTION statement; raises on the unsupported BEGIN...END form."""
+    [characteristics] (RETURN expr | BEGIN ... END | LANGUAGE PYTHON ...
+    AS $$...$$). Returns None if `sql` is not a CREATE FUNCTION statement.
+
+    Expression bodies (and BEGIN bodies that reduce to one — see
+    routine_body.compile_to_expression) come back as macro `Routine`s;
+    loop bodies and Python functions come back as `PythonRoutine`s."""
     toks = tokenize(sql)
     i = next_code(toks, 0)
     if i >= len(toks) or not toks[i].is_word("CREATE"):
@@ -63,17 +90,56 @@ def parse_create_function(sql: str) -> Routine | None:
         toks[next_code(toks, s)].text.upper() for s, _ in split_args(toks, j, close)
     )
 
-    # Skip RETURNS type + characteristics until the RETURN keyword.
+    # Capture RETURNS type, then scan characteristics until the body form.
+    returns = "string"
     k = next_code(toks, close + 1)
-    while k < len(toks) and not toks[k].is_word("RETURN"):
-        if toks[k].is_word("BEGIN", "IF", "LOOP", "WHILE", "SET"):
-            raise ValueError(
-                f"CREATE FUNCTION {name}: control-flow routine bodies "
-                "(BEGIN/IF/LOOP) are not supported — compose Spark "
-                "expressions in Python instead (SURVEY.md §7 M2)"
-            )
+    if k < len(toks) and toks[k].is_word("RETURNS"):
+        k = next_code(toks, k + 1)
+        returns = _TYPE_MAP.get(toks[k].text.upper(), "string")
+    language_python = False
+    while k < len(toks) and not toks[k].is_word("RETURN", "BEGIN", "AS"):
+        if toks[k].is_word("LANGUAGE"):
+            k = next_code(toks, k + 1)
+            language_python = toks[k].text.upper() == "PYTHON"
         k += 1
-    if k >= len(toks):
+
+    if language_python:
+        # reference: plugin/trino-functions-python — body in $$..$$, handler
+        # from WITH (handler = '...') or the single def in the body.
+        m = _re.search(r"\$\$(.*)\$\$", sql, _re.DOTALL)
+        if m is None:
+            raise ValueError(f"CREATE FUNCTION {name}: LANGUAGE PYTHON requires AS $$...$$")
+        code = m.group(1)
+        h = _re.search(r"handler\s*=\s*'([^']+)'", sql, _re.IGNORECASE)
+        ns: dict = {}
+        exec(code, ns)  # user-supplied UDF body, same trust model as the reference
+        if h is not None:
+            fn = ns[h.group(1)]
+        else:
+            import inspect
+
+            defs = [
+                v for v in ns.values()
+                if inspect.isfunction(v) and v.__globals__ is ns  # defined in the body
+            ]
+            if len(defs) != 1:
+                raise ValueError(
+                    f"CREATE FUNCTION {name}: ambiguous handler — use WITH (handler = '...')"
+                )
+            fn = defs[0]
+        return PythonRoutine(name=name, params=params, fn=fn, returns=returns)
+
+    if k < len(toks) and toks[k].is_word("BEGIN"):
+        from trino_spark.dialect import routine_body as rb
+
+        stmts = rb.parse_begin_body(toks, k)
+        expr = rb.compile_to_expression(stmts)
+        if expr is not None:
+            return Routine(name=name, params=params, body=expr)
+        fn = rb.compile_interpreter(stmts, params)
+        return PythonRoutine(name=name, params=params, fn=fn, returns=returns)
+
+    if k >= len(toks) or not toks[k].is_word("RETURN"):
         raise ValueError(f"CREATE FUNCTION {name}: missing RETURN expression")
 
     body = [t for t in toks[k + 1 :]]

@@ -210,3 +210,77 @@ def dialect_at_time_zone(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY event_id
         """,
     )
+
+
+@REG.add(
+    "dialect_routine_control",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000.0 THEN 'high'
+                WHEN c_acctbal > 0 THEN 'mid'
+                ELSE 'low' END AS tier,
+           CAST((c_custkey % 20) * (c_custkey % 20 + 1) / 2 AS BIGINT) AS tri,
+           CAST(list_sum(list_transform(regexp_extract_all(CAST(c_custkey AS VARCHAR), '\\d'),
+                                        d -> CAST(d AS INTEGER))) AS BIGINT) AS dsum
+    FROM customer
+    WHERE c_custkey < 500
+    ORDER BY c_custkey
+    """,
+)
+def dialect_routine_control(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL routine control flow (grammar SqlBase.g4:1104,
+    SqlRoutineCompiler.java:108) + LANGUAGE PYTHON functions
+    (plugin/trino-functions-python PythonEngine.java):
+
+    - `tier`: BEGIN/DECLARE/IF body — compiles to an inlined CASE
+      expression (fast path, zero per-row Python; routine_body.py tier 1)
+    - `sum_to`: WHILE loop -> interpreted per row as a registered UDF
+      (tier 2); oracle uses the closed form n(n+1)/2
+    - `digit_sum`: LANGUAGE PYTHON AS $$...$$ handler."""
+    eng = TrinoEngine(spark, sf)
+    eng.sql(
+        """
+        CREATE FUNCTION tier(bal DOUBLE) RETURNS VARCHAR
+        BEGIN
+          DECLARE hi DOUBLE DEFAULT 5000.0;
+          IF bal > hi THEN RETURN 'high';
+          ELSEIF bal > 0 THEN RETURN 'mid';
+          ELSE RETURN 'low';
+          END IF;
+        END
+        """
+    )
+    eng.sql(
+        """
+        CREATE FUNCTION sum_to(n BIGINT) RETURNS BIGINT
+        BEGIN
+          DECLARE i BIGINT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE i < n DO
+            SET i = i + 1;
+            SET acc = acc + i;
+          END WHILE;
+          RETURN acc;
+        END
+        """
+    )
+    eng.sql(
+        """
+        CREATE FUNCTION digit_sum(x BIGINT) RETURNS BIGINT
+        LANGUAGE PYTHON WITH (handler = 'dsum') AS $$
+def dsum(x):
+    return sum(int(d) for d in str(abs(int(x))))
+$$
+        """
+    )
+    return eng.sql(
+        """
+        SELECT c_custkey,
+               tier(c_acctbal) AS tier,
+               sum_to(c_custkey % 20) AS tri,
+               digit_sum(c_custkey) AS dsum
+        FROM customer
+        WHERE c_custkey < 500
+        ORDER BY c_custkey
+        """
+    )
