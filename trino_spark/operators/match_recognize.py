@@ -286,6 +286,10 @@ def match_recognize(
     ]
     | None = None,
     rows_per_match: str = "one",
+    measures_vectorized_all: Callable[
+        [pd.DataFrame, np.ndarray, np.ndarray, np.ndarray], dict
+    ]
+    | None = None,
 ) -> DataFrame:
     """ONE ROW PER MATCH / ALL ROWS PER MATCH, SKIP PAST LAST ROW.
 
@@ -358,6 +362,20 @@ def match_recognize(
         if not a_idx:
             return None
         if rows_per_match == "all":
+            if measures_vectorized_all is not None:
+                # flat emission: one numpy gather for the whole chunk.
+                # measures_vectorized_all(pdf, idx, lengths, labels_flat):
+                # idx = source-row index per output row, lengths = rows per
+                # match, labels_flat = CLASSIFIER() per output row.
+                lengths = np.asarray(b_idx, dtype=np.int64) - np.asarray(a_idx, dtype=np.int64)
+                idx = np.concatenate([np.arange(s_, e_) for s_, e_ in zip(a_idx, b_idx)])
+                labels_flat = np.concatenate(
+                    [np.asarray(_assignment(bm, s_, e_), dtype=object) for s_, e_ in zip(a_idx, b_idx)]
+                )
+                out = {k: pdf[k].to_numpy()[idx] for k in partition_by}
+                out["match_no"] = np.repeat(np.asarray(match_no, dtype=np.int64), lengths)
+                out.update(measures_vectorized_all(pdf, idx, lengths, labels_flat))
+                return pd.DataFrame(out, columns=out_cols)
             rows: list[dict] = []
             for s_, e_, mno in zip(a_idx, b_idx, match_no):
                 labels = _assignment(bm, s_, e_)

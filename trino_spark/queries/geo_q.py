@@ -176,7 +176,10 @@ def geo_polygon_metrics(spark: SparkSession, sf: str) -> DataFrame:
         for pid, verts in _POLYS.items()
         for seq, (x, y) in enumerate(verts)
     ]
-    v = spark.createDataFrame(rows, "pid int, seq int, x double, y double")
+    # SQL VALUES -> LocalRelation (createDataFrame(list) is RDD-backed and
+    # scans with defaultParallelism tasks; PERF.md r2)
+    values = ", ".join(f"({p}, {s}, CAST({x} AS DOUBLE), CAST({y} AS DOUBLE))" for p, s, x, y in rows)
+    v = spark.sql(f"SELECT * FROM VALUES {values} AS v(pid, seq, x, y)")
     rings = v.groupBy("pid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seq", "x", "y"))),

@@ -184,6 +184,19 @@ def match_recognize_bounded_allrows(spark: SparkSession, sf: str) -> DataFrame:
         "cls": lambda sl, labels: labels[-1],
         "run_sum": lambda sl, labels: round(float(sl["value"].sum()), 6),
     }
+
+    def measures_vec_all(pdf, idx, lengths, labels_flat):
+        # flat all-rows measures: one gather + a segment-reset cumsum
+        v = pdf["value"].to_numpy()[idx]
+        cs = np.cumsum(v)
+        heads = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        run = cs - np.repeat(cs[heads] - v[heads], lengths)
+        return {
+            "event_id": pdf["event_id"].to_numpy()[idx],
+            "cls": labels_flat,
+            "run_sum": np.round(run, 6),
+        }
+
     out = match_recognize(
         e,
         partition_by=["user_id"],
@@ -194,5 +207,6 @@ def match_recognize_bounded_allrows(spark: SparkSession, sf: str) -> DataFrame:
         output_schema=_BOUNDED_SCHEMA,
         define_vectorized=define_vec,
         rows_per_match="all",
+        measures_vectorized_all=measures_vec_all,
     )
     return out.orderBy("user_id", "match_no", "event_id")

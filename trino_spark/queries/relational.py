@@ -350,9 +350,12 @@ def distinct_limit(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def values_inline(spark: SparkSession, sf: str) -> DataFrame:
-    """Inline VALUES relation joined to a table."""
-    vals = spark.createDataFrame(
-        [("AF", "AFRICA"), ("AS", "ASIA"), ("EU", "EUROPE")], ["code", "rname"]
+    """Inline VALUES relation joined to a table. The VALUES side is a SQL
+    LocalRelation — createDataFrame(list) builds an RDD-backed relation
+    that scans with defaultParallelism tasks (measured 3 s for 3 rows at
+    local[32]; PERF.md r2)."""
+    vals = spark.sql(
+        "SELECT * FROM VALUES ('AF', 'AFRICA'), ('AS', 'ASIA'), ('EU', 'EUROPE') AS v(code, rname)"
     )
     return (
         vals.join(t(spark, sf, "region"), F.col("r_name") == F.col("rname"))
