@@ -320,3 +320,53 @@ class TestRoutineControlFlow:
         assert "TMP_F" in eng.python_routines
         eng.sql("DROP FUNCTION tmp_f")
         assert "TMP_F" not in eng.python_routines
+
+
+def test_explain_analyze_reports_operator_stats(spark, sf_dir):
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    text = eng.sql(
+        "EXPLAIN ANALYZE SELECT o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY o_orderpriority"
+    ).collect()[0].query_plan
+    assert "HashAggregate" in text
+    assert "numOutputRows=" in text
+    # the scan's row count is populated (query actually executed)
+    import re
+
+    rows = [int(m) for m in re.findall(r"numOutputRows=(\d+)", text)]
+    assert any(r >= 5 for r in rows), text
+
+
+class TestMaterializedViews:
+    def test_create_query_stale_refresh(self, spark, sf_dir):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+        spark.sql("SELECT * FROM VALUES (1, 10.0), (2, 20.0) AS t(k, v)").createOrReplaceTempView("mv_src")
+        eng.sql("CREATE MATERIALIZED VIEW mv_sums AS SELECT k, sum(v) AS s FROM mv_src GROUP BY k")
+        got = {r.k: r.s for r in eng.sql("SELECT * FROM mv_sums").collect()}
+        assert got == {1: 10.0, 2: 20.0}
+        # mutate the source; the MV must serve STORED (stale) data
+        spark.sql("SELECT * FROM VALUES (1, 99.0) AS t(k, v)").createOrReplaceTempView("mv_src")
+        got = {r.k: r.s for r in eng.sql("SELECT * FROM mv_sums").collect()}
+        assert got == {1: 10.0, 2: 20.0}
+        # refresh re-runs the definition
+        eng.sql("REFRESH MATERIALIZED VIEW mv_sums")
+        got = {r.k: r.s for r in eng.sql("SELECT * FROM mv_sums").collect()}
+        assert got == {1: 99.0}
+        eng.sql("DROP MATERIALIZED VIEW mv_sums")
+        assert "mv_sums" not in eng.materialized_views
+
+    def test_mv_accepts_trino_dialect_definition(self, spark, sf_dir):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mv_top AS "
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority ORDER BY n DESC FETCH FIRST 3 ROWS ONLY"
+        )
+        assert eng.sql("SELECT count(*) AS c FROM mv_top").first().c == 3
+        eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_top")

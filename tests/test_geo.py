@@ -104,3 +104,65 @@ def test_distance_join_matches_bruteforce(spark):
         if math.dist((ax, ay), (bx, by)) <= r
     }
     assert got == expect and len(expect) > 0
+
+
+class TestPolygonHolesMulti:
+    def test_area_with_holes_and_multi(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        shell = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+        hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)]
+        tri = [(20.0, 0.0), (24.0, 0.0), (20.0, 3.0)]
+
+        def ring(vs):
+            return F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in vs])
+
+        df = spark.range(1).select(
+            geo.st_area_polygon(F.array(ring(shell), ring(hole))).alias("a_holes"),
+            geo.st_area_multi(
+                F.array(F.array(ring(shell), ring(hole)), F.array(ring(tri)))
+            ).alias("a_multi"),
+            geo.st_contains_polygon(
+                F.array(ring(shell), ring(hole)), geo.st_point(F.lit(3.0), F.lit(3.0))
+            ).alias("in_hole"),
+            geo.st_contains_polygon(
+                F.array(ring(shell), ring(hole)), geo.st_point(F.lit(7.0), F.lit(7.0))
+            ).alias("in_shell"),
+            geo.st_contains_multi(
+                F.array(F.array(ring(shell), ring(hole)), F.array(ring(tri))),
+                geo.st_point(F.lit(21.0), F.lit(0.5)),
+            ).alias("in_tri"),
+        ).collect()[0]
+        assert df.a_holes == 96.0  # 100 - 4
+        assert df.a_multi == 102.0  # 96 + 6
+        assert df.in_hole is False and df.in_shell is True and df.in_tri is True
+
+    def test_polygon_from_text_with_hole(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+        row = spark.range(1).select(
+            geo.st_area_polygon(geo.st_polygon_from_text(F.lit(wkt))).alias("a")
+        ).collect()[0]
+        assert row.a == 96.0
+
+    def test_sphere_distance_and_area(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        # London -> Paris ~ 343-344 km; 1-degree square at the equator
+        eq_ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+        row = spark.range(1).select(
+            geo.st_sphere_distance(
+                geo.st_point(F.lit(-0.1278), F.lit(51.5074)),
+                geo.st_point(F.lit(2.3522), F.lit(48.8566)),
+            ).alias("d"),
+            geo.st_sphere_area(
+                F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in eq_ring])
+            ).alias("a"),
+        ).collect()[0]
+        assert 330 < row.d < 360
+        # 1 deg^2 at the equator ~ 111.19^2 km^2 ~ 12363; allow 2%
+        assert abs(row.a - 12363) / 12363 < 0.02

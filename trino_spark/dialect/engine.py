@@ -35,6 +35,12 @@ class TrinoEngine:
         self.prepared: dict[str, str] = {}
         # SET SESSION properties (SystemSessionProperties.java surface).
         self.session_properties: dict[str, str] = {}
+        # Materialized views: name -> defining Trino SQL. Data lives as
+        # parquet under spark-warehouse/mv/<name>; queries read the STORED
+        # data (stale until REFRESH), matching the reference's semantics
+        # (core/.../RefreshMaterializedViewOperator.java, docs
+        # sql/create-materialized-view.md).
+        self.materialized_views: dict[str, str] = {}
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
             schemas = {
@@ -83,6 +89,31 @@ class TrinoEngine:
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
+        if up[:3] == ["CREATE", "MATERIALIZED", "VIEW"] or up[:5] == [
+            "CREATE", "OR", "REPLACE", "MATERIALIZED", "VIEW",
+        ]:
+            skip = 3 if up[1] == "MATERIALIZED" else 5
+            rest = stripped.split(None, skip)[skip]
+            name, _, defn = rest.partition(" AS ") if " AS " in rest else rest.partition(" as ")
+            name = name.strip().strip('"').split(".")[-1].lower()
+            if not defn.strip():
+                raise ValueError(f"CREATE MATERIALIZED VIEW {name}: missing AS <query>")
+            self.materialized_views[name] = defn.strip()
+            self._mv_refresh(name)
+            return self.spark.createDataFrame([(name,)], "materialized_view: string")
+        if up[:3] == ["REFRESH", "MATERIALIZED", "VIEW"]:
+            name = stripped.split()[3].strip('"').split(".")[-1].lower()
+            if name not in self.materialized_views:
+                raise ValueError(f"materialized view not found: {name}")
+            n = self._mv_refresh(name)
+            return self.spark.createDataFrame([(name, n)], "materialized_view: string, rows: bigint")
+        if up[:3] == ["DROP", "MATERIALIZED", "VIEW"]:
+            parts = stripped.split()
+            idx = 5 if len(parts) > 5 and parts[3].upper() == "IF" else 3
+            name = parts[idx].strip('"').split(".")[-1].lower()
+            self.materialized_views.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame([(name,)], "materialized_view: string")
         if up[:1] == ["EXPLAIN"]:
             # EXPLAIN [ANALYZE] <stmt> (ExplainRewrite.java): returns the
             # rendered plan as a one-column relation, like the reference.
@@ -145,6 +176,18 @@ class TrinoEngine:
             df = df.drop("__rk")
         return df
 
+    def _mv_refresh(self, name: str) -> int:
+        """(Re)materialize a view: run its definition, store parquet, point
+        the name at the STORED data (RefreshMaterializedViewOperator)."""
+        import os
+
+        path = os.path.join("spark-warehouse", "mv", name)
+        df = self.sql(self.materialized_views[name])
+        df.write.mode("overwrite").parquet(path)
+        stored = self.spark.read.parquet(path)
+        stored.createOrReplaceTempView(name)
+        return stored.count()
+
     def explain(self, trino_sql: str, mode: str = "formatted") -> str:
         """EXPLAIN wrapper (reference: ExplainRewrite.java /
         main/operator/ExplainAnalyzeOperator.java:35)."""
@@ -158,9 +201,53 @@ class TrinoEngine:
 
     def explain_analyze(self, trino_sql: str) -> str:
         """EXPLAIN ANALYZE: execute, then render the final (AQE-resolved)
-        physical plan with runtime statistics — the role of Trino's
-        ExplainAnalyzeOperator (main/operator/ExplainAnalyzeOperator.java:35),
-        which also runs the query and reports per-operator stats."""
+        physical plan with PER-OPERATOR runtime statistics — the role of
+        Trino's ExplainAnalyzeOperator
+        (main/operator/ExplainAnalyzeOperator.java:35). The query runs
+        through its own QueryExecution (rows discarded executor-side), so
+        each node's SQLMetrics are populated; AQE query stages are
+        flattened into one tree."""
         df = self.sql(trino_sql)
-        df.write.format("noop").mode("overwrite").save()
-        return df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        qe.toRdd().count()  # execute THIS plan; output stays on executors
+        plan = qe.executedPlan()
+        try:
+            final = plan.executedPlan()  # AdaptiveSparkPlanExec final plan
+        except Exception:
+            final = plan
+        # metric keys worth a line in the report, highest-signal first
+        preferred = (
+            "numOutputRows", "numFiles", "filesSize", "scanTime", "aggTime",
+            "sortTime", "buildTime", "collectTime", "shuffleRecordsWritten",
+            "dataSize", "numPartitions", "peakMemory", "spillSize",
+        )
+        lines: list[str] = []
+
+        def walk(node, depth: int) -> None:
+            name = node.nodeName()
+            if "QueryStage" in name:
+                walk(node.plan(), depth)
+                return
+            if name.startswith("WholeStageCodegen") or name == "InputAdapter":
+                for i in range(node.children().size()):
+                    walk(node.children().apply(i), depth)
+                return
+            mets: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            shown = [k for k in preferred if k in mets]
+            shown += [k for k in sorted(mets) if k not in preferred and mets[k]][:3]
+            stats = ", ".join(f"{k}={mets[k]}" for k in shown[:6])
+            lines.append("  " * depth + name + (f" [{stats}]" if stats else ""))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i), depth + 1)
+
+        try:
+            walk(final, 0)
+            return "\n".join(lines)
+        except Exception:
+            # py4j tree-walk is best-effort; the executed plan string still
+            # reflects the AQE-final shape
+            return plan.toString()

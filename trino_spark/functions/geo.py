@@ -15,9 +15,16 @@ a serialized GEOMETRY type; we pick a Spark-native representation instead:
 Everything below is a composition of higher-order array expressions
 (`zip_with`, `aggregate`, `transform`) so polygons stay columnar and all
 math runs inside whole-stage codegen — a million-polygon column never
-leaves the JVM. Holes/multipolygons/geodesic math are out of scope
-(documented gap; great_circle_distance in functions/stats.py covers the
-spherical distance case).
+leaves the JVM. Extended representations:
+
+- POLYGON (with holes) -> array<ring> — rings[0] is the shell, the rest
+  are holes (st_area_polygon / st_contains_polygon / st_polygon_from_text)
+- MULTIPOLYGON -> array<polygon> (st_area_multi / st_contains_multi)
+- Geodesic: st_sphere_distance (haversine, Trino's
+  great_circle_distance radius) and st_sphere_area (spherical shoelace)
+  treat x as longitude and y as latitude, matching the reference's
+  SphericalGeographyType functions (GeoFunctions.java ST_Distance on
+  SPHERICAL_GEOGRAPHY).
 """
 
 from __future__ import annotations
@@ -165,6 +172,97 @@ def st_geometry_from_text(wkt: Column | str) -> Column:
     # WKT rings repeat the first vertex last; drop it when present.
     closed = (F.size(verts) > 1) & (F.element_at(verts, 1) == F.element_at(verts, -1))
     return F.when(closed, F.slice(verts, 1, F.size(verts) - 1)).otherwise(verts)
+
+
+# ---------------------------------------------- polygons with holes / multi
+
+
+def st_area_polygon(rings: Column | str) -> Column:
+    """Area of a polygon with holes (rings[0] = shell, rest = holes):
+    shell area minus hole areas (GeoFunctions.java ST_Area on POLYGON)."""
+    rings = _c(rings)
+    shell = F.element_at(rings, 1)
+    holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    return st_area(shell) - F.aggregate(
+        holes, F.lit(0.0), lambda acc, r: acc + st_area(r)
+    )
+
+
+def st_contains_polygon(rings: Column | str, p: Column | str) -> Column:
+    """Point-in-polygon honoring holes: inside the shell and not inside
+    any hole ring."""
+    rings, p = _c(rings), _c(p)
+    holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    return st_contains(F.element_at(rings, 1), p) & ~F.exists(
+        holes, lambda r: st_contains(r, p)
+    )
+
+
+def st_area_multi(polys: Column | str) -> Column:
+    """MULTIPOLYGON area: sum of member polygon areas."""
+    return F.aggregate(_c(polys), F.lit(0.0), lambda acc, rings: acc + st_area_polygon(rings))
+
+
+def st_contains_multi(polys: Column | str, p: Column | str) -> Column:
+    """MULTIPOLYGON contains: any member polygon contains the point."""
+    p = _c(p)
+    return F.exists(_c(polys), lambda rings: st_contains_polygon(rings, p))
+
+
+def st_polygon_from_text(wkt: Column | str) -> Column:
+    """POLYGON ((shell), (hole), ...) WKT -> array<ring> (holes kept).
+    Each parenthesized vertex list becomes one open ring."""
+    bodies = F.regexp_extract_all(_c(wkt), F.lit(r"\(([^()]+)\)"), F.lit(1))
+    return F.transform(
+        bodies,
+        lambda body: _open_ring(
+            F.transform(
+                F.split(body, r"\s*,\s*"),
+                lambda s: F.struct(
+                    F.split(F.trim(s), r"\s+")[0].cast("double").alias("x"),
+                    F.split(F.trim(s), r"\s+")[1].cast("double").alias("y"),
+                ),
+            )
+        ),
+    )
+
+
+def _open_ring(verts: Column) -> Column:
+    closed = (F.size(verts) > 1) & (F.element_at(verts, 1) == F.element_at(verts, -1))
+    return F.when(closed, F.slice(verts, 1, F.size(verts) - 1)).otherwise(verts)
+
+
+# ------------------------------------------------------------- geodesic math
+
+_EARTH_RADIUS_KM = 6371.01  # Trino MathFunctions.java great_circle_distance
+
+
+def st_sphere_distance(a: Column | str, b: Column | str) -> Column:
+    """Haversine distance in km between two points whose x is longitude
+    and y is latitude (GeoFunctions.java ST_Distance on
+    SPHERICAL_GEOGRAPHY; same mean-Earth radius as great_circle_distance)."""
+    a, b = _c(a), _c(b)
+    rlat1, rlon1 = F.radians(a["y"]), F.radians(a["x"])
+    rlat2, rlon2 = F.radians(b["y"]), F.radians(b["x"])
+    dlat = (rlat2 - rlat1) / 2
+    dlon = (rlon2 - rlon1) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return 2 * _EARTH_RADIUS_KM * F.asin(F.sqrt(h))
+
+
+def st_sphere_area(ring: Column | str) -> Column:
+    """Approximate spherical ring area in km^2 via the spherical shoelace
+    formula sum((lon2-lon1) * (2 + sin(lat1) + sin(lat2))) * R^2 / 2 —
+    the standard small-polygon approximation (GeoFunctions.java ST_Area on
+    SPHERICAL_GEOGRAPHY uses the same family of spherical-excess math)."""
+    acc = F.aggregate(
+        _edges(_c(ring)),
+        F.lit(0.0),
+        lambda s, e: s
+        + (F.radians(e["x2"]) - F.radians(e["x1"]))
+        * (2.0 + F.sin(F.radians(e["y1"])) + F.sin(F.radians(e["y2"]))),
+    )
+    return F.abs(acc) * _EARTH_RADIUS_KM * _EARTH_RADIUS_KM / 2.0
 
 
 def st_as_text(ring: Column | str) -> Column:

@@ -200,3 +200,110 @@ def geo_polygon_metrics(spark: SparkSession, sf: str) -> DataFrame:
         env["xmax"].alias("xmax"),
         env["ymax"].alias("ymax"),
     ).orderBy("pid")
+
+
+# Square shell with a square hole; integer coords keep fp exact.
+_SHELL = [(-6.0, -6.0), (6.0, -6.0), (6.0, 6.0), (-6.0, 6.0)]
+_HOLE = [(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0), (-2.0, 2.0)]
+
+
+def _edges_values(ring) -> str:
+    rows = []
+    for i, (x1, y1) in enumerate(ring):
+        x2, y2 = ring[(i + 1) % len(ring)]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+@REG.add(
+    "geo_polygon_holes",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 200 AS DOUBLE) / 10.0 - 10.0 AS px,
+             CAST(c_custkey * 101 % 200 AS DOUBLE) / 10.0 - 10.0 AS py
+      FROM customer
+    ), shell(x1, y1, x2, y2) AS (VALUES {{SHELL}}),
+       hole(x1, y1, x2, y2) AS (VALUES {{HOLE}}),
+    s AS (
+      SELECT c_custkey,
+             (SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+                        AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                  THEN 1 ELSE 0 END) % 2 = 1) AS in_shell
+      FROM pts CROSS JOIN shell GROUP BY c_custkey
+    ), h AS (
+      SELECT c_custkey,
+             (SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+                        AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                  THEN 1 ELSE 0 END) % 2 = 1) AS in_hole
+      FROM pts CROSS JOIN hole GROUP BY c_custkey
+    )
+    SELECT s.c_custkey, (s.in_shell AND NOT h.in_hole) AS inside,
+           128.0 AS poly_area
+    FROM s JOIN h USING (c_custkey)
+    ORDER BY s.c_custkey
+    """.replace("{SHELL}", _edges_values(_SHELL)).replace("{HOLE}", _edges_values(_HOLE)),
+)
+def geo_polygon_holes(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon-with-holes support (GeoFunctions.java ST_Contains/ST_Area on
+    POLYGON with interior rings): ray-cast against the shell minus the
+    hole, plus the hole-subtracted area, all as one columnar rings-array
+    expression. Oracle re-derives both ring tests from exploded edges."""
+    c = t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        ((k * 37 % 200).cast("double") / 10.0 - 10.0).alias("px"),
+        ((k * 101 % 200).cast("double") / 10.0 - 10.0).alias("py"),
+    )
+    rings = F.array(_ring_lit(_SHELL), _ring_lit(_HOLE))
+    return pts.select(
+        "c_custkey",
+        geo.st_contains_polygon(rings, geo.st_point("px", "py")).alias("inside"),
+        geo.st_area_polygon(rings).alias("poly_area"),
+    ).orderBy("c_custkey")
+
+
+@REG.add(
+    "geo_sphere_distance",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 53 % 360 AS DOUBLE) - 180.0 AS lon,
+             CAST(c_custkey * 29 % 160 AS DOUBLE) - 80.0  AS lat
+      FROM customer
+    )
+    SELECT c_custkey,
+           round(2 * 6371.01 * asin(sqrt(
+             sin(radians((lat - 48.8566) / 2)) * sin(radians((lat - 48.8566) / 2))
+             + cos(radians(48.8566)) * cos(radians(lat))
+             * sin(radians((lon - 2.3522) / 2)) * sin(radians((lon - 2.3522) / 2))
+           )), 6) AS km
+    FROM pts
+    ORDER BY km, c_custkey
+    LIMIT 50
+    """,
+)
+def geo_sphere_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Geodesic distance (ST_Distance on SPHERICAL_GEOGRAPHY,
+    GeoFunctions.java; haversine with Trino's 6371.01 km radius): the 50
+    customers nearest Paris by key-derived lon/lat. Oracle restates the
+    haversine identically in DuckDB trig."""
+    c = t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        ((k * 53 % 360).cast("double") - 180.0).alias("lon"),
+        ((k * 29 % 160).cast("double") - 80.0).alias("lat"),
+    )
+    paris = geo.st_point(F.lit(2.3522), F.lit(48.8566))
+    return (
+        pts.select(
+            "c_custkey",
+            F.round(
+                geo.st_sphere_distance(geo.st_point("lon", "lat"), paris), 6
+            ).alias("km"),
+        )
+        .orderBy("km", "c_custkey")
+        .limit(50)
+    )
