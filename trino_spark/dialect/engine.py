@@ -181,7 +181,8 @@ class TrinoEngine:
         the name at the STORED data (RefreshMaterializedViewOperator)."""
         import os
 
-        path = os.path.join("spark-warehouse", "mv", name)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        path = os.path.join(repo, "spark-warehouse", "mv", name)
         df = self.sql(self.materialized_views[name])
         df.write.mode("overwrite").parquet(path)
         stored = self.spark.read.parquet(path)

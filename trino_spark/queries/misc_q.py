@@ -483,3 +483,98 @@ def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "ctas_insert_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+    ),
+    extra AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM extra) u
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ctas_insert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TableWriter/TableFinish parity (TableWriterOperator.java,
+    TableFinishOperator.java): CTAS an aggregate to parquet, INSERT INTO
+    (append) a second batch, read the table back and re-aggregate. The
+    oracle computes the same result without the write/read hop, so the
+    round-trip (committer, schema, append semantics) is value-checked."""
+    import os
+    import shutil
+
+    from trino_spark import writes
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+    ]
+    o = t(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).groupBy("o_orderpriority").agg(*agg_cols)
+    extra = o.filter(F.col("o_orderkey") % 2 == 1).groupBy("o_orderpriority").agg(*agg_cols)
+    path = os.path.join(repo, "spark-warehouse", "ctas_roundtrip")
+    shutil.rmtree(path, ignore_errors=True)
+    writes.ctas(base, path)
+    writes.insert_into(extra, path)
+    return (
+        writes.read_back(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@REG.add(
+    "partition_overwrite_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def partition_overwrite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TableMutationOperator parity (partition-scoped DELETE+INSERT):
+    events written partitioned by event_type, then ONLY the 'error'
+    partition overwritten with flagged rows (dynamic partition overwrite —
+    other partitions untouched). Reading back must show the flag exactly
+    on the rewritten partition; oracle derives the same from the source."""
+    import os
+    import shutil
+
+    from trino_spark import writes
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    e = t(spark, sf, "events").select("event_id", "event_type")
+    path = os.path.join(repo, "spark-warehouse", "part_overwrite")
+    shutil.rmtree(path, ignore_errors=True)
+    e.withColumn("flagged", F.lit(0)).write.partitionBy("event_type").mode("overwrite").parquet(path)
+    patched = (
+        e.filter(F.col("event_type") == "error").withColumn("flagged", F.lit(1))
+    )
+    writes.overwrite_partitions(patched, path, ["event_type"])
+    return (
+        writes.read_back(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .orderBy("event_type")
+    )
