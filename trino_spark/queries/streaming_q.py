@@ -1,0 +1,104 @@
+"""Driver-visible streaming queries: the Structured Streaming extension
+(SURVEY §2.11 — Trino has no streaming tier) exercised through the SAME
+oracle gate as batch queries.
+
+Each builder replays the full events source through the streaming engine
+with Trigger.AvailableNow (exactly the plan a Kafka-fed deployment runs,
+minus the unbounded source), lands the result in a memory sink, and
+returns it as a DataFrame. The DuckDB oracle computes the identical
+aggregation in batch SQL — so the watermark/window/state machinery itself
+is value-checked, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_spark.queries.base import QueryRegistry
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "streaming_tumbling_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window counts through the streaming engine
+    (readStream -> withWatermark -> window agg -> AvailableNow replay),
+    value-checked against the batch equivalent. State stays bounded by
+    the watermark horizon; at scale the identical plan consumes Kafka."""
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf)
+    agg = streaming.windowed_counts(events)
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    streaming.run_available_now(agg, name, tempfile.mkdtemp(prefix="ckpt_"))
+    out = spark.table(name)
+    return (
+        out.select(
+            F.date_format("ws", "yyyy-MM-dd HH:00").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@REG.add(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState running
+    per-user totals — the §2.11 extension Trino has no analog for),
+    replayed with AvailableNow and value-checked against the batch
+    aggregate. Update-mode sink: the LAST emitted row per user equals the
+    final state."""
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf)
+    totals = streaming.running_user_totals(events)
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # update mode appends one row per state change per batch; keep the last
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy(F.desc("n_events"))
+    )
+    return (
+        out.withColumn("_rk", w)
+        .filter(F.col("_rk") == 1)
+        .select("user_id", F.col("n_events").cast("long").alias("n_events"), "value_sum")
+        .orderBy("user_id")
+    )
