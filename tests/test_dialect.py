@@ -370,3 +370,16 @@ class TestMaterializedViews:
         )
         assert eng.sql("SELECT count(*) AS c FROM mv_top").first().c == 3
         eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_top")
+
+
+def test_table_ptf_rewrites():
+    from trino_spark.dialect.rewrites import translate
+
+    out = translate("SELECT * FROM TABLE(sequence(1, 10))")
+    assert "range(1, (10) + 1)" in out and "sequential_number" in out
+    out = translate("SELECT * FROM TABLE(sequence(10, 1, -2))")
+    assert "range(10, (1) - 1, -2)" in out
+    out = translate(
+        "SELECT * FROM TABLE(exclude_columns(TABLE(nation), DESCRIPTOR(n_regionkey)))"
+    )
+    assert "EXCEPT (n_regionkey)" in out and "FROM nation" in out

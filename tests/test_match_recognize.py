@@ -166,3 +166,54 @@ def test_all_rows_per_match_dataframe(spark):
         (1, 1, 2, "H", 3),
         (1, 1, 3, "H", 4),
     ]
+
+
+def _matches_next_row(pattern, symbols):
+    """Overlapping-scan harness (AFTER MATCH SKIP TO NEXT ROW)."""
+    from trino_spark.operators.match_recognize import _match_from, _parse_pattern
+
+    ast = _parse_pattern(pattern)
+    n = len(symbols)
+
+    def test(label, i, start):
+        return symbols[i] == label
+
+    out = []
+    row = 0
+    while row < n:
+        labels = []
+        end = next(_match_from(ast, row, n, test, row, labels), None)
+        if end is not None and end > row:
+            out.append((row, end, list(labels)))
+        row += 1
+    return out
+
+
+def test_skip_to_next_row_overlapping(spark):
+    pdf = pd.DataFrame({"k": [1] * 4, "seq": [0, 1, 2, 3], "et": ["a", "a", "a", "b"]})
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("match_no", T.LongType()),
+            T.StructField("start_seq", T.LongType()),
+            T.StructField("len", T.LongType()),
+        ]
+    )
+    kw = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={},
+        define_vectorized={"A": lambda p: p["et"] == "a", "B": lambda p: p["et"] == "b"},
+        measures={
+            "start_seq": lambda sl, labels: int(sl["seq"].iloc[0]),
+            "len": lambda sl, labels: len(labels),
+        },
+        output_schema=schema,
+    )
+    past = match_recognize(spark.createDataFrame(pdf), **kw).collect()
+    nxt = match_recognize(spark.createDataFrame(pdf), after_match="next_row", **kw).collect()
+    # past-last: one greedy match consuming everything
+    assert [(r.start_seq, r.len) for r in past] == [(0, 4)]
+    # next-row: overlapping matches starting at every 'a'
+    assert sorted((r.start_seq, r.len) for r in nxt) == [(0, 4), (1, 3), (2, 2)]

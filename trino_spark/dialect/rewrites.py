@@ -641,11 +641,57 @@ def _rewrite_types(toks: list[Tok]) -> list[Tok]:
 
 # ------------------------------------------------------------------ driver
 
+def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
+    """Polymorphic table functions (reference: main/operator/table/ —
+    Sequence/ExcludeColumns TableFunction):
+    TABLE(sequence(start, stop [, step])) -> range() subquery emitting
+    Trino's `sequential_number` column; TABLE(exclude_columns(TABLE(t),
+    DESCRIPTOR(c, ...))) -> SELECT * EXCEPT subquery. Runs after the
+    function pass so PTF arguments are already translated."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        nxt = next_code(toks, i + 1)
+        if t.is_word("TABLE") and nxt < len(toks) and toks[nxt].is_sym("("):
+            close = match_paren(toks, nxt)
+            fi = next_code(toks, nxt + 1)
+            fn = toks[fi].text.upper() if fi < len(toks) and toks[fi].kind == "WORD" else None
+            if fn == "SEQUENCE":
+                po = next_code(toks, fi + 1)
+                pc = match_paren(toks, po)
+                args = [render(toks[s:e]).strip() for s, e in split_args(toks, po, pc)]
+                start, stop = args[0], args[1]
+                step = args[2] if len(args) > 2 else None
+                end = f"({stop}) - 1" if step and step.lstrip().startswith("-") else f"({stop}) + 1"
+                sql = f"(SELECT id AS sequential_number FROM range({start}, {end}"
+                sql += f", {step}))" if step else "))"
+                out.append(Tok("WORD", sql))
+                i = close + 1
+                continue
+            if fn == "EXCLUDE_COLUMNS":
+                po = next_code(toks, fi + 1)
+                pc = match_paren(toks, po)
+                spans = split_args(toks, po, pc)
+                src = render(toks[spans[0][0] : spans[0][1]]).strip()
+                if src.upper().startswith("TABLE"):
+                    src = src[src.index("(") + 1 : src.rindex(")")].strip()
+                desc = render(toks[spans[1][0] : spans[1][1]]).strip()
+                cols = desc[desc.index("(") + 1 : desc.rindex(")")]
+                out.append(Tok("WORD", f"(SELECT * EXCEPT ({cols}) FROM {src})"))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
     toks = tokenize(sql)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_functions(toks)
+    toks = _rewrite_table_ptf(toks)
     toks = _rewrite_at_time_zone(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_unnest(toks)

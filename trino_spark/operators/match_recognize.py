@@ -290,6 +290,7 @@ def match_recognize(
         [pd.DataFrame, np.ndarray, np.ndarray, np.ndarray], dict
     ]
     | None = None,
+    after_match: str = "past_last",
 ) -> DataFrame:
     """ONE ROW PER MATCH / ALL ROWS PER MATCH, SKIP PAST LAST ROW.
 
@@ -298,6 +299,10 @@ def match_recognize(
     SqlBase.g4 rowsPerMatch); measures are evaluated with RUNNING
     semantics: fn(prefix_slice, labels_prefix) where the slice ends at the
     current row, so labels_prefix[-1] is CLASSIFIER() of that row.
+
+    after_match="next_row" resumes scanning at match-start + 1 (AFTER
+    MATCH SKIP TO NEXT ROW — overlapping matches); default "past_last" is
+    SKIP PAST LAST ROW.
 
     define[label](pdf, i, start) -> bool: does ordered row i qualify as
     `label` for a match that began at `start`? (group-local pdf/indices)
@@ -351,14 +356,26 @@ def match_recognize(
         for gs, ge in zip(starts, ends):
             text = "".join(map(chr, sym[gs:ge]))
             cnt = 0
-            for m in rx.finditer(text):
-                ms, me = m.span()
-                if me <= ms:
-                    continue
-                cnt += 1
-                a_idx.append(gs + ms)
-                b_idx.append(gs + me)
-                match_no.append(cnt)
+            if after_match == "next_row":
+                # overlapping matches: try every start position
+                pos = 0
+                while pos < len(text):
+                    m = rx.match(text, pos)
+                    if m is not None and m.end() > m.start():
+                        cnt += 1
+                        a_idx.append(gs + m.start())
+                        b_idx.append(gs + m.end())
+                        match_no.append(cnt)
+                    pos += 1
+            else:
+                for m in rx.finditer(text):
+                    ms, me = m.span()
+                    if me <= ms:
+                        continue
+                    cnt += 1
+                    a_idx.append(gs + ms)
+                    b_idx.append(gs + me)
+                    match_no.append(cnt)
         if not a_idx:
             return None
         if rows_per_match == "all":
@@ -457,7 +474,8 @@ def match_recognize(
                         for name, fn in measures.items():
                             rec[name] = fn(sl, list(labels))
                         rows.append(rec)
-                    row = end  # AFTER MATCH SKIP PAST LAST ROW
+                    # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+                    row = end if after_match == "past_last" else row + 1
                 else:
                     row += 1
         return pd.DataFrame(rows, columns=out_cols) if rows else None

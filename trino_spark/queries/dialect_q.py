@@ -284,3 +284,32 @@ $$
         ORDER BY c_custkey
         """
     )
+
+
+@REG.add(
+    "dialect_ptf_sequence",
+    """
+    WITH s AS (SELECT unnest(generate_series(1, 40)) AS n)
+    SELECT n.n_nationkey, s.n AS seq_n,
+           CAST(n.n_nationkey * s.n AS BIGINT) AS prod
+    FROM (SELECT n_nationkey, n_name FROM nation) n
+    JOIN s ON s.n = n.n_nationkey + 1
+    ORDER BY n.n_nationkey
+    """,
+)
+def dialect_ptf_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """Polymorphic table functions (main/operator/table/ Sequence +
+    ExcludeColumns TableFunction, grammar tableFunctionCall):
+    TABLE(sequence(...)) -> range() relation with Trino's
+    sequential_number column; TABLE(exclude_columns(...)) -> * EXCEPT
+    projection. Oracle re-derives with generate_series."""
+    eng = TrinoEngine(spark, sf)
+    return eng.sql(
+        """
+        SELECT n.n_nationkey, s.sequential_number AS seq_n,
+               CAST(n.n_nationkey * s.sequential_number AS BIGINT) AS prod
+        FROM TABLE(exclude_columns(TABLE(nation), DESCRIPTOR(n_regionkey))) n
+        JOIN TABLE(sequence(1, 40)) s ON s.sequential_number = n.n_nationkey + 1
+        ORDER BY n.n_nationkey
+        """
+    )
