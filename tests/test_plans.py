@@ -61,3 +61,54 @@ def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain(mode="codegen")
     assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_embedding_neardup_has_no_nested_loop_join(spark, sf_dir):
+    # the near-dup path must be a bucket hash join + verify, never the
+    # all-pairs BroadcastNestedLoopJoin (PERF.md r2)
+    plan = _plan(all_specs()["similarity_embedding_neardup"].build(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_spacesaving_build_is_partial_agg_plus_group_limit(spark, sf_dir):
+    from trino_spark.operators import spacesaving as ss
+    from trino_spark.queries.base import t
+
+    c = t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    plan = _plan(ss.spacesaving_agg(c, ["c_nationkey"], "c_mktsegment", k=8))
+    # exact counts come from a partial+final agg; the top-k rank filter is
+    # pushed into WindowGroupLimit (partial top-k before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_corpus_prebucketed_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    # the documented 100 TB path for IVF/LSH: corpus written partitioned by
+    # cluster id, probe filters become partition pruning at the scan
+    from trino_spark.queries.base import t
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "cluster", (F.col("vec_id") % 8).cast("int")
+    )
+    path = str(tmp_path / "ivf_corpus")
+    emb.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cluster").isin(1, 3))
+    plan = _plan(probe)
+    # partition filters prune directories; no cluster filter reaches rows
+    assert "PartitionFilters: [" in plan and "cluster" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert probe.count() > 0
+
+
+def test_sketch_merge_single_shuffle(spark, sf_dir):
+    from trino_spark.operators import quantile_sketch as qs
+    from trino_spark.queries.base import t
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("price")
+    )
+    per = qs.qsketch_agg(o, ["grp"], "price")
+    merged = qs.qsketch_merge_maps(per.select(F.lit(1).alias("one"), "qsketch"), ["one"])
+    # the map-fold merge adds exactly one aggregation over the per sketches
+    # (no explode re-shuffle): plan has no Generate/Explode node
+    plan = _plan(merged)
+    assert "Generate" not in plan
