@@ -85,3 +85,62 @@ def jdbc_federated_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@REG.add(
+    "multiformat_roundtrip",
+    """
+    SELECT n_nationkey,
+           n_name,
+           n_regionkey,
+           CAST(length(n_name) AS BIGINT) AS name_len
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def multiformat_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Connector format breadth (Trino hive connector ORC/CSV/JSON readers:
+    plugin/trino-hive HiveStorageFormat): the same table written to ORC,
+    CSV and JSON, each read back through the catalog's TableSource
+    interface, then joined so every output column travels through a
+    DIFFERENT format. Oracle reads none of them — any format-specific
+    corruption (types, header handling, encoding) breaks the value hash."""
+    import shutil
+
+    from trino_spark.catalog import Catalog, TableSource
+
+    base = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse", "multiformat")
+    shutil.rmtree(root, ignore_errors=True)
+    base.write.format("orc").save(os.path.join(root, "orc"))
+    base.write.format("csv").option("header", "true").save(os.path.join(root, "csv"))
+    base.withColumn("name_len", F.length("n_name").cast("long")).write.format("json").save(
+        os.path.join(root, "json")
+    )
+
+    cat = Catalog(spark)
+    cat.register(TableSource(name="nation_orc", path=os.path.join(root, "orc"), format="orc"))
+    cat.register(
+        TableSource(
+            name="nation_csv",
+            path=os.path.join(root, "csv"),
+            format="csv",
+            options={"header": "true", "inferSchema": "true"},
+        )
+    )
+    cat.register(TableSource(name="nation_json", path=os.path.join(root, "json"), format="json"))
+
+    o = cat.table("nation_orc").select("n_nationkey", "n_name")
+    c = cat.table("nation_csv").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+    j = cat.table("nation_json").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "name_len"
+    )
+    return (
+        o.join(c, "n_nationkey")
+        .join(j, "n_nationkey")
+        .select("n_nationkey", "n_name", "n_regionkey", "name_len")
+        .orderBy("n_nationkey")
+    )
