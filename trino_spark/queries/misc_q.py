@@ -578,3 +578,43 @@ def partition_overwrite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "bucketed_join_roundtrip",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_li,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 5 = 0
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed CTAS -> shuffle-free co-located join
+    (ConnectorBucketNodeMap / Hive bucketed tables): orders and lineitem
+    CTAS'd bucketed on the join key, joined WITHOUT an Exchange on either
+    side (asserted in tests/test_writes_streaming.py), result
+    value-checked against the plain join. At 100 TB this turns the
+    repeated fact-to-fact join into a local merge."""
+    from trino_spark import writes
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    writes.ctas_bucketed(o, "bjr_orders", 8, ["o_orderkey"], ["o_orderkey"])
+    writes.ctas_bucketed(li, "bjr_lineitem", 8, ["l_orderkey"], ["l_orderkey"])
+    ob = spark.table("bjr_orders")
+    lb = spark.table("bjr_lineitem")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_li"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
