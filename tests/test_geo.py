@@ -166,3 +166,36 @@ class TestPolygonHolesMulti:
         assert 330 < row.d < 360
         # 1 deg^2 at the equator ~ 111.19^2 km^2 ~ 12363; allow 2%
         assert abs(row.a - 12363) / 12363 < 0.02
+
+
+class TestMultiPolygonWkt:
+    def test_multipolygon_from_text(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        wkt = (
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 4 2, 4 4, 2 4, 2 2)), ((20 0, 24 0, 20 3, 20 0)))"
+        )
+        polys = geo.st_multi_polygon_from_text(F.lit(wkt))
+        row = spark.range(1).select(
+            geo.st_area_multi(polys).alias("a"),
+            F.size(polys).alias("n"),
+            F.size(F.element_at(polys, 1)).alias("rings1"),
+            geo.st_contains_multi(polys, geo.st_point(F.lit(3.0), F.lit(3.0))).alias("in_hole"),
+            geo.st_contains_multi(polys, geo.st_point(F.lit(21.0), F.lit(1.0))).alias("in_tri"),
+        ).collect()[0]
+        assert row.a == 102.0  # (100 - 4) + 6
+        assert row.n == 2 and row.rings1 == 2
+        assert row.in_hole is False and row.in_tri is True
+
+    def test_multipolygon_single_member_and_whitespace(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        wkt = "multipolygon ( (( 0 0 , 4 0 , 0 3 , 0 0 )) )"
+        polys = geo.st_multi_polygon_from_text(F.lit(wkt))
+        row = spark.range(1).select(
+            geo.st_area_multi(polys).alias("a"), F.size(polys).alias("n")
+        ).collect()[0]
+        assert row.a == 6.0 and row.n == 1

@@ -209,15 +209,15 @@ def st_contains_multi(polys: Column | str, p: Column | str) -> Column:
     return F.exists(_c(polys), lambda rings: st_contains_polygon(rings, p))
 
 
-def st_polygon_from_text(wkt: Column | str) -> Column:
-    """POLYGON ((shell), (hole), ...) WKT -> array<ring> (holes kept).
-    Each parenthesized vertex list becomes one open ring."""
-    bodies = F.regexp_extract_all(_c(wkt), F.lit(r"\(([^()]+)\)"), F.lit(1))
+def _rings_from_body(body: Column) -> Column:
+    """'(x y, ...), (x y, ...)' -> array<ring> (each parenthesized vertex
+    list becomes one open ring)."""
+    bodies = F.regexp_extract_all(body, F.lit(r"\(([^()]+)\)"), F.lit(1))
     return F.transform(
         bodies,
-        lambda body: _open_ring(
+        lambda b: _open_ring(
             F.transform(
-                F.split(body, r"\s*,\s*"),
+                F.split(b, r"\s*,\s*"),
                 lambda s: F.struct(
                     F.split(F.trim(s), r"\s+")[0].cast("double").alias("x"),
                     F.split(F.trim(s), r"\s+")[1].cast("double").alias("y"),
@@ -225,6 +225,26 @@ def st_polygon_from_text(wkt: Column | str) -> Column:
             )
         ),
     )
+
+
+def st_polygon_from_text(wkt: Column | str) -> Column:
+    """POLYGON ((shell), (hole), ...) WKT -> array<ring> (holes kept)."""
+    return _rings_from_body(_c(wkt))
+
+
+def st_multi_polygon_from_text(wkt: Column | str) -> Column:
+    """MULTIPOLYGON WKT -> array<polygon> = array<array<ring>>, shell/hole
+    grouping preserved per member polygon (GeoFunctions.java
+    ST_GeometryFromText on multipolygons).
+
+    Pure-expression parse: polygons inside the outer wrapper are delimited
+    by `)), ((`; we canonicalize that delimiter to `|`, split, then reuse
+    the per-polygon ring extraction. No UDF — a WKT column parses inside
+    whole-stage codegen."""
+    s = F.regexp_replace(F.trim(_c(wkt)), r"(?i)^MULTIPOLYGON\s*\(", "")
+    s = F.regexp_replace(s, r"\)\s*$", "")
+    s = F.regexp_replace(s, r"\)\s*\)\s*,\s*\(\s*\(", "))|((")
+    return F.transform(F.split(s, r"\|"), _rings_from_body)
 
 
 def _open_ring(verts: Column) -> Column:

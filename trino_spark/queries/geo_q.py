@@ -307,3 +307,77 @@ def geo_sphere_distance(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("km", "c_custkey")
         .limit(50)
     )
+
+
+@REG.add(
+    "geo_bing_tiles",
+    """
+    WITH tiles AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 256 AS INTEGER) AS tx,
+             CAST(c_custkey * 53 % 256 AS INTEGER) AS ty
+      FROM customer
+    ), qk AS (
+      SELECT c_custkey, tx, ty,
+             string_agg(
+               CAST((tx // CAST(pow(2, 8 - i) AS INTEGER)) % 2
+                    + 2 * ((ty // CAST(pow(2, 8 - i) AS INTEGER)) % 2) AS VARCHAR),
+               '' ORDER BY i) AS quadkey
+      FROM tiles CROSS JOIN generate_series(1, 8) AS g(i)
+      GROUP BY c_custkey, tx, ty
+    )
+    SELECT substr(quadkey, 1, 4) AS parent,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           MIN(quadkey) AS min_qk,
+           MAX(quadkey) AS max_qk,
+           round(SUM(tx * 360.0 / 256.0 - 180.0), 4) AS sum_west_lng,
+           bool_and(TRUE) AS roundtrip_ok,
+           CAST(SUM(9) AS BIGINT) AS sum_around
+    FROM qk
+    GROUP BY parent
+    ORDER BY parent
+    """,
+)
+def geo_bing_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Bing tile family (plugin/trino-geospatial BingTileFunctions.java:
+    bing_tile, bing_tile_quadkey + inverse, bing_tile_polygon,
+    bing_tiles_around) — all JVM expressions from functions/tiles.py.
+    Tiles derive from integer keys so quadkey/corner math is exact on both
+    engines; the oracle recomputes the quadkey digit-by-digit in SQL and
+    pins the roundtrip (quadkey -> tile -> same x/y) and the 3x3
+    neighborhood size for interior points."""
+    from trino_spark.functions import tiles as bt
+
+    c = t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    d = c.select(
+        "c_custkey",
+        (k * 37 % 256).cast("int").alias("tx"),
+        (k * 53 % 256).cast("int").alias("ty"),
+        ((k * 13 % 140).cast("double") - 69.5).alias("lat"),
+        ((k * 19 % 340).cast("double") - 169.5).alias("lng"),
+    )
+    tile = bt.bing_tile("tx", "ty", F.lit(8))
+    qk = bt.bing_tile_quadkey(tile)
+    d = d.select(
+        "tx",
+        "ty",
+        qk.alias("quadkey"),
+        bt.bing_tile_from_quadkey(qk).alias("rt"),
+        F.element_at(bt.bing_tile_polygon(tile), 1)["x"].alias("west"),
+        F.size(bt.bing_tiles_around("lat", "lng", F.lit(8))).alias("n_around"),
+    )
+    return (
+        d.groupBy(F.substring("quadkey", 1, 4).alias("parent"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tiles"),
+            F.min("quadkey").alias("min_qk"),
+            F.max("quadkey").alias("max_qk"),
+            F.round(F.sum("west"), 4).alias("sum_west_lng"),
+            F.bool_and(
+                (F.col("rt")["x"] == F.col("tx")) & (F.col("rt")["y"] == F.col("ty"))
+            ).alias("roundtrip_ok"),
+            F.sum("n_around").cast("bigint").alias("sum_around"),
+        )
+        .orderBy("parent")
+    )

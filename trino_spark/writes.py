@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -99,6 +101,16 @@ def ctas_bucketed(
     join from the dominant shuffle into a local merge. Verified by plan
     assertion in tests/test_writes_streaming.py.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A managed-table location can survive the catalog entry (fresh session,
+    # previous run's warehouse dir on disk): clear it or saveAsTable fails
+    # with LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
