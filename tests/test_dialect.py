@@ -383,3 +383,79 @@ def test_table_ptf_rewrites():
         "SELECT * FROM TABLE(exclude_columns(TABLE(nation), DESCRIPTOR(n_regionkey)))"
     )
     assert "EXCEPT (n_regionkey)" in out and "FROM nation" in out
+
+
+class TestMvFreshness:
+    def test_freshness_fresh_stale_unknown(self, spark, sf_dir, tmp_path):
+        from trino_spark.catalog import TableSource
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+        # file-backed source we can mutate
+        src_dir = str(tmp_path / "fresh_src")
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v").write.parquet(src_dir)
+        eng.catalog.register(TableSource(name="fresh_src", path=src_dir))
+
+        eng.sql("CREATE MATERIALIZED VIEW mv_f AS SELECT sum(v) AS s FROM fresh_src")
+        rows = {r.name: r for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()}
+        assert rows["mv_f"].freshness == "FRESH"
+        assert rows["mv_f"].last_fresh_time  # populated
+
+        # mutate the source -> STALE (re-register = new snapshot arrived)
+        spark.range(3).selectExpr("id AS k", "id AS v").write.mode("overwrite").parquet(src_dir)
+        eng.catalog.register(TableSource(name="fresh_src", path=src_dir))
+        assert eng.sql("SHOW MATERIALIZED VIEWS").collect()[0].freshness == "STALE"
+
+        # refresh captures the new fingerprint -> FRESH again
+        eng.sql("REFRESH MATERIALIZED VIEW mv_f")
+        assert eng.sql("SHOW MATERIALIZED VIEWS").collect()[0].freshness == "FRESH"
+
+        # a definition over an unobservable relation (temp view) -> UNKNOWN
+        spark.range(2).createOrReplaceTempView("mv_tmp_src")
+        eng.sql("CREATE MATERIALIZED VIEW mv_u AS SELECT count(*) AS c FROM mv_tmp_src")
+        rows = {r.name: r for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()}
+        assert rows["mv_u"].freshness == "UNKNOWN"
+
+        eng.sql("DROP MATERIALIZED VIEW mv_f")
+        eng.sql("DROP MATERIALIZED VIEW mv_u")
+        assert eng.sql("SHOW MATERIALIZED VIEWS").count() == 0
+
+
+class TestPythonUdtfPtf:
+    def test_builtin_split_to_rows(self, spark, sf_dir):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+        rows = eng.sql(
+            "SELECT ordinal, value FROM TABLE(split_to_rows('a,b,c', ',')) ORDER BY ordinal"
+        ).collect()
+        assert [(r.ordinal, r.value) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_custom_udtf_with_lateral_source(self, spark, sf_dir):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+
+        class Repeat:
+            def eval(self, word: str, times: int):
+                for i in range(times or 0):
+                    yield (word, i)
+
+        eng.register_table_function("repeat_rows", Repeat, "word: string, i: int")
+        rows = eng.sql("SELECT word, i FROM TABLE(repeat_rows('x', 3)) ORDER BY i").collect()
+        assert [(r.word, r.i) for r in rows] == [("x", 0), ("x", 1), ("x", 2)]
+
+    def test_udtf_over_table_argument(self, spark, sf_dir):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir)
+
+        class CountRows:
+            def eval(self, row):
+                yield (row["n_regionkey"],)
+
+        eng.register_table_function("echo_regionkey", CountRows, "k: bigint")
+        n = eng.sql(
+            "SELECT count(*) AS c FROM TABLE(echo_regionkey(TABLE(nation)))"
+        ).first().c
+        assert n == 25

@@ -41,6 +41,11 @@ class TrinoEngine:
         # (core/.../RefreshMaterializedViewOperator.java, docs
         # sql/create-materialized-view.md).
         self.materialized_views: dict[str, str] = {}
+        # Freshness metadata per MV (reference: the freshness /
+        # last_fresh_time columns of system.metadata.materialized_views,
+        # core/.../connector/system/MaterializedViewSystemTable.java):
+        # source-table fingerprints captured at refresh time.
+        self._mv_meta: dict[str, dict] = {}
         if sf_dir:
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
             schemas = {
@@ -48,6 +53,9 @@ class TrinoEngine:
                 for name in ALL_TABLES
             }
             register_information_schema(spark, schemas)
+        from trino_spark.dialect import ptf as _ptf
+
+        _ptf.register_builtin_table_functions(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
@@ -112,8 +120,21 @@ class TrinoEngine:
             idx = 5 if len(parts) > 5 and parts[3].upper() == "IF" else 3
             name = parts[idx].strip('"').split(".")[-1].lower()
             self.materialized_views.pop(name, None)
+            self._mv_meta.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([(name,)], "materialized_view: string")
+        if up[:3] == ["SHOW", "MATERIALIZED", "VIEWS"]:
+            # Freshness surface of system.metadata.materialized_views
+            # (MaterializedViewSystemTable.java): FRESH iff every source
+            # table's on-disk fingerprint still matches the one captured at
+            # refresh; UNKNOWN for non-filesystem sources (e.g. jdbc).
+            rows = [
+                (n, self._mv_freshness(n), self._mv_meta[n]["last_fresh_time"])
+                for n in sorted(self.materialized_views)
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "name: string, freshness: string, last_fresh_time: string"
+            )
         if up[:1] == ["EXPLAIN"]:
             # EXPLAIN [ANALYZE] <stmt> (ExplainRewrite.java): returns the
             # rendered plan as a one-column relation, like the reference.
@@ -176,9 +197,19 @@ class TrinoEngine:
             df = df.drop("__rk")
         return df
 
+    def register_table_function(self, name: str, handler: type, return_type: str) -> None:
+        """Register a custom PTF (Python UDTF) callable as TABLE(name(...))
+        — the user-facing analog of Trino's ConnectorTableFunction SPI."""
+        from trino_spark.dialect import ptf as _ptf
+
+        _ptf.register_table_function(self.spark, name, handler, return_type)
+
     def _mv_refresh(self, name: str) -> int:
         """(Re)materialize a view: run its definition, store parquet, point
-        the name at the STORED data (RefreshMaterializedViewOperator)."""
+        the name at the STORED data (RefreshMaterializedViewOperator).
+        Captures a fingerprint of every referenced source table so
+        freshness can be decided later without re-running the view."""
+        import datetime
         import os
 
         repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -187,7 +218,66 @@ class TrinoEngine:
         df.write.mode("overwrite").parquet(path)
         stored = self.spark.read.parquet(path)
         stored.createOrReplaceTempView(name)
+        self._mv_meta[name] = {
+            "sources": self._mv_source_fingerprints(self.materialized_views[name]),
+            "last_fresh_time": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        }
         return stored.count()
+
+    def _mv_source_fingerprints(self, defn: str) -> dict[str, str | None]:
+        """table -> fingerprint for every relation the defining SQL
+        references (FROM/JOIN identifier scan). None = a source whose
+        snapshot we cannot observe (jdbc, temp views) -> freshness
+        UNKNOWN rather than a false FRESH."""
+        import os
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        out: dict[str, str | None] = {}
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", defn, re.IGNORECASE):
+            name = m.group(1).split(".")[-1].lower()
+            src = self.catalog._sources.get(name)
+            if src is not None and src.format != "jdbc" and src.path:
+                out[name] = self._fs_fingerprint(src.path)
+            elif name in self.materialized_views:
+                out[name] = self._fs_fingerprint(os.path.join(repo, "spark-warehouse", "mv", name))
+            else:
+                out[name] = None
+        return out
+
+    @staticmethod
+    def _fs_fingerprint(path: str) -> str | None:
+        """Stable digest of (relative path, size, mtime_ns) for every file
+        under `path` — the parquet-dir analog of a lakehouse snapshot id."""
+        import hashlib
+        import os
+
+        if not path or not os.path.exists(path):
+            return None
+        entries = []
+        if os.path.isfile(path):
+            st = os.stat(path)
+            entries.append(("", st.st_size, st.st_mtime_ns))
+        else:
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append((os.path.relpath(fp, path), st.st_size, st.st_mtime_ns))
+        h = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+        return h
+
+    def _mv_freshness(self, name: str) -> str:
+        meta = self._mv_meta.get(name)
+        if meta is None:
+            return "UNKNOWN"
+        for tbl, fp in meta["sources"].items():
+            src = self.catalog._sources.get(tbl)
+            if fp is None or src is None:
+                return "UNKNOWN"
+            if self._fs_fingerprint(src.path) != fp:
+                return "STALE"
+        return "FRESH"
 
     def explain(self, trino_sql: str, mode: str = "formatted") -> str:
         """EXPLAIN wrapper (reference: ExplainRewrite.java /

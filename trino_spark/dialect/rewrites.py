@@ -669,6 +669,16 @@ def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
                 out.append(Tok("WORD", sql))
                 i = close + 1
                 continue
+            if fn is not None and fn not in ("SEQUENCE", "EXCLUDE_COLUMNS"):
+                fcall = next_code(toks, fi + 1)
+                if fcall < len(toks) and toks[fcall].is_sym("("):
+                    # Generic PTF (spi/function/table/ConnectorTableFunction):
+                    # TABLE(fn(args)) -> fn(args), Spark's native UDTF
+                    # invocation in FROM position. Inner TABLE(t) arguments
+                    # pass through — Spark UDTFs accept the same syntax.
+                    out.append(Tok("WORD", render(toks[fi:close]).strip()))
+                    i = close + 1
+                    continue
             if fn == "EXCLUDE_COLUMNS":
                 po = next_code(toks, fi + 1)
                 pc = match_paren(toks, po)

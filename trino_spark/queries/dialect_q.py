@@ -72,8 +72,8 @@ def dialect_datetime_fns(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n_name, w, CAST(o AS BIGINT) AS o FROM (
       SELECT n_name,
-             unnest(string_split(n_name, ' ')) AS w,
-             generate_subscripts(string_split(n_name, ' '), 1) AS o
+             unnest(string_split(n_name, '_')) AS w,
+             generate_subscripts(string_split(n_name, '_'), 1) AS o
       FROM nation) u
     ORDER BY n_name, o
     """,
@@ -311,5 +311,30 @@ def dialect_ptf_sequence(spark: SparkSession, sf: str) -> DataFrame:
         FROM TABLE(exclude_columns(TABLE(nation), DESCRIPTOR(n_regionkey))) n
         JOIN TABLE(sequence(1, 40)) s ON s.sequential_number = n.n_nationkey + 1
         ORDER BY n.n_nationkey
+        """
+    )
+
+
+@REG.add(
+    "dialect_ptf_udtf",
+    """
+    SELECT n_name,
+           CAST(generate_subscripts(string_split(n_name, '_'), 1) AS INTEGER) AS ordinal,
+           unnest(string_split(n_name, '_')) AS value
+    FROM nation
+    ORDER BY n_name, ordinal
+    """,
+)
+def dialect_ptf_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom PTF via Python UDTF (spi/function/table/
+    ConnectorTableFunction.java; Spark 4 UDTF as the executor): the
+    built-in split_to_rows table function laterally applied per nation
+    row. Oracle re-derives with DuckDB unnest + generate_subscripts."""
+    eng = TrinoEngine(spark, sf)
+    return eng.sql(
+        """
+        SELECT n.n_name, s.ordinal, s.value
+        FROM nation n, LATERAL TABLE(split_to_rows(n.n_name, '_')) s
+        ORDER BY n.n_name, s.ordinal
         """
     )
