@@ -217,3 +217,66 @@ def test_skip_to_next_row_overlapping(spark):
     assert [(r.start_seq, r.len) for r in past] == [(0, 4)]
     # next-row: overlapping matches starting at every 'a'
     assert sorted((r.start_seq, r.len) for r in nxt) == [(0, 4), (1, 3), (2, 2)]
+
+
+def test_skip_to_last_label(spark):
+    # W+ U: rises then one fall; SKIP TO LAST W resumes AT the last rise row
+    # so the falling row starts the next match's W run — classic V-shapes.
+    pdf = pd.DataFrame(
+        {"k": [1] * 7, "seq": list(range(7)), "v": [1, 2, 3, 2, 3, 4, 2]}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("match_no", T.LongType()),
+            T.StructField("start_seq", T.LongType()),
+            T.StructField("end_seq", T.LongType()),
+        ]
+    )
+    kw = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="W W+ U",
+        define={
+            "W": lambda g, i, s: i == s or g["v"].iloc[i] > g["v"].iloc[i - 1],
+            "U": lambda g, i, s: g["v"].iloc[i] < g["v"].iloc[i - 1],
+        },
+        measures={
+            "start_seq": lambda sl, labels: int(sl["seq"].iloc[0]),
+            "end_seq": lambda sl, labels: int(sl["seq"].iloc[-1]),
+        },
+        output_schema=schema,
+    )
+    past = match_recognize(spark.createDataFrame(pdf), **kw).collect()
+    assert [(r.start_seq, r.end_seq) for r in past] == [(0, 3), (4, 6)]
+    to_last = match_recognize(
+        spark.createDataFrame(pdf), after_match="to_last:W", **kw
+    ).collect()
+    # resume at seq=2 (last W of match 1): row 3 re-qualifies as fall? No —
+    # the second match rises 3->4 from seq 3's value 2: (2,3)(3,2)... next
+    # match starts at seq 2 (v=3): W at start, then seq 3 v=2 not a rise ->
+    # no W+; backtrack fails; scanning advances. Next full match: 3..6.
+    assert [(r.start_seq, r.end_seq) for r in to_last] == [(0, 3), (3, 6)]
+
+
+def test_skip_to_first_label_errors_on_first_row(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 1], "seq": [0, 1, 2], "et": ["a", "a", "b"]})
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("match_no", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    with pytest.raises(Exception, match="first row"):
+        match_recognize(
+            spark.createDataFrame(pdf),
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A+ B",
+            define={"A": lambda g, i, s: g["et"].iloc[i] == "a",
+                    "B": lambda g, i, s: g["et"].iloc[i] == "b"},
+            measures={"n": lambda sl, labels: len(labels)},
+            output_schema=schema,
+            after_match="to_first:A",
+        ).collect()

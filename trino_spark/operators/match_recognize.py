@@ -302,7 +302,10 @@ def match_recognize(
 
     after_match="next_row" resumes scanning at match-start + 1 (AFTER
     MATCH SKIP TO NEXT ROW — overlapping matches); default "past_last" is
-    SKIP PAST LAST ROW.
+    SKIP PAST LAST ROW; "to_first:<L>" / "to_last:<L>" resume AT the
+    first/last row the match labeled L (AFTER MATCH SKIP TO [FIRST|LAST]
+    <label>, erroring when L is absent or would re-start at the match's
+    first row, like the reference).
 
     define[label](pdf, i, start) -> bool: does ordered row i qualify as
     `label` for a match that began at `start`? (group-local pdf/indices)
@@ -317,8 +320,10 @@ def match_recognize(
     ast = _parse_pattern(pattern)
     pat_labels = sorted(_labels_of(ast))
     vec = dict(define_vectorized or {})
-    fast = len(pat_labels) <= 8 and all(
-        (l in vec) or (l not in define) for l in pat_labels
+    fast = (
+        len(pat_labels) <= 8
+        and after_match in ("past_last", "next_row")
+        and all((l in vec) or (l not in define) for l in pat_labels)
     )
     bit = {l: 1 << i for i, l in enumerate(pat_labels)}
     nmasks = 1 << len(pat_labels)
@@ -474,8 +479,34 @@ def match_recognize(
                         for name, fn in measures.items():
                             rec[name] = fn(sl, list(labels))
                         rows.append(rec)
-                    # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
-                    row = end if after_match == "past_last" else row + 1
+                    # AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW |
+                    # TO FIRST/LAST <label> (grammar SqlBase.g4 skipTo;
+                    # matcher/Matcher.java resume semantics)
+                    if after_match == "past_last":
+                        row = end
+                    elif after_match == "next_row":
+                        row = row + 1
+                    elif after_match.startswith(("to_first:", "to_last:")):
+                        mode, _, target = after_match.partition(":")
+                        if target not in labels:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP TO {target}: label did not "
+                                "participate in the match"
+                            )
+                        if mode == "to_first":
+                            pos = row + labels.index(target)
+                        else:
+                            pos = row + len(labels) - 1 - labels[::-1].index(target)
+                        if pos == row:
+                            # resuming AT the match's first row would loop
+                            # forever; the reference raises here too.
+                            raise ValueError(
+                                f"AFTER MATCH SKIP TO {target} cannot skip to "
+                                "the first row of the match"
+                            )
+                        row = pos
+                    else:
+                        raise ValueError(f"unknown after_match: {after_match}")
                 else:
                     row += 1
         return pd.DataFrame(rows, columns=out_cols) if rows else None

@@ -421,3 +421,65 @@ def sketch_most_frequent(spark: SparkSession, sf: str) -> DataFrame:
     )
     global_out = merged.select(ss.most_frequent_string("sketch", 3).alias("top3_global"))
     return per_out.crossJoin(F.broadcast(global_out)).orderBy("c_nationkey")
+
+
+@REG.add(
+    "agg_entropy",
+    """
+    SELECT l_returnflag,
+           round(entropy(l_linestatus), 6) AS status_entropy,
+           round(entropy(month(l_shipdate)), 6) AS month_entropy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy aggregate (core/.../aggregation/ShannonEntropyAggregation
+    family; log2 of the empirical value distribution, matching DuckDB's
+    entropy()). Two hash aggregations — count per (group, value), then
+    -sum(p*log2 p) per group — both codegen'd; no value buffering, so a
+    high-cardinality group costs rows, not memory."""
+    li = t(spark, sf, "lineitem")
+
+    def ent(col: str, out) -> DataFrame:
+        # H = log2(N) - sum(c*log2 c)/N over per-value counts: one extra
+        # hash-agg instead of buffering values or a window pass.
+        return (
+            li.groupBy("l_returnflag", col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(
+                    F.log2(F.sum("_c"))
+                    - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c"),
+                    6,
+                ).alias(out)
+            )
+        )
+
+    def ent_month() -> DataFrame:
+        return (
+            li.select("l_returnflag", F.month("l_shipdate").alias("_m"))
+            .groupBy("l_returnflag", "_m")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(
+                    F.log2(F.sum("_c"))
+                    - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c"),
+                    6,
+                ).alias("month_entropy")
+            )
+        )
+
+    a = ent("l_linestatus", "status_entropy")
+    b = ent_month()
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        a.join(b, "l_returnflag")
+        .join(n, "l_returnflag")
+        .select("l_returnflag", "status_entropy", "month_entropy", "n")
+        .orderBy("l_returnflag")
+    )

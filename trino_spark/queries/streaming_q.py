@@ -102,3 +102,42 @@ def streaming_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", F.col("n_events").cast("long").alias("n_events"), "value_sum")
         .orderBy("user_id")
     )
+
+
+@REG.add(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM (
+      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark — watermark-
+    bounded seen-keys state; the streaming tier of the dedup operator
+    family). AvailableNow replay into a memory sink, then a batch count of
+    survivors per type, value-checked against batch DISTINCT."""
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf)
+    deduped = streaming.dedup_events(events)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )

@@ -126,3 +126,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication, first-occurrence-wins.
+
+    The streaming tier of the LLM-pipeline dedup family (operators/
+    dedup.py exact_dedup is the batch analog): dropDuplicatesWithinWatermark
+    keeps the seen-keys state bounded by the watermark horizon instead of
+    growing with the stream — the requirement for a 100 TB/day ingest feed,
+    where duplicates arrive close together (retries, replays) and an
+    unbounded seen-set would OOM. Key = (user_id, event_type, minute
+    bucket): any duplicate arriving within the horizon is dropped."""
+    keyed = events.withColumn(
+        "dedup_key",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.date_trunc("minute", "ts").cast("string"),
+        ),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["dedup_key"]
+    )
