@@ -199,3 +199,57 @@ class TestMultiPolygonWkt:
             geo.st_area_multi(polys).alias("a"), F.size(polys).alias("n")
         ).collect()[0]
         assert row.a == 6.0 and row.n == 1
+
+
+class TestSphereContains:
+    def test_sphere_contains_basic(self, spark):
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        def ring(verts):
+            return F.array(
+                *[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in verts]
+            )
+
+        # 10-degree box around Paris (lon 2.35, lat 48.86)
+        box = [(-3.0, 44.0), (8.0, 44.0), (8.0, 54.0), (-3.0, 54.0)]
+        row = spark.range(1).select(
+            geo.st_sphere_contains(ring(box), geo.st_point(F.lit(2.35), F.lit(48.86))).alias("inside"),
+            geo.st_sphere_contains(ring(box), geo.st_point(F.lit(20.0), F.lit(48.86))).alias("east_out"),
+            geo.st_sphere_contains(ring(box), geo.st_point(F.lit(2.35), F.lit(30.0))).alias("south_out"),
+            # antipodal point -> far hemisphere -> NULL, not a wrong answer
+            geo.st_sphere_contains(ring(box), geo.st_point(F.lit(-177.65), F.lit(-48.86))).alias("anti"),
+        ).collect()[0]
+        assert row.inside is True
+        assert row.east_out is False and row.south_out is False
+        assert row.anti is None
+
+    def test_sphere_contains_matches_planar_near_equator(self, spark):
+        # Tiny polygon at the equator: gnomonic distortion negligible ->
+        # agrees with the planar predicate on lon/lat.
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        tri = [(0.0, 0.0), (0.2, 0.0), (0.0, 0.2)]
+        ring = F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in tri])
+        pts = [(0.05, 0.05, True), (0.15, 0.15, False), (0.19, 0.005, True)]
+        for lon, lat, want in pts:
+            got = spark.range(1).select(
+                geo.st_sphere_contains(ring, geo.st_point(F.lit(lon), F.lit(lat))).alias("g")
+            ).first().g
+            assert got is want, (lon, lat)
+
+    def test_sphere_contains_polar_cap(self, spark):
+        # A ring circling the pole at lat 80: the planar lon/lat ray-cast
+        # CANNOT represent this region; the gnomonic form gets it right.
+        from trino_spark.functions import geo
+        from pyspark.sql import functions as F
+
+        cap = [(float(lon), 80.0) for lon in range(-180, 180, 45)]
+        ring = F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in cap])
+        row = spark.range(1).select(
+            geo.st_sphere_contains(ring, geo.st_point(F.lit(0.0), F.lit(89.0))).alias("near_pole"),
+            geo.st_sphere_contains(ring, geo.st_point(F.lit(0.0), F.lit(40.0))).alias("mid_lat"),
+        ).collect()[0]
+        assert row.near_pole is True
+        assert row.mid_lat is False

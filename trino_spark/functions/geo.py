@@ -293,3 +293,40 @@ def st_as_text(ring: Column | str) -> Column:
     return F.concat(
         F.lit("POLYGON (("), F.array_join(pts, ", "), F.lit(", "), first, F.lit("))")
     )
+
+
+def st_sphere_contains(ring: Column | str, p: Column | str) -> Column:
+    """Point-in-spherical-polygon (ST_Contains on SPHERICAL_GEOGRAPHY,
+    GeoFunctions.java geodesic predicates).
+
+    Gnomonic-projection reduction, expression-only: project every vertex
+    onto the tangent plane at the query point (great circles map to
+    straight lines under gnomonic projection), then run the SAME planar
+    ray-cast used by st_contains. Exact for polygons contained in the
+    hemisphere centered at the point — vertices on the far hemisphere
+    (cos_c <= 0) make the result NULL rather than silently wrong. x is
+    longitude, y latitude, ring an open vertex array like every other
+    polygon function here."""
+    r, pt = _c(ring), _c(p)
+    lat0, lon0 = F.radians(pt["y"]), F.radians(pt["x"])
+
+    def _project(v: Column) -> Column:
+        lat, lon = F.radians(v["y"]), F.radians(v["x"])
+        cos_c = F.sin(lat0) * F.sin(lat) + F.cos(lat0) * F.cos(lat) * F.cos(lon - lon0)
+        return F.struct(
+            (F.cos(lat) * F.sin(lon - lon0) / cos_c).alias("x"),
+            (
+                (
+                    F.cos(lat0) * F.sin(lat)
+                    - F.sin(lat0) * F.cos(lat) * F.cos(lon - lon0)
+                )
+                / cos_c
+            ).alias("y"),
+            cos_c.alias("c"),
+        )
+
+    proj = F.transform(r, _project)
+    in_hemisphere = F.forall(proj, lambda v: v["c"] > 0)
+    planar = F.transform(proj, lambda v: F.struct(v["x"].alias("x"), v["y"].alias("y")))
+    origin = F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y"))
+    return F.when(in_hemisphere, st_contains(planar, origin)).otherwise(F.lit(None))

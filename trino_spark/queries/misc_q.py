@@ -618,3 +618,24 @@ def bucketed_join_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add("sketch_tdigest_quantiles", None)
+def sketch_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """t-digest columns (TDigestFunctions.java:31 tdigest_agg / merge /
+    values_at_quantiles): per-returnflag digests built with partition-local
+    partials (raw rows never shuffle) then digest-only merge; q50/q90/q99
+    read per group plus a merged ALL row. Digest depends on partition
+    order -> rows-only; rank-error and merge-equivalence pinned in
+    tests/test_tdigest.py."""
+    from trino_spark.operators import tdigest as td
+
+    li = t(spark, sf, "lineitem")
+    per = td.tdigest_agg(li, ["l_returnflag"], "l_extendedprice")
+    qs = [0.5, 0.9, 0.99]
+    per_out = td.with_quantiles(per, qs, ["l_returnflag"])
+    merged = td.merge_digests(
+        per.withColumn("l_returnflag", F.lit("ALL")), ["l_returnflag"]
+    )
+    all_out = td.with_quantiles(merged, qs, ["l_returnflag"])
+    return per_out.unionByName(all_out).orderBy("l_returnflag")
