@@ -1,0 +1,46 @@
+"""HTTP /v1/statement protocol tests (QueuedStatementResource /
+ExecutingStatementResource shape: submit -> follow nextUri -> pages)."""
+
+import pytest
+
+from trino_spark.dialect.engine import TrinoEngine
+from trino_spark.server import PAGE_ROWS, TrinoHttpServer, fetch_all
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    eng = TrinoEngine(spark, sf_dir)
+    srv = TrinoHttpServer(eng).start()
+    yield srv
+    srv.stop()
+
+
+def test_submit_and_fetch(server):
+    cols, rows = fetch_all(server.url(), "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert [c["name"] for c in cols] == ["r_regionkey", "r_name"]
+    assert cols[0]["type"] in ("bigint", "integer") and cols[1]["type"] == "varchar"
+    assert len(rows) == 5 and rows[0][0] == 0
+
+
+def test_trino_dialect_through_http(server):
+    cols, rows = fetch_all(
+        server.url(),
+        "SELECT strpos(n_name, '_') AS p FROM nation ORDER BY n_nationkey FETCH FIRST 3 ROWS ONLY",
+    )
+    assert [c["name"] for c in cols] == ["p"]
+    assert len(rows) == 3
+
+
+def test_pagination(server):
+    cols, rows = fetch_all(
+        server.url(), f"SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {PAGE_ROWS + 7}"
+    )
+    assert len(rows) == PAGE_ROWS + 7
+    # ordered across the page boundary
+    keys = [r[0] for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_error_payload(server):
+    with pytest.raises(RuntimeError):
+        fetch_all(server.url(), "SELECT * FROM does_not_exist_xyz")
