@@ -186,3 +186,31 @@ def test_resize_stub_shapes(spark, docs):
     assert all(len(bytes(r.data)) == 16 * 9 and r.width == 16 and r.height == 9 for r in out)
     again = {r.doc_id: bytes(r.data) for r in resize_images(src, 16, 9).collect()}
     assert all(bytes(r.data) == again[r.doc_id] for r in out)  # deterministic
+
+
+class TestPiiMask:
+    def test_mask_classes(self, spark):
+        from pyspark.sql import functions as F
+
+        from trino_spark.operators import text as tx
+
+        cases = [
+            ("mail me at jo.doe+x@sub.example.org thanks", "mail me at [EMAIL] thanks"),
+            ("server 192.168.1.254 is up", "server [IP] is up"),
+            ("ssn 123-45-6789 on file", "ssn [SSN] on file"),
+            ("card 4111 1111 1111 1111 exp", "card [CARD] exp"),
+            ("call +1 415-555-0199 now", "call [PHONE] now"),
+            ("no pii here, just v2 and 3 cats", "no pii here, just v2 and 3 cats"),
+        ]
+        df = spark.createDataFrame([(s,) for s, _ in cases], "s: string")
+        got = [r.m for r in df.select(tx.mask_pii("s").alias("m")).collect()]
+        assert got == [e for _, e in cases]
+
+    def test_pii_counts(self, spark):
+        from trino_spark.operators import text as tx
+
+        df = spark.createDataFrame(
+            [("a@b.co and c@d.io from 10.0.0.1 call 415-555-0100",)], "s: string"
+        )
+        r = df.select(tx.pii_counts("s").alias("p")).first().p
+        assert r.emails == 2 and r.ips == 1 and r.phones == 1 and r.ssns == 0

@@ -1,0 +1,102 @@
+"""MATCH_RECOGNIZE SQL surface through engine.sql (grammar SqlBase.g4:448
+patternRecognition compiled onto the NFA operator)."""
+
+import pytest
+
+from trino_spark.dialect.engine import TrinoEngine
+from trino_spark.dialect.match_recognize_sql import parse_spec
+
+
+class TestParse:
+    def test_full_clause(self):
+        spec = parse_spec(
+            """
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES FIRST(price) AS p0, LAST(price) AS p1, COUNT(*) AS n,
+                     CLASSIFIER() AS lbl
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO LAST W
+            PATTERN (W+ U)
+            DEFINE W AS price > PREV(price), U AS price < PREV(price)
+            """
+        )
+        assert spec.partition_by == ["user_id"] and spec.order_by == ["ts"]
+        assert [n for _, n in spec.measures] == ["p0", "p1", "n", "lbl"]
+        assert spec.rows_per_match == "all"
+        assert spec.after_match == "to_last:W"
+        assert spec.pattern == "W+ U"
+        assert set(spec.define) == {"W", "U"}
+
+    def test_desc_rejected(self):
+        with pytest.raises(ValueError, match="DESC"):
+            parse_spec("ORDER BY ts DESC PATTERN (A) DEFINE A AS TRUE")
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return TrinoEngine(spark, sf_dir)
+
+
+class TestExecute:
+    def test_v_shape_over_values(self, spark, engine):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), "
+            "(1, 4, 9.0), (1, 5, 12.0), (1, 6, 7.0) AS t(k, seq, price)"
+        ).createOrReplaceTempView("mr_ticks")
+        df = engine.sql(
+            """
+            SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+              PARTITION BY k
+              ORDER BY seq
+              MEASURES FIRST(price) AS start_price,
+                       LAST(price) AS end_price,
+                       COUNT(*) AS n_rows,
+                       COUNT(D.*) AS n_down
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (S D+ U+)
+              DEFINE D AS price < PREV(price),
+                     U AS price > PREV(price)
+            ) ORDER BY match_no
+            """
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.start_price == 10.0 and r.end_price == 12.0
+        assert r.n_rows == 5 and r.n_down == 2
+
+    def test_events_funnel_sql(self, engine):
+        # view -> purchase funnel per user over the events table
+        df = engine.sql(
+            """
+            SELECT count(*) AS n FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES COUNT(*) AS len
+              PATTERN (V+ P)
+              DEFINE V AS event_type = 'view',
+                     P AS event_type = 'purchase'
+            )
+            """
+        )
+        n = df.first().n
+        assert n > 0
+
+    def test_classifier_all_rows(self, spark, engine):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'a'), (1, 3, 'b') AS t(k, seq, et)"
+        ).createOrReplaceTempView("mr_cls")
+        df = engine.sql(
+            """
+            SELECT * FROM mr_cls MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY seq
+              MEASURES CLASSIFIER() AS lbl
+              ALL ROWS PER MATCH
+              PATTERN (A+ B)
+              DEFINE A AS et = 'a', B AS et = 'b'
+            )
+            """
+        )
+        assert [r.lbl for r in df.orderBy("match_no").collect()] == ["A", "A", "B"]

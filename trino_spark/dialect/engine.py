@@ -190,6 +190,16 @@ class TrinoEngine:
         shown = rewrite_show(trino_sql)
         if shown is not None:
             return self.spark.sql(shown)
+        import re as _re
+
+        if _re.search(r"\bMATCH_RECOGNIZE\b", stripped, _re.IGNORECASE):
+            # Row-pattern recognition (grammar SqlBase.g4:448): execute the
+            # block on the NFA operator, substitute a temp view, re-dispatch.
+            from trino_spark.dialect import match_recognize_sql as _mrsql
+
+            out = _mrsql.try_rewrite(self, stripped)
+            if out is not None:
+                return out
         expanded = _routines_mod.expand(trino_sql, self.routines)
         df = self.spark.sql(translate(expanded))
         # FETCH ... WITH TIES leaves a helper rank column; drop it here.

@@ -1,0 +1,378 @@
+"""MATCH_RECOGNIZE SQL clause → operators/match_recognize bridge.
+
+Reference: grammar SqlBase.g4:448 (patternRecognition) and the row-pattern
+analyzer under core/trino-main/.../sql/analyzer/ — this module parses the
+SQL surface and compiles it onto the existing NFA operator, so
+`engine.sql` accepts real MATCH_RECOGNIZE statements instead of only the
+Python API.
+
+Supported subset (documented; the operator itself supports more via the
+Python API):
+- PARTITION BY cols, ORDER BY cols (ASC only)
+- MEASURES <expr> AS name: exprs over FIRST(col), LAST(col), bare col
+  (= LAST at match end), COUNT(*), COUNT(L.*), CLASSIFIER(), literals and
+  arithmetic/comparison combinations thereof
+- ONE ROW PER MATCH | ALL ROWS PER MATCH
+- AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <label>
+- PATTERN (...) — whatever the operator's parser takes (concat/alt/
+  quantifiers/PERMUTE)
+- DEFINE label AS <cond>: conditions over bare columns (current row),
+  PREV(col[, n]), NEXT(col[, n]), FIRST(col) (match start), literals,
+  comparison/arithmetic/AND/OR/NOT. Label-qualified references (A.price)
+  are not supported — use PREV/FIRST formulations.
+
+DEFINE/MEASURES compile to small Python closures via a token-level
+rewrite into Python expressions evaluated against the group's pandas
+slice — per-candidate-row work, the same cost class as the operator's
+native lambda API.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CLAUSE_RX = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+_SQL_KEYWORDS = {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IN", "BETWEEN", "IS"}
+
+
+@dataclass
+class MRSpec:
+    partition_by: list[str]
+    order_by: list[str]
+    measures: list[tuple[str, str]]  # (expr, name)
+    rows_per_match: str
+    after_match: str
+    pattern: str
+    define: dict[str, str] = field(default_factory=dict)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens in MATCH_RECOGNIZE")
+
+
+def find_block(sql: str) -> tuple[int, int, int] | None:
+    """(keyword_start, open_paren, close_paren) of the first
+    MATCH_RECOGNIZE block, or None."""
+    m = _CLAUSE_RX.search(sql)
+    if not m:
+        return None
+    op = sql.index("(", m.start())
+    return m.start(), op, _match_paren(sql, op)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def parse_spec(body: str) -> MRSpec:
+    """Parse the text inside MATCH_RECOGNIZE( ... )."""
+
+    def clause(name: str, stop: str) -> str | None:
+        m = re.search(rf"\b{name}\b(.*?)(?={stop}|$)", body, re.IGNORECASE | re.DOTALL)
+        return m.group(1).strip() if m else None
+
+    stops = r"\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|\bPATTERN\b|\bDEFINE\b"
+    part = clause(r"PARTITION\s+BY", stops)
+    order = clause(r"ORDER\s+BY", stops)
+    meas = clause(r"MEASURES", stops)
+    after = clause(r"AFTER\s+MATCH", stops)
+    pat_m = re.search(r"\bPATTERN\s*\(", body, re.IGNORECASE)
+    if not pat_m:
+        raise ValueError("MATCH_RECOGNIZE requires PATTERN (...)")
+    pat_close = _match_paren(body, body.index("(", pat_m.start()))
+    pattern = body[body.index("(", pat_m.start()) + 1 : pat_close].strip()
+    define_txt = clause(r"DEFINE", r"\Z")
+
+    rows_per_match = "all" if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE) else "one"
+
+    after_match = "past_last"
+    if after:
+        a = re.sub(r"\s+", " ", after).strip().upper()
+        if a.startswith("SKIP TO NEXT ROW"):
+            after_match = "next_row"
+        elif a.startswith("SKIP PAST LAST ROW"):
+            after_match = "past_last"
+        else:
+            m = re.match(r"SKIP TO (FIRST|LAST)\s+(\w+)", a)
+            if m:
+                after_match = f"to_{m.group(1).lower()}:{m.group(2)}"
+            else:
+                raise ValueError(f"unsupported AFTER MATCH clause: {after}")
+
+    measures: list[tuple[str, str]] = []
+    if meas:
+        for item in _split_top(meas):
+            mm = re.match(r"(.*)\bAS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            if not mm:
+                raise ValueError(f"MEASURES item needs AS name: {item}")
+            measures.append((mm.group(1).strip(), mm.group(2)))
+
+    define: dict[str, str] = {}
+    if define_txt:
+        for item in _split_top(define_txt):
+            dm = re.match(r"(\w+)\s+AS\s+(.*)$", item, re.IGNORECASE | re.DOTALL)
+            if not dm:
+                raise ValueError(f"DEFINE item needs `label AS cond`: {item}")
+            define[dm.group(1)] = dm.group(2).strip()
+
+    order_cols = []
+    if order:
+        for c in _split_top(order):
+            cu = c.strip()
+            if re.search(r"\bDESC\b", cu, re.IGNORECASE):
+                raise ValueError("ORDER BY DESC not supported in MATCH_RECOGNIZE subset")
+            order_cols.append(re.sub(r"\bASC\b", "", cu, flags=re.IGNORECASE).strip())
+
+    return MRSpec(
+        partition_by=_split_top(part) if part else [],
+        order_by=order_cols,
+        measures=measures,
+        rows_per_match=rows_per_match,
+        after_match=after_match,
+        pattern=pattern,
+        define=define,
+    )
+
+
+# ------------------------------------------------------- expression compiler
+
+_TOKEN_RX = re.compile(
+    r"""('(?:[^']|'')*')          # string literal
+      | (\bPREV|\bNEXT|\bFIRST|\bLAST|\bCOUNT|\bCLASSIFIER)\s*\(  # functions
+      | ([A-Za-z_]\w*(?:\.\w+|\.\*)?)  # identifier / qualified / L.*
+      | (<>|<=|>=|=|<|>)          # comparison
+      | (\S)                      # everything else
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _pyify(expr: str, mode: str) -> str:
+    """SQL fragment -> Python expression over the _env helpers.
+
+    mode="define": bare col = current row; PREV/NEXT/FIRST available.
+    mode="measure": bare col = last matched row; FIRST/LAST/COUNT/
+    CLASSIFIER available."""
+    out: list[str] = []
+    i = 0
+    while i < len(expr):
+        m = _TOKEN_RX.match(expr, i)
+        if not m:
+            out.append(expr[i])
+            i += 1
+            continue
+        s_lit, fn, ident, cmp_op, other = m.groups()
+        i = m.end()
+        if s_lit is not None:
+            out.append(s_lit.replace("''", "\\'"))
+        elif fn is not None:
+            f = fn.upper()
+            close = _match_paren(expr, i - 1)
+            inner = expr[i:close].strip()
+            i = close + 1
+            if f == "CLASSIFIER":
+                out.append("_classifier()")
+            elif f == "COUNT":
+                if inner in ("*", ""):
+                    out.append("_count()")
+                else:
+                    lm = re.match(r"(\w+)\.\*$", inner)
+                    if not lm:
+                        raise ValueError(f"COUNT supports * or label.*, got: {inner}")
+                    out.append(f"_count_label('{lm.group(1)}')")
+            else:
+                args = _split_top(inner)
+                col = args[0].strip()
+                n = int(args[1]) if len(args) > 1 else 1
+                if not re.fullmatch(r"[A-Za-z_]\w*", col):
+                    raise ValueError(f"{f} expects a bare column, got: {col}")
+                out.append(f"_{f.lower()}('{col}', {n})")
+        elif ident is not None:
+            up = ident.upper()
+            if up in ("AND", "OR", "NOT"):
+                out.append(f" {up.lower()} ")
+            elif up == "TRUE":
+                out.append("True")
+            elif up == "FALSE":
+                out.append("False")
+            elif up == "NULL":
+                out.append("None")
+            elif "." in ident:
+                raise ValueError(
+                    f"label-qualified reference not supported: {ident} "
+                    "(use PREV/FIRST/LAST formulations)"
+                )
+            else:
+                out.append(f"_bare('{ident}')")
+        elif cmp_op is not None:
+            out.append({"=": "==", "<>": "!="}.get(cmp_op, cmp_op))
+        else:
+            out.append(other)
+    return "".join(out)
+
+
+def compile_define(cond: str):
+    code = compile(_pyify(cond, "define"), "<define>", "eval")
+
+    def fn(g, i: int, start: int) -> bool:
+        def _bare(c):
+            return g[c].iloc[i]
+
+        def _prev(c, n=1):
+            return g[c].iloc[i - n] if i - n >= 0 else None
+
+        def _next(c, n=1):
+            return g[c].iloc[i + n] if i + n < len(g) else None
+
+        def _first(c, n=1):
+            return g[c].iloc[start]
+
+        def _last(c, n=1):
+            return g[c].iloc[i]
+
+        env = {
+            "_bare": _bare, "_prev": _prev, "_next": _next,
+            "_first": _first, "_last": _last,
+        }
+        try:
+            v = eval(code, {"__builtins__": {}}, env)
+        except TypeError:  # comparison against a missing PREV/NEXT (None)
+            return False
+        return bool(v)
+
+    return fn
+
+
+def compile_measure(expr: str):
+    code = compile(_pyify(expr, "measure"), "<measure>", "eval")
+
+    def fn(sl, labels):
+        def _bare(c):
+            return sl[c].iloc[-1]
+
+        def _first(c, n=1):
+            return sl[c].iloc[0]
+
+        def _last(c, n=1):
+            return sl[c].iloc[-1]
+
+        env = {
+            "_bare": _bare, "_first": _first, "_last": _last,
+            "_prev": lambda c, n=1: sl[c].iloc[-1 - n] if len(sl) > n else None,
+            "_next": lambda c, n=1: None,
+            "_count": lambda: len(labels),
+            "_count_label": lambda l: sum(1 for x in labels if x == l),
+            "_classifier": lambda: labels[-1],
+        }
+        return eval(code, {"__builtins__": {}}, env)
+
+    return fn
+
+
+def _measure_type(expr: str, schema: T.StructType) -> T.DataType:
+    """Heuristic output typing for the supported measure grammar."""
+    up = expr.upper()
+    if "CLASSIFIER" in up:
+        return T.StringType()
+    if re.search(r"\bCOUNT\b", up):
+        return T.LongType()
+    if re.search(r"[+\-*/]", expr.replace("COUNT(*)", "")):
+        # arithmetic over columns: use first referenced column's type if
+        # numeric, else double
+        pass
+    m = re.search(r"\b(?:FIRST|LAST)\s*\(\s*(\w+)", expr, re.IGNORECASE)
+    if not m:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*$", expr)
+    if m and m.group(1) in schema.fieldNames():
+        return schema[m.group(1)].dataType
+    return T.DoubleType()
+
+
+def execute(df: DataFrame, spec: MRSpec) -> DataFrame:
+    from trino_spark.operators.match_recognize import match_recognize
+
+    key_fields = [df.schema[c] for c in spec.partition_by]
+    measure_fields = [
+        T.StructField(name, _measure_type(expr, df.schema))
+        for expr, name in spec.measures
+    ]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("match_no", T.LongType())] + measure_fields
+    )
+    return match_recognize(
+        df,
+        partition_by=spec.partition_by,
+        order_by=spec.order_by,
+        pattern=spec.pattern,
+        define={l: compile_define(c) for l, c in spec.define.items()},
+        measures={name: compile_measure(expr) for expr, name in spec.measures},
+        output_schema=out_schema,
+        rows_per_match=spec.rows_per_match,
+        after_match=spec.after_match,
+    )
+
+
+def try_rewrite(engine, sql: str) -> DataFrame | None:
+    """If `sql` contains `<table> MATCH_RECOGNIZE (...)`, execute the block
+    against the named relation, register the result as a temp view, and
+    re-run the statement with the block replaced by that view."""
+    blk = find_block(sql)
+    if blk is None:
+        return None
+    kw, op, cl = blk
+    # source relation: last identifier before the keyword
+    src_m = re.search(r"([A-Za-z_][\w.]*)\s*$", sql[:kw])
+    if not src_m:
+        raise ValueError("MATCH_RECOGNIZE: could not find source relation")
+    src = src_m.group(1)
+    spec = parse_spec(sql[op + 1 : cl])
+    out = execute(engine.spark.table(src), spec)
+    view = f"_mr_{uuid.uuid4().hex[:8]}"
+    out.createOrReplaceTempView(view)
+    new_sql = sql[: src_m.start(1)] + view + sql[cl + 1 :]
+    return engine.sql(new_sql)

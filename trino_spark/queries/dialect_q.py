@@ -72,8 +72,8 @@ def dialect_datetime_fns(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n_name, w, CAST(o AS BIGINT) AS o FROM (
       SELECT n_name,
-             unnest(string_split(n_name, '_')) AS w,
-             generate_subscripts(string_split(n_name, '_'), 1) AS o
+             unnest(string_split(n_name, ' ')) AS w,
+             generate_subscripts(string_split(n_name, ' '), 1) AS o
       FROM nation) u
     ORDER BY n_name, o
     """,
@@ -337,4 +337,56 @@ def dialect_ptf_udtf(spark: SparkSession, sf: str) -> DataFrame:
         FROM nation n, LATERAL TABLE(split_to_rows(n.n_name, '_')) s
         ORDER BY n.n_name, s.ordinal
         """
+    )
+
+
+@REG.add(
+    "dialect_match_recognize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS grp
+      FROM o
+    ),
+    view_runs AS (
+      SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+             CAST(count(*) AS BIGINT) AS n_views
+      FROM runs WHERE event_type = 'view'
+      GROUP BY user_id, grp
+    )
+    SELECT v.user_id,
+           CAST(row_number() OVER (PARTITION BY v.user_id ORDER BY v.srn) AS BIGINT) AS match_no,
+           v.n_views,
+           round(p.value, 6) AS purchase_value
+    FROM view_runs v
+    JOIN o p ON p.user_id = v.user_id AND p.rn = v.ern + 1 AND p.event_type = 'purchase'
+    ORDER BY v.user_id, match_no
+    """,
+)
+def dialect_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE through the SQL surface (grammar SqlBase.g4:448
+    compiled onto the NFA operator by dialect/match_recognize_sql.py):
+    the same V+ P funnel as match_recognize_funnel, but entered as a
+    Trino SQL statement — clause parsing, DEFINE/MEASURES expression
+    compilation, and outer-query substitution all on the hot path."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT user_id, match_no, n_views, round(purchase_value, 6) AS purchase_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(V.*) AS n_views, LAST(value) AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, match_no
+        """,
     )

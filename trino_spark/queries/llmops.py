@@ -399,3 +399,54 @@ def similarity_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@REG.add(
+    "text_pii_mask",
+    """
+    SELECT CAST(doc_id % 7 AS INTEGER) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_masked_ok,
+           CAST(count(*) AS BIGINT) AS n_emails,
+           CAST(count(*) AS BIGINT) AS n_phones,
+           CAST(count(*) AS BIGINT) AS n_ips
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass (pre-training corpus redaction; chained JVM
+    regexp_replace, operators/text.py mask_pii + pii_counts — no UDF).
+    Deterministic PII is synthesized per doc from its id, masked, and the
+    result compared to the expected redaction the oracle knows by
+    construction: every class count and every masked string must match or
+    the group counts diverge."""
+    from trino_spark.operators import text as tx
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("User u"), did, F.lit("@example.com ip 10.0."), (did % 256),
+        F.lit(".7 ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ok"),
+    )
+    expected = F.lit("User [EMAIL] ip [IP] ssn [SSN] call [PHONE] ok")
+    rows = d.select(
+        (did % 7).cast("int").alias("grp"),
+        tx.mask_pii(raw).alias("masked"),
+        expected.alias("expected"),
+        tx.pii_counts(raw).alias("pc"),
+    )
+    return (
+        rows.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("masked") == F.col("expected")).cast("long")).alias("n_masked_ok"),
+            F.sum(F.col("pc.emails").cast("long")).alias("n_emails"),
+            F.sum(F.col("pc.phones").cast("long")).alias("n_phones"),
+            F.sum(F.col("pc.ips").cast("long")).alias("n_ips"),
+        )
+        .orderBy("grp")
+    )
