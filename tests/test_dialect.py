@@ -459,3 +459,26 @@ class TestPythonUdtfPtf:
             "SELECT count(*) AS c FROM TABLE(echo_regionkey(TABLE(nation)))"
         ).first().c
         assert n == 25
+
+
+def test_try_and_standalone_values(engine):
+    r = engine.sql("SELECT try(1/0) AS x, try(CAST('zz' AS INTEGER)) AS y").first()
+    assert r.x is None and r.y is None
+    rows = engine.sql("VALUES (1, 'a'), (2, 'b')").collect()
+    assert len(rows) == 2 and rows[0][1] in ("a", "b")
+
+
+def test_unnest_map_and_show_functions(spark, sf_dir):
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    rows = eng.sql(
+        "SELECT k, v FROM (SELECT map(ARRAY['a','b'], ARRAY[1,2]) AS m) t "
+        "CROSS JOIN UNNEST(m) AS u(k, v) ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+    fns = eng.sql("SHOW FUNCTIONS")
+    names = {r.function_name for r in fns.collect()}
+    assert "strpos" in names and "date_diff" in names
+    eng.sql("CREATE FUNCTION sfx(x DOUBLE) RETURNS DOUBLE RETURN x + 1")
+    assert "sfx" in {r.function_name for r in eng.sql("SHOW FUNCTIONS").collect()}

@@ -214,3 +214,26 @@ class TestPiiMask:
         )
         r = df.select(tx.pii_counts("s").alias("p")).first().p
         assert r.emails == 2 and r.ips == 1 and r.phones == 1 and r.ssns == 0
+
+
+class TestConnectedComponents:
+    def test_chain_and_clusters(self, spark):
+        from trino_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+            "id_a: long, id_b: long",
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert {comp[i] for i in (1, 2, 3, 4)} == {1}
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == comp[21] == comp[22] == 20
+
+    def test_dedup_by_component_transitive(self, spark):
+        from trino_spark.operators.components import dedup_by_component
+
+        df = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id: long, text: string")
+        # 1-2, 2-3 transitively collapse to {1}; 5-6 collapses to {5}
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a: long, id_b: long")
+        kept = sorted(r.doc_id for r in dedup_by_component(df, pairs, "doc_id").collect())
+        assert kept == [1, 4, 5]

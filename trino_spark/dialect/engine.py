@@ -123,6 +123,22 @@ class TrinoEngine:
             self._mv_meta.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([(name,)], "materialized_view: string")
+        if up[:2] == ["SHOW", "FUNCTIONS"]:
+            # SHOW FUNCTIONS (ShowQueriesRewrite.java): the engine's
+            # function inventory — dialect-mapped Trino names plus every
+            # user-registered routine. Spark-native passthrough names
+            # (shared spellings like abs/concat/sum) are not enumerated.
+            from trino_spark.dialect import rewrites as _rw
+
+            rows = (
+                [(n, "scalar", "dialect-rename") for n in sorted(_rw._RENAME)]
+                + [(n, "scalar", "dialect-template") for n in sorted(_rw._TEMPLATE)]
+                + [(n.lower(), "routine", "sql") for n in sorted(self.routines)]
+                + [(n.lower(), "routine", "python") for n in sorted(self.python_routines)]
+            )
+            return self.spark.createDataFrame(
+                rows, "function_name: string, kind: string, source: string"
+            )
         if up[:3] == ["SHOW", "MATERIALIZED", "VIEWS"]:
             # Freshness surface of system.metadata.materialized_views
             # (MaterializedViewSystemTable.java): FRESH iff every source

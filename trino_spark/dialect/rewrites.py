@@ -9,6 +9,7 @@ Spark accepts verbatim passes through untouched.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from trino_spark.dialect.tokenizer import (
@@ -226,6 +227,11 @@ def _t_combinations(args: list[str]) -> str:
 
 
 _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
+    # TRY(expr) -> (expr): with spark.sql.ansi.enabled=false (session.py),
+    # arithmetic errors, bad casts, and malformed parses already yield NULL
+    # — exactly TRY's contract (TryFunction.java:40) — so the wrapper
+    # erases to parentheses rather than an unknown function.
+    "try": lambda a: f"({a[0]})",
     "strpos": _t_strpos,
     "date_diff": _t_date_diff,
     "date_add": _t_date_add,
@@ -544,6 +550,11 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
 
 def _unnest_lateral(exprs: list[str], cols: list[str], ordinality: bool, alias: str) -> str:
     if len(exprs) == 1 and not ordinality:
+        if len(cols) == 2:
+            # UNNEST(map) -> (key, value) rows (UnnestOperator.java
+            # MapUnnester): Spark's explode on a map yields exactly two
+            # columns, so the 1-expr/2-col shape disambiguates map input.
+            return f"LATERAL VIEW explode({exprs[0]}) {alias} AS {cols[0]}, {cols[1]}"
         if len(cols) != 1:
             raise TrinoSqlError("UNNEST of one array produces one column")
         return f"LATERAL VIEW explode({exprs[0]}) {alias} AS {cols[0]}"
@@ -698,6 +709,10 @@ def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
 
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
+    # Standalone VALUES statement (grammar SqlBase.g4 query -> VALUES):
+    # Spark only accepts VALUES as a FROM-clause relation.
+    if re.match(r"\s*VALUES\b", sql, re.IGNORECASE):
+        sql = "SELECT * FROM " + sql.strip()
     toks = tokenize(sql)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_functions(toks)

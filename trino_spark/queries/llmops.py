@@ -450,3 +450,51 @@ def text_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@REG.add(
+    "dedup_connected_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS u, doc_id + (doc_id % 7) AS v
+      FROM documents WHERE doc_id % 7 <> 0 AND doc_id < 400
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS csize,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed connected components (operators/components.py,
+    small-star-style min-label propagation — the transitive-closure step
+    real dedup pipelines run on near-dup pairs; Trino's WITH RECURSIVE is
+    the small-scale equivalent, which IS the oracle here). Deterministic
+    key-derived edge graph so both engines see identical input."""
+    from trino_spark.operators.components import connected_components
+
+    d = t(spark, sf, "documents")
+    k = F.col("doc_id")
+    edges = d.filter((k % 7 != 0) & (k < 400)).select(
+        k.alias("u"), (k + k % 7).alias("v")
+    )
+    comp = connected_components(edges, "u", "v")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("csize"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .withColumn("component", F.col("component").cast("long"))
+        .select("component", "csize", "max_node")
+        .orderBy("component")
+    )
