@@ -100,3 +100,27 @@ class TestExecute:
             """
         )
         assert [r.lbl for r in df.orderBy("match_no").collect()] == ["A", "A", "B"]
+
+
+def test_all_rows_with_unmatched(spark, engine):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1, 'x'), (1, 2, 'a'), (1, 3, 'b'), (1, 4, 'y') "
+        "AS t(k, seq, et)"
+    ).createOrReplaceTempView("mr_unm")
+    df = engine.sql(
+        """
+        SELECT * FROM mr_unm MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES CLASSIFIER() AS lbl
+          ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          PATTERN (A B)
+          DEFINE A AS et = 'a', B AS et = 'b'
+        )
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # 2 matched + 2 unmatched pass-through
+    matched = [r for r in rows if r.match_no is not None]
+    unmatched = [r for r in rows if r.match_no is None]
+    assert sorted(r.lbl for r in matched) == ["A", "B"]
+    assert len(unmatched) == 2 and all(r.lbl is None for r in unmatched)

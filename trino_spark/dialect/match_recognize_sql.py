@@ -128,7 +128,12 @@ def parse_spec(body: str) -> MRSpec:
     pattern = body[body.index("(", pat_m.start()) + 1 : pat_close].strip()
     define_txt = clause(r"DEFINE", r"\Z")
 
-    rows_per_match = "all" if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE) else "one"
+    if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS\b", body, re.IGNORECASE):
+        rows_per_match = "all_with_unmatched"
+    elif re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE):
+        rows_per_match = "all"
+    else:
+        rows_per_match = "one"
 
     after_match = "past_last"
     if after:

@@ -323,6 +323,7 @@ def match_recognize(
     fast = (
         len(pat_labels) <= 8
         and after_match in ("past_last", "next_row")
+        and rows_per_match != "all_with_unmatched"
         and all((l in vec) or (l not in define) for l in pat_labels)
     )
     bit = {l: 1 << i for i, l in enumerate(pat_labels)}
@@ -459,12 +460,15 @@ def match_recognize(
 
             match_no = 0
             row = 0
+            consumed = [False] * n
             while row < n:
                 labels: list[str] = []
                 end = next(_match_from(ast, row, n, test, row, labels), None)
                 if end is not None and end > row:
                     match_no += 1
-                    if rows_per_match == "all":
+                    for ci in range(row, end):
+                        consumed[ci] = True
+                    if rows_per_match in ("all", "all_with_unmatched"):
                         for off in range(end - row):
                             rec = {k: g.iloc[row + off][k] for k in partition_by}
                             rec["match_no"] = match_no
@@ -509,6 +513,18 @@ def match_recognize(
                         raise ValueError(f"unknown after_match: {after_match}")
                 else:
                     row += 1
+            if rows_per_match == "all_with_unmatched":
+                # ALL ROWS PER MATCH WITH UNMATCHED ROWS (grammar
+                # rowsPerMatch): unmatched input rows pass through with
+                # null match_no/measures (empty CLASSIFIER in the
+                # reference).
+                for ui in range(n):
+                    if not consumed[ui]:
+                        rec = {k: g.iloc[ui][k] for k in partition_by}
+                        rec["match_no"] = None
+                        for name in measures:
+                            rec[name] = None
+                        rows.append(rec)
         return pd.DataFrame(rows, columns=out_cols) if rows else None
 
     _chunk = _chunk_fast if fast else _chunk_slow

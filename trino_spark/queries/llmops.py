@@ -498,3 +498,24 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         .select("component", "csize", "max_node")
         .orderBy("component")
     )
+
+
+@REG.add("similarity_pq_topk", None)
+def similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py — Jegou et al. 2011): train
+    bounded sub-codebooks, encode the corpus to M-byte codes (the ~32x
+    compressed form a 100 TB embedding store actually keeps), score by
+    asymmetric distance (per-query LUT, M lookups/row), exact re-rank of
+    the candidate pool. Codebooks are k-means output -> rows-only; recall
+    vs brute force pinned in tests/test_pq.py."""
+    from trino_spark.operators import pq
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq.train_codebooks(emb, m=8, ksub=16)
+    codes = pq.encode(emb, books)
+    return pq.adc_topk(codes, queries, books, k=10, corpus=emb, refine=100).orderBy(
+        "query_id", "rnk"
+    )

@@ -639,3 +639,39 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
     all_out = td.with_quantiles(merged, qs, ["l_returnflag"])
     return per_out.unionByName(all_out).orderBy("l_returnflag")
+
+
+@REG.add(
+    "zorder_write_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+    """,
+)
+def zorder_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered write (operators/zorder.py — the OPTIMIZE ZORDER
+    BY layout lever Trino delegates to Iceberg/Delta): lineitem written
+    along the Morton curve of (l_partkey, l_suppkey), read back, and a
+    2-D range filter aggregated. The oracle computes the same aggregate
+    straight off the source — the layout must be value-preserving — while
+    tests/test_zorder.py proves the pruning benefit (fewer files touched
+    than a linear sort)."""
+    import os
+    import shutil
+
+    from trino_spark.operators import zorder
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, "spark-warehouse", "zorder_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    zorder.write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(10, 60)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+    )
