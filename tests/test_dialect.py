@@ -482,3 +482,48 @@ def test_unnest_map_and_show_functions(spark, sf_dir):
     assert "strpos" in names and "date_diff" in names
     eng.sql("CREATE FUNCTION sfx(x DOUBLE) RETURNS DOUBLE RETURN x + 1")
     assert "sfx" in {r.function_name for r in eng.sql("SHOW FUNCTIONS").collect()}
+
+
+ROUND2_FN_CASES = [
+    ("array_match",
+     """SELECT all_match(ARRAY[2, 4], x -> x % 2 = 0) AS am,
+               any_match(ARRAY[1, 3, 4], x -> x > 3) AS ym,
+               none_match(ARRAY[1, 3], x -> x > 3) AS nm,
+               array_first(ARRAY[7, 8]) AS af, array_last(ARRAY[7, 8]) AS al""",
+     "SELECT true AS am, true AS ym, true AS nm, 7 AS af, 8 AS al"),
+    ("bases_utf8",
+     """SELECT from_base('ff', 16) AS fb, to_base(255, 16) AS tb,
+               from_utf8(to_utf8('hi')) AS rt, title_case('ab cd') AS tc,
+               ends_with('hello', 'lo') AS ew""",
+     "SELECT 255 AS fb, 'ff' AS tb, 'hi' AS rt, 'Ab Cd' AS tc, true AS ew"),
+    ("vector_distance",
+     """SELECT round(cosine_distance(ARRAY[1.0, 0.0], ARRAY[0.0, 1.0]), 6) AS cd,
+               euclidean_distance(ARRAY[0.0, 3.0], ARRAY[4.0, 0.0]) AS ed""",
+     "SELECT 1.0 AS cd, 5.0 AS ed"),
+    ("regexp_misc",
+     """SELECT regexp_position('abcdef', 'cd') AS p1,
+               regexp_position('abcdef', 'zz') AS p0,
+               cardinality(regexp_split('a1b2c', '[0-9]')) AS ns,
+               json_size('[1,2,3]') AS ja, json_size('{"a":1,"b":2}') AS jo""",
+     "SELECT 3 AS p1, -1 AS p0, CAST(3 AS INTEGER) AS ns, CAST(3 AS BIGINT) AS ja, CAST(2 AS BIGINT) AS jo"),
+    ("agg_analogs",
+     """SELECT round(geometric_mean(x), 6) AS gm,
+               bitwise_and_agg(x) AS ba,
+               element_at(map_agg(x, x * 10), 2) AS ma,
+               element_at(histogram(x % 2), 0) AS h0
+        FROM (VALUES (1), (2), (3), (4)) AS t(x)""",
+     "SELECT round(exp(avg(ln(x))), 6) AS gm, bit_and(x) AS ba, 20 AS ma,"
+     " CAST(2 AS INTEGER) AS h0 FROM (SELECT unnest([1,2,3,4]) AS x)"),
+    ("datetime_extras",
+     """SELECT millisecond(TIMESTAMP '2024-01-01 00:00:01.234') AS ms,
+               year_of_week(DATE '2005-01-02') AS yw,
+               array_histogram(ARRAY['a','b','a'])['a'] AS ha""",
+     "SELECT CAST(234 AS INTEGER) AS ms, CAST(2004 AS BIGINT) AS yw, CAST(2 AS INTEGER) AS ha"),
+]
+
+
+@pytest.mark.parametrize("name,trino_sql,duck_sql", ROUND2_FN_CASES, ids=[c[0] for c in ROUND2_FN_CASES])
+def test_round2_fn_case(engine, duck, name, trino_sql, duck_sql):
+    df = engine.sql(trino_sql)
+    oracle = duck.execute(duck_sql).fetch_df()
+    assert_same_results(df, oracle, name)

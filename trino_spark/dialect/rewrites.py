@@ -285,6 +285,69 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "dot_product": lambda args: (
         f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     ),
+    "cosine_distance": lambda args: (
+        f"(1.0D - (aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        f" / (sqrt(aggregate({args[0]}, 0D, (s, v) -> s + v * v))"
+        f" * sqrt(aggregate({args[1]}, 0D, (s, v) -> s + v * v)))))"
+    ),
+    "euclidean_distance": lambda args: (
+        f"sqrt(aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> (x - y) * (x - y)),"
+        f" 0D, (s, v) -> s + v))"
+    ),
+    # ArrayMatchFunctions.java all_match/any_match/none_match -> Spark HOFs
+    "all_match": lambda args: f"forall({args[0]}, {args[1]})",
+    "any_match": lambda args: f"exists({args[0]}, {args[1]})",
+    "none_match": lambda args: f"(NOT exists({args[0]}, {args[1]}))",
+    "array_first": lambda args: f"element_at({args[0]}, 1)",
+    "array_last": lambda args: f"element_at({args[0]}, -1)",
+    "array_histogram": lambda args: (
+        f"map_from_entries(transform(array_distinct({args[0]}),"
+        f" __v -> struct(__v, size(filter({args[0]}, __e -> __e = __v)))))"
+    ),
+    # MathFunctions.java from_base/to_base -> conv()
+    "from_base": lambda args: f"CAST(conv({args[0]}, {args[1]}, 10) AS BIGINT)",
+    "to_base": lambda args: f"lower(conv(CAST({args[0]} AS STRING), 10, {args[1]}))",
+    "from_utf8": lambda args: f"decode({args[0]}, 'UTF-8')",
+    "to_utf8": lambda args: f"encode({args[0]}, 'UTF-8')",
+    "title_case": lambda args: f"initcap({args[0]})",
+    "ends_with": lambda args: f"endswith({args[0]}, {args[1]})",
+    "regexp_split": lambda args: f"split({args[0]}, {args[1]})",
+    # JoniRegexpFunctions.java regexp_position: 1-based first-match index,
+    # -1 when absent (Spark regexp_instr returns 0 there)
+    "regexp_position": lambda args: (
+        f"(CASE WHEN regexp_instr({args[0]}, {args[1]}) = 0 THEN -1"
+        f" ELSE regexp_instr({args[0]}, {args[1]}) END)"
+    ),
+    "millisecond": lambda args: (
+        f"CAST(floor(unix_micros(CAST({args[0]} AS TIMESTAMP)) / 1000) % 1000 AS INTEGER)"
+    ),
+    "year_of_week": lambda args: f"extract(YEAROFWEEK FROM {args[0]})",
+    "yow": lambda args: f"extract(YEAROFWEEK FROM {args[0]})",
+    "json_size": lambda args: (
+        f"(CASE WHEN ltrim({args[0]}) LIKE '[%' THEN json_array_length({args[0]})"
+        f" WHEN ltrim({args[0]}) LIKE '{{%' THEN size(json_object_keys({args[0]}))"
+        f" ELSE 0 END)"
+    ),
+    "url_extract_port": lambda args: (
+        f"CAST(nullif(regexp_extract(parse_url({args[0]}, 'HOST')"
+        f" || ':' || coalesce(regexp_extract({args[0]}, '://[^/]*?:([0-9]+)', 1), ''),"
+        f" ':([0-9]+)$', 1), '') AS BIGINT)"
+    ),
+    # aggregates with direct Spark analogs under other names
+    "bitwise_and_agg": lambda args: f"bit_and({args[0]})",
+    "bitwise_or_agg": lambda args: f"bit_or({args[0]})",
+    "bitwise_xor_agg": lambda args: f"bit_xor({args[0]})",
+    "geometric_mean": lambda args: f"exp(avg(ln({args[0]})))",
+    "map_agg": lambda args: f"map_from_entries(collect_list(struct({args[0]}, {args[1]})))",
+    "multimap_agg": lambda args: (
+        f"map_from_entries(transform(array_distinct(collect_list({args[0]})),"
+        f" __k -> struct(__k, transform(filter(collect_list(struct({args[0]} AS k,"
+        f" {args[1]} AS v)), __e -> __e.k = __k), __e -> __e.v))))"
+    ),
+    "histogram": lambda args: (
+        f"map_from_entries(transform(array_distinct(collect_list({args[0]})),"
+        f" __v -> struct(__v, size(filter(collect_list({args[0]}), __e -> __e = __v)))))"
+    ),
     "to_iso8601": lambda args: f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
     "from_iso8601_timestamp": lambda args: f"to_timestamp({args[0]})",
     "from_iso8601_date": lambda args: f"to_date({args[0]})",

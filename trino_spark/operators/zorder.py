@@ -37,24 +37,20 @@ def _scaled(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 
 def _interleave(scaled: list[Column], bits: int) -> Column:
     """Morton key: bit j of column i lands at position j*len(cols)+i."""
+    # Unrolled in Python (bits is a plan-time constant): ncols*bits plain
+    # shift/mask terms, fully inside whole-stage codegen. The
+    # aggregate(sequence(...)) HOF formulation of the same fold evaluated
+    # a lambda per bit per row and cost 28 s on a 600k-row write vs ~4 s
+    # unrolled (PERF.md).
     ncols = len(scaled)
-
-    def _bit_fold(c: Column, i: int):
-        def fold(acc: Column, j: Column) -> Column:
-            bit = F.floor(c / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2
-            return acc + bit * F.pow(
-                F.lit(2.0), (j * ncols + i).cast("double")
-            ).cast("long")
-
-        return fold
-
-    key = F.lit(0).cast("long")
+    terms = []
     for i, c in enumerate(scaled):
-        key = key + F.aggregate(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            F.lit(0).cast("long"),
-            _bit_fold(c, i),
-        )
+        for j in range(bits):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            terms.append(bit * F.lit(1 << (j * ncols + i)))
+    key = terms[0]
+    for t_ in terms[1:]:
+        key = key + t_
     return key
 
 
