@@ -124,3 +124,48 @@ def test_all_rows_with_unmatched(spark, engine):
     unmatched = [r for r in rows if r.match_no is None]
     assert sorted(r.lbl for r in matched) == ["A", "B"]
     assert len(unmatched) == 2 and all(r.lbl is None for r in unmatched)
+
+
+def test_subset_union_variables(spark, engine):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'b'), (1, 4, 'c'), "
+        "(1, 5, 'a'), (1, 6, 'b'), (1, 7, 'c') AS t(k, seq, et)"
+    ).createOrReplaceTempView("mr_sub")
+    df = engine.sql(
+        """
+        SELECT * FROM mr_sub MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(*) AS n, COUNT(S.*) AS n_ends, COUNT(B.*) AS n_mid
+          PATTERN (A B+ C)
+          SUBSET S = (A, C)
+          DEFINE A AS et = 'a', B AS et = 'b', C AS et = 'c'
+        ) ORDER BY match_no
+        """
+    )
+    rows = df.collect()
+    assert [(r.n, r.n_ends, r.n_mid) for r in rows] == [(4, 2, 2), (3, 2, 1)]
+
+
+def test_skip_to_last_subset(spark, engine):
+    # SKIP TO LAST S where S = (B, C): resume at the last B-or-C row
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'c'), (1, 4, 'b'), (1, 5, 'c') "
+        "AS t(k, seq, et)"
+    ).createOrReplaceTempView("mr_sk")
+    df = engine.sql(
+        """
+        SELECT * FROM mr_sk MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(seq) AS s0, LAST(seq) AS s1
+          AFTER MATCH SKIP TO LAST S
+          PATTERN ((A | B) C)
+          SUBSET S = (B, C)
+          DEFINE A AS et = 'a', B AS et = 'b', C AS et = 'c'
+        ) ORDER BY match_no
+        """
+    )
+    rows = [(r.s0, r.s1) for r in df.collect()]
+    # match 1: rows 2-3 (b c)? pattern (A|B) C: row1 'a' + row2 'b'? C needs 'c':
+    # (a)(b)? no: (A|B)=row1 a, C=row2 b -> fails; backtrack: rows (2,3) = (B)(C).
+    # SKIP TO LAST S -> resume at row 3 ('c'): (B|A)? 'c' no -> advance; rows (4,5) = (B)(C).
+    assert rows == [(2, 3), (4, 5)]

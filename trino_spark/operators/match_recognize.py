@@ -492,15 +492,18 @@ def match_recognize(
                         row = row + 1
                     elif after_match.startswith(("to_first:", "to_last:")):
                         mode, _, target = after_match.partition(":")
-                        if target not in labels:
+                        # `A|B` = SUBSET union variable: any member matches
+                        tset = set(target.split("|"))
+                        hits = [ix for ix, l in enumerate(labels) if l in tset]
+                        if not hits:
                             raise ValueError(
                                 f"AFTER MATCH SKIP TO {target}: label did not "
                                 "participate in the match"
                             )
                         if mode == "to_first":
-                            pos = row + labels.index(target)
+                            pos = row + hits[0]
                         else:
-                            pos = row + len(labels) - 1 - labels[::-1].index(target)
+                            pos = row + hits[-1]
                         if pos == row:
                             # resuming AT the match's first row would loop
                             # forever; the reference raises here too.
