@@ -48,7 +48,7 @@ def test_regressor_recovers_line(spark):
         ml.features("x1", "x2").alias("features"),
         (3.0 * F.col("x1") - 2.0 * F.col("x2") + 1.0).alias("label"),
     )
-    model = ml.learn_regressor(df, iters=300, lr=0.3)
+    model = ml.learn_regressor(df, iters=180, lr=0.5)
     w1, w2 = model["weights"]
     assert abs(w1 - 3) < 0.05 and abs(w2 + 2) < 0.05 and abs(model["bias"] - 1) < 0.05
     err = (
