@@ -237,3 +237,27 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a: long, id_b: long")
         kept = sorted(r.doc_id for r in dedup_by_component(df, pairs, "doc_id").collect())
         assert kept == [1, 4, 5]
+
+
+class TestAudioPlumbing:
+    def test_audio_features_deterministic(self, spark, docs):
+        from trino_spark.operators import multimodal as mm
+
+        b = mm.attach_fake_binary(docs.limit(20))
+        f1 = {r.doc_id: r for r in mm.extract_audio_features(b).collect()}
+        f2 = {r.doc_id: r for r in mm.extract_audio_features(b).collect()}
+        assert len(f1) == 20
+        for k in f1:
+            assert f1[k] == f2[k]
+            assert f1[k].n_frames >= 0 and 0.0 <= f1[k].zero_cross_rate <= 1.0
+            if f1[k].n_frames > 0:
+                assert f1[k].rms_max >= f1[k].rms_mean > 0
+
+    def test_audio_real_decode_gated(self, spark, docs):
+        import pytest as _pytest
+
+        from trino_spark.operators import multimodal as mm
+
+        b = mm.attach_fake_binary(docs.limit(1))
+        with _pytest.raises(NotImplementedError):
+            mm.extract_audio_features(b, impl="soundfile").collect()

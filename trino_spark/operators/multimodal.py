@@ -116,3 +116,76 @@ def resize_images(
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "data"])
 
     return df.select("doc_id", data_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, n_frames int, duration_s double, "
+    "rms_mean double, rms_max double, zero_cross_rate double"
+)
+
+_AUDIO_SR = 16_000  # assumed sample rate for the stub PCM interpretation
+
+
+def extract_audio_features(
+    df: DataFrame,
+    frame_len: int = 512,
+    hop: int = 256,
+    impl: str = "stub",
+) -> DataFrame:
+    """Binary audio -> framed features via mapInPandas (Arrow batches).
+
+    The DSP plumbing is REAL — strided frame windowing, per-frame RMS,
+    zero-crossing rate over a sample vector — only the decode step is the
+    stub: impl='stub' interprets the raw bytes as centered 8-bit PCM;
+    impl='soundfile' raises NotImplementedError unless the codec lib is
+    importable (same gate policy as decode_images). A production decoder
+    swaps one function; partitioning, batch shape, and schema hold."""
+    if impl == "soundfile":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real audio decode needs the soundfile/libsndfile stack, "
+                "not present in this environment; use impl='stub'"
+            ) from exc
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                samples = (
+                    np.frombuffer(content, dtype=np.uint8).astype(np.float64) - 128.0
+                ) / 128.0
+                n = len(samples)
+                if n >= frame_len:
+                    n_frames = 1 + (n - frame_len) // hop
+                    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+                    frames = samples[idx]
+                    rms = np.sqrt((frames**2).mean(axis=1))
+                    zc = (np.diff(np.signbit(frames), axis=1) != 0).mean()
+                else:
+                    n_frames, rms, zc = 0, np.array([0.0]), 0.0
+                recs.append(
+                    (
+                        did,
+                        n,
+                        int(n_frames),
+                        round(n / _AUDIO_SR, 6),
+                        round(float(rms.mean()), 9),
+                        round(float(rms.max()), 9),
+                        round(float(zc), 9),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_samples", "n_frames", "duration_s",
+                    "rms_mean", "rms_max", "zero_cross_rate",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -519,3 +519,35 @@ def similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq.adc_topk(codes, queries, books, k=10, corpus=emb, refine=100).orderBy(
         "query_id", "rnk"
     )
+
+
+@REG.add(
+    "multimodal_audio_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           CAST(CASE WHEN octet_length(encode(text)) >= 512
+                     THEN 1 + (octet_length(encode(text)) - 512) // 256
+                     ELSE 0 END AS INTEGER) AS n_frames,
+           octet_length(encode(text)) / 16.0 AS duration_ms
+    FROM documents WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature-extraction plumbing (binary column -> mapInPandas
+    strided frame windowing; decode stubbed as 8-bit PCM, operators/
+    multimodal.py extract_audio_features). The oracle re-derives the
+    sample/frame/duration arithmetic from byte lengths in SQL; RMS and
+    zero-crossing content is pinned by unit tests instead (not
+    SQL-expressible)."""
+    from trino_spark.operators import multimodal as mm
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    feats = mm.extract_audio_features(mm.attach_fake_binary(d))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        (F.col("n_samples") / 16.0).alias("duration_ms"),  # exact in fp
+    ).orderBy("doc_id")
