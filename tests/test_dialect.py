@@ -527,3 +527,14 @@ def test_round2_fn_case(engine, duck, name, trino_sql, duck_sql):
     df = engine.sql(trino_sql)
     oracle = duck.execute(duck_sql).fetch_df()
     assert_same_results(df, oracle, name)
+
+
+def test_cast_char_pads(engine):
+    r = engine.sql(
+        "SELECT CAST('ab' AS CHAR(5)) AS c5, length(CAST('ab' AS CHAR(5))) AS l5, "
+        "CAST('abcdefg' AS CHAR(3)) AS c3, "
+        "(CAST('ab' AS CHAR(4)) = CAST('ab' AS CHAR(4))) AS eq"
+    ).first()
+    assert r.c5 == "ab   " and r.l5 == 5
+    assert r.c3 == "abc"
+    assert r.eq is True

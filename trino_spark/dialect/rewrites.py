@@ -678,6 +678,53 @@ _TYPE_RENAME = {
 }
 
 
+def _rewrite_cast_char(toks: list[Tok]) -> list[Tok]:
+    """CAST(expr AS CHAR(n)) -> rpad(substring(expr, 1, n), n, ' ').
+
+    Trino CHAR(n) is a fixed-length, space-padded type
+    (spi/type/CharType.java, CharacterStringCasts.java); Spark's CHAR(n)
+    exists only in table schemas, not cast targets. Materializing the
+    padding makes equality/ordering behave like the reference's padded
+    semantics (previously a documented gap pinned in tests/test_types.py)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.is_word("CAST"):
+            op = next_code(toks, i + 1)
+            if op < len(toks) and toks[op].is_sym("("):
+                close = match_paren(toks, op)
+                # find top-level AS inside
+                depth = 0
+                as_i = -1
+                for k in range(op + 1, close):
+                    tk = toks[k]
+                    if tk.is_sym("("):
+                        depth += 1
+                    elif tk.is_sym(")"):
+                        depth -= 1
+                    elif depth == 0 and tk.is_word("AS"):
+                        as_i = k
+                if as_i > 0:
+                    ty = next_code(toks, as_i + 1)
+                    if ty < close and toks[ty].is_word("CHAR"):
+                        po = next_code(toks, ty + 1)
+                        if po < close and toks[po].is_sym("("):
+                            pc = match_paren(toks, po)
+                            n = render(toks[po + 1 : pc]).strip()
+                            inner = render(_rewrite_cast_char(toks[op + 1 : as_i])).strip()
+                            out.extend(
+                                tokenize(
+                                    f"rpad(substring(CAST({inner} AS STRING), 1, {n}), {n}, ' ')"
+                                )
+                            )
+                            i = close + 1
+                            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_types(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -783,6 +830,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_at_time_zone(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_unnest(toks)
+    toks = _rewrite_cast_char(toks)
     toks = _rewrite_types(toks)
     toks, ties = _rewrite_fetch(toks)
     result = render(toks)
