@@ -538,3 +538,20 @@ def test_cast_char_pads(engine):
     assert r.c5 == "ab   " and r.l5 == 5
     assert r.c3 == "abc"
     assert r.eq is True
+
+
+def test_system_runtime_queries(spark, sf_dir):
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    eng.sql("SELECT count(*) AS c FROM nation")
+    try:
+        eng.sql("SELECT broken syntax here FROM")
+    except Exception:
+        pass
+    rows = eng.sql(
+        "SELECT state, query FROM system.runtime.queries ORDER BY query_id"
+    ).collect()
+    states = [r.state for r in rows]
+    assert "FINISHED" in states and "FAILED" in states
+    assert any("count(*)" in r.query for r in rows)

@@ -58,7 +58,49 @@ class TrinoEngine:
         _ptf.register_builtin_table_functions(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
+        """Dispatch a Trino-dialect statement; top-level calls are recorded
+        in the query log served as system.runtime.queries
+        (core/.../connector/system/QuerySystemTable.java role)."""
+        import time
+        import uuid as _uuid
+
+        depth = getattr(self, "_sql_depth", 0)
+        self._sql_depth = depth + 1
+        t0 = time.perf_counter()
+        qid = _uuid.uuid4().hex[:16]
+        try:
+            out = self._sql_inner(trino_sql)
+            if depth == 0:
+                self._log_query(qid, trino_sql, "FINISHED", time.perf_counter() - t0)
+            return out
+        except Exception:
+            if depth == 0:
+                self._log_query(qid, trino_sql, "FAILED", time.perf_counter() - t0)
+            raise
+        finally:
+            self._sql_depth = depth
+
+    def _log_query(self, qid: str, sql: str, state: str, elapsed_s: float) -> None:
+        log = getattr(self, "_query_log", None)
+        if log is None:
+            log = self._query_log = []
+        log.append((qid, state, sql.strip()[:1000], round(elapsed_s * 1000, 3)))
+        del log[:-200]  # bounded, like the reference's history window
+
+    def _sql_inner(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
+
+        if "system.runtime.queries" in trino_sql:
+            # system.runtime.queries (QuerySystemTable.java): planning-time
+            # dispatch state per recorded query.
+            rows = list(getattr(self, "_query_log", []))
+            self.spark.createDataFrame(
+                rows or [],
+                "query_id: string, state: string, query: string, elapsed_ms: double",
+            ).createOrReplaceTempView("_system_runtime_queries")
+            trino_sql = trino_sql.replace(
+                "system.runtime.queries", "_system_runtime_queries"
+            )
 
         prep = _prep.parse_prepare(trino_sql)
         if prep is not None:
