@@ -261,3 +261,33 @@ class TestAudioPlumbing:
         b = mm.attach_fake_binary(docs.limit(1))
         with _pytest.raises(NotImplementedError):
             mm.extract_audio_features(b, impl="soundfile").collect()
+
+
+class TestDecontaminate:
+    def test_self_overlap_and_clean(self, spark):
+        from trino_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text about spark engines and shuffles"),
+                (3, "the quick brown fox jumps over something else entirely"),
+            ],
+            "doc_id: long, text: string",
+        )
+        bench = spark.createDataFrame(
+            [(99, "the quick brown fox jumps over the lazy dog"),],
+            "doc_id: long, text: string",
+        )
+        out = {r.doc_id: r for r in dd.decontaminate(docs, bench, threshold=0.3).collect()}
+        assert out[1].overlap_frac == 1.0 and out[1].contaminated
+        assert out[2].overlap_frac == 0.0 and not out[2].contaminated
+        assert 0.0 < out[3].overlap_frac < 1.0  # shares the fox prefix
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from trino_spark.operators import dedup as dd
+
+        docs = spark.range(100).selectExpr("id AS doc_id", "concat('text number ', id, ' body') AS text")
+        bench = docs.limit(2)
+        plan = dd.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan

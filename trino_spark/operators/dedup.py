@@ -286,3 +286,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    word-n-gram shingles that appear ANYWHERE in the benchmark set, with
+    `contaminated` = fraction >= threshold.
+
+    The training-data hygiene pass (cf. the n-gram decontamination
+    procedure described in public LLM reports): evaluation text must not
+    leak into the training corpus. Plan shape for 100 TB: the benchmark
+    side is tiny by definition, so its distinct shingles build once and
+    BROADCAST into a left-semi-style hash lookup — corpus shingles explode,
+    probe the broadcast set (no shuffle of corpus data beyond the id-keyed
+    count-agg), and re-aggregate to per-doc hit fractions."""
+    from pyspark.sql import functions as F
+
+    corp = with_shingles(corpus, id_col, text_col, n)
+    bench_sh = (
+        with_shingles(benchmark.select(F.col(bench_text_col).alias("_t"), F.monotonically_increasing_id().alias("_bid")), "_bid", "_t", n)
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+    )
+    exploded = corp.select("_id", F.explode("_sh").alias("_s"), F.size("_sh").alias("_n_sh"))
+    hits = (
+        exploded.join(F.broadcast(bench_sh), "_s", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    totals = corp.select("_id", F.size("_sh").alias("_total"))
+    out = (
+        totals.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.greatest(F.col("_total"), F.lit(1)),
+                9,
+            ).alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= threshold)
+    )
+    return out

@@ -551,3 +551,40 @@ def multimodal_audio_stub(spark: SparkSession, sf: str) -> DataFrame:
         "n_frames",
         (F.col("n_samples") / 16.0).alias("duration_ms"),  # exact in fp
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "text_decontaminate",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+      FROM base
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), hits AS (
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS h
+      FROM ex e JOIN bench b ON e.g = b.g GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           round(CAST(coalesce(h.h, 0) AS DOUBLE) / greatest(len(t.s), 1), 9) AS overlap_frac,
+           (CAST(coalesce(h.h, 0) AS DOUBLE) / greatest(len(t.s), 1)) >= 0.1 AS contaminated
+    FROM sh t LEFT JOIN hits h USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): every
+    50th doc plays the eval set; per-doc fraction of word-3-gram shingles
+    that leak from it, broadcast-probed — the training-data hygiene pass.
+    Oracle re-derives shingles + overlap with exploded joins in DuckDB."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(d, bench, threshold=0.1).orderBy("doc_id")
