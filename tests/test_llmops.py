@@ -291,3 +291,31 @@ class TestDecontaminate:
         bench = docs.limit(2)
         plan = dd.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
+
+
+class TestSequencePacking:
+    def test_greedy_invariants(self, spark):
+        from trino_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate([500, 600, 700, 900, 100, 2500, 300, 300])],
+            "doc_id: long, n_tokens: long",
+        )
+        rows = packing.pack_sequences(df, budget=2048, n_parts=1).orderBy("pack_id").collect()
+        # greedy on id order: [500,600,700]=1800 | [900,100]=1000 | [2500] | [300,300]
+        assert [(r.n_docs, r.total_tokens) for r in rows] == [(3, 1800), (2, 1000), (1, 2500), (4 - 2, 600)]
+        assert all(r.total_tokens <= 2048 or r.n_docs == 1 for r in rows)
+        # every doc lands in exactly one pack
+        assert sum(r.n_docs for r in rows) == 8
+
+    def test_parallel_partitions_cover_all_docs(self, spark):
+        from trino_spark.operators import packing
+
+        df = spark.range(1000).selectExpr("id AS doc_id", "(id % 700 + 10) AS n_tokens")
+        rows = packing.pack_sequences(df, budget=4096, n_parts=8).collect()
+        assert sum(r.n_docs for r in rows) == 1000
+        total = df.agg({"n_tokens": "sum"}).first()[0]
+        assert sum(r.total_tokens for r in rows) == total
+        # (part, pack_id) unique
+        keys = [(r.part, r.pack_id) for r in rows]
+        assert len(keys) == len(set(keys))

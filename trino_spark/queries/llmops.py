@@ -588,3 +588,43 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return dedup.decontaminate(d, bench, threshold=0.1).orderBy("doc_id")
+
+
+@REG.add(
+    "corpus_pack_sequences",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id < 300
+    ), packs AS (
+      SELECT rn, tok, tok AS fill, 0 AS pack FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.rn, d.tok,
+             CASE WHEN p.fill + d.tok <= 2048 THEN p.fill + d.tok ELSE d.tok END,
+             CASE WHEN p.fill + d.tok <= 2048 THEN p.pack ELSE p.pack + 1 END
+      FROM packs p JOIN d ON d.rn = p.rn + 1
+    )
+    SELECT CAST(pack AS BIGINT) AS pack_id,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(max(fill) AS BIGINT) AS total_tokens,
+           max(fill) / 2048.0 AS fill_ratio
+    FROM packs GROUP BY pack ORDER BY pack_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): docs greedily packed into
+    2048-token windows by whitespace token count; single range partition
+    here so the oracle's sequential recursive-CTE greedy matches exactly
+    (at scale, packing is per-partition-parallel, documented)."""
+    from trino_spark.operators import packing
+    from trino_spark.operators.text import token_count
+
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+    out = packing.pack_sequences(d, budget=2048, n_parts=1)
+    return out.select("pack_id", "n_docs", "total_tokens", "fill_ratio").orderBy("pack_id")
