@@ -555,3 +555,12 @@ def test_system_runtime_queries(spark, sf_dir):
     states = [r.state for r in rows]
     assert "FINISHED" in states and "FAILED" in states
     assert any("count(*)" in r.query for r in rows)
+
+
+def test_contains_sequence(engine):
+    r = engine.sql(
+        "SELECT contains_sequence(ARRAY[1,2,3,4], ARRAY[2,3]) AS hit, "
+        "contains_sequence(ARRAY[1,2,3,4], ARRAY[2,4]) AS miss, "
+        "contains_sequence(ARRAY[1,2], ARRAY[1,2,3]) AS too_long"
+    ).first()
+    assert r.hit is True and r.miss is False and r.too_long is False

@@ -333,6 +333,13 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
         f" || ':' || coalesce(regexp_extract({args[0]}, '://[^/]*?:([0-9]+)', 1), ''),"
         f" ':([0-9]+)$', 1), '') AS BIGINT)"
     ),
+    # ArrayContainsSequence.java: contiguous-subsequence containment
+    "contains_sequence": lambda args: (
+        f"(CASE WHEN size({args[1]}) = 0 THEN true"
+        f" WHEN size({args[0]}) < size({args[1]}) THEN false"
+        f" ELSE exists(sequence(1, size({args[0]}) - size({args[1]}) + 1),"
+        f" i -> slice({args[0]}, i, size({args[1]})) = {args[1]}) END)"
+    ),
     # aggregates with direct Spark analogs under other names
     "bitwise_and_agg": lambda args: f"bit_and({args[0]})",
     "bitwise_or_agg": lambda args: f"bit_or({args[0]})",
