@@ -112,3 +112,38 @@ def test_sketch_merge_single_shuffle(spark, sf_dir):
     # (no explode re-shuffle): plan has no Generate/Explode node
     plan = _plan(merged)
     assert "Generate" not in plan
+
+
+def test_pii_mask_stays_jvm_side(spark, sf_dir):
+    # chained regexp_replace must compile to expressions, never a Python UDF
+    plan = _plan(all_specs()["text_pii_mask"].build(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bing_tiles_stays_jvm_side(spark, sf_dir):
+    plan = _plan(all_specs()["geo_bing_tiles"].build(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
+    plan = _plan(all_specs()["text_decontaminate"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_readback_pushes_range_filters(spark, sf_dir, tmp_path):
+    from trino_spark.operators import zorder
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    path = str(tmp_path / "zrb")
+    zorder.write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=4)
+    q = (
+        spark.read.parquet(path)
+        .filter(F.col("l_partkey").between(10, 50) & F.col("l_suppkey").between(1, 5))
+        .select("l_extendedprice")
+    )
+    plan = _plan(q)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    # toString truncates long filter lists; both columns appearing in the
+    # pushed set proves the 2-D range reaches the parquet scan
+    assert "GreaterThanOrEqual(l_partkey" in pushed and "IsNotNull(l_suppkey" in pushed
