@@ -44,3 +44,24 @@ def test_pagination(server):
 def test_error_payload(server):
     with pytest.raises(RuntimeError):
         fetch_all(server.url(), "SELECT * FROM does_not_exist_xyz")
+
+
+def test_cancel_discards_pages(server):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{server.url()}/v1/statement",
+        data=b"SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1500",
+        method="POST",
+    )
+    resp = json.loads(urllib.request.urlopen(req).read())
+    nxt = resp["nextUri"]
+    # first page consumes some rows; DELETE abandons the rest
+    first = json.loads(urllib.request.urlopen(nxt).read())
+    assert first.get("nextUri")
+    cancel = urllib.request.Request(first["nextUri"], method="DELETE")
+    assert urllib.request.urlopen(cancel).status == 204
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(first["nextUri"])
+    assert exc.value.code == 404

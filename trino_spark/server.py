@@ -117,6 +117,18 @@ class TrinoHttpServer:
                     return
                 self._send(404, {"error": "not found"})
 
+            def do_DELETE(self):
+                # Cancellation: clients DELETE the nextUri to abandon a
+                # query (Query.java cancel path); remaining pages are
+                # discarded and further polls 404.
+                parts = self.path.strip("/").split("/")
+                if len(parts) >= 4 and parts[:3] == ["v1", "statement", "executing"]:
+                    with outer._lock:
+                        existed = outer._queries.pop(parts[3], None) is not None
+                    self._send(204 if existed else 404, {})
+                    return
+                self._send(404, {"error": "not found"})
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
