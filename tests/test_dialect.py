@@ -564,3 +564,14 @@ def test_contains_sequence(engine):
         "contains_sequence(ARRAY[1,2], ARRAY[1,2,3]) AS too_long"
     ).first()
     assert r.hit is True and r.miss is False and r.too_long is False
+
+
+def test_show_catalogs_and_session(spark, sf_dir):
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir)
+    assert [r.catalog for r in eng.sql("SHOW CATALOGS").collect()] == ["spark"]
+    assert eng.sql("SHOW SESSION").count() == 0
+    eng.sql("SET SESSION query_max_run_time = '2h'")
+    rows = {r.name: r.value for r in eng.sql("SHOW SESSION").collect()}
+    assert rows.get("query_max_run_time") == "2h"

@@ -165,6 +165,15 @@ class TrinoEngine:
             self._mv_meta.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([(name,)], "materialized_view: string")
+        if up[:2] == ["SHOW", "CATALOGS"]:
+            # Single-catalog engine (ShowQueriesRewrite.java SHOW CATALOGS):
+            # Spark's session catalog plays every connector's role.
+            return self.spark.createDataFrame([("spark",)], "catalog: string")
+        if up[:2] == ["SHOW", "SESSION"]:
+            # SET SESSION properties recorded on this engine
+            # (SystemSessionProperties.java surface).
+            rows = sorted(self.session_properties.items())
+            return self.spark.createDataFrame(rows or [], "name: string, value: string")
         if up[:2] == ["SHOW", "FUNCTIONS"]:
             # SHOW FUNCTIONS (ShowQueriesRewrite.java): the engine's
             # function inventory — dialect-mapped Trino names plus every
