@@ -319,3 +319,36 @@ class TestSequencePacking:
         # (part, pack_id) unique
         keys = [(r.part, r.pack_id) for r in rows]
         assert len(keys) == len(set(keys))
+
+
+class TestRebalance:
+    def test_balances_within_tolerance(self, spark):
+        from trino_spark.operators import sampling
+
+        # skewed strata: 5000 'en', 1000 'fr', 200 'de'
+        df = spark.range(6200).selectExpr(
+            "id", "CASE WHEN id < 5000 THEN 'en' WHEN id < 6000 THEN 'fr' ELSE 'de' END AS lang"
+        )
+        out = sampling.rebalance(df, "lang", max_ratio=1.0, seed=7)
+        counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+        assert counts["de"] == 200  # smallest stratum kept whole
+        # Bernoulli variance: within ~25% of the 200 target
+        assert abs(counts["en"] - 200) < 50 and abs(counts["fr"] - 200) < 50
+
+    def test_deterministic_for_seed(self, spark):
+        from trino_spark.operators import sampling
+
+        df = spark.range(3000).selectExpr("id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS s")
+        a = sorted(r.id for r in sampling.rebalance(df, "s", seed=11).collect())
+        b = sorted(r.id for r in sampling.rebalance(df, "s", seed=11).collect())
+        assert a == b
+
+    def test_max_ratio_cap(self, spark):
+        from trino_spark.operators import sampling
+
+        fr = sampling.stratum_fractions(
+            spark.range(1100).selectExpr("CASE WHEN id < 1000 THEN 'big' ELSE 'small' END AS s"),
+            "s",
+            max_ratio=2.0,
+        )
+        assert fr["small"] == 1.0 and abs(fr["big"] - 0.2) < 1e-9

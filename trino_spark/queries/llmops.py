@@ -628,3 +628,21 @@ def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = packing.pack_sequences(d, budget=2048, n_parts=1)
     return out.select("pack_id", "n_docs", "total_tokens", "fill_ratio").orderBy("pack_id")
+
+
+@REG.add("corpus_rebalance_langs", None)
+def corpus_rebalance_langs(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified corpus rebalancing (operators/sampling.py — the
+    data-mixture step): documents downsampled per language so no lang
+    exceeds 1.5x the smallest; per-row seeded Bernoulli, no shuffle.
+    Sampling is seed-dependent -> rows-only; proportions and determinism
+    pinned in tests."""
+    from trino_spark.operators import sampling
+
+    d = t(spark, sf, "documents")
+    out = sampling.rebalance(d, "lang", max_ratio=1.5, seed=42)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
