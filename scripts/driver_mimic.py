@@ -1,0 +1,83 @@
+"""Driver-mimic: run every registry query at sf0.01 with its DuckDB oracle,
+time both sides, and report failures + per-query cost in registry order.
+
+Usage: python scripts/driver_mimic.py [sf_dir] [--limit N]
+Writes a JSON report to /tmp/driver_mimic.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from trino_spark.queries import all_specs  # noqa: E402
+from trino_spark.session import get_spark  # noqa: E402
+from trino_spark.testing import _cells_equal, _frame_to_rows, duckdb_connection  # noqa: E402
+
+
+def _compare(pdf, opdf, name):
+    a_cols, o_cols = sorted(pdf.columns), sorted(opdf.columns)
+    assert a_cols == o_cols, f"{name}: column mismatch spark={a_cols} oracle={o_cols}"
+    actual, expect = _frame_to_rows(pdf), _frame_to_rows(opdf)
+    assert len(actual) == len(expect), f"{name}: rows spark={len(actual)} oracle={len(expect)}"
+    for i, (ra, re_) in enumerate(zip(actual, expect)):
+        ok = len(ra) == len(re_) and all(_cells_equal(x, y) for x, y in zip(ra, re_))
+        assert ok, f"{name}: row {i} differs\n  spark : {ra}\n  oracle: {re_}"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    limit = None
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+
+    spark = get_spark()
+    con = duckdb_connection(sf_dir)
+    specs = all_specs()
+    report: dict[str, dict] = {}
+    t_all = time.time()
+    for i, (name, spec) in enumerate(specs.items()):
+        if limit is not None and i >= limit:
+            break
+        entry: dict = {}
+        t0 = time.time()
+        try:
+            df = spec.build(spark, sf_dir)
+            pdf = df.toPandas()
+            entry["spark_s"] = round(time.time() - t0, 3)
+            entry["rows"] = len(pdf)
+            if spec.oracle is not None:
+                t1 = time.time()
+                opdf = con.execute(spec.oracle).fetch_df()
+                entry["oracle_s"] = round(time.time() - t1, 3)
+                _compare(pdf, opdf, name)
+                entry["ok"] = True
+            else:
+                entry["ok"] = "rows-only"
+        except Exception as exc:  # noqa: BLE001
+            entry["spark_s"] = round(time.time() - t0, 3)
+            entry["ok"] = False
+            entry["err"] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            entry["tb"] = traceback.format_exc()[-1200:]
+        report[name] = entry
+        status = entry["ok"]
+        print(f"[{i + 1}/{len(specs)}] {name}: ok={status} spark={entry.get('spark_s')}s", flush=True)
+    total = round(time.time() - t_all, 1)
+    bad = {n: e for n, e in report.items() if e.get("ok") is False}
+    slow = sorted(
+        ((n, e.get("spark_s", 0)) for n, e in report.items()), key=lambda t: -t[1]
+    )[:15]
+    print(f"\nTOTAL {total}s  fail={len(bad)}")
+    for n, e in bad.items():
+        print(f"FAIL {n}: {e['err']}")
+    print("SLOWEST:", slow)
+    Path("/tmp/driver_mimic.json").write_text(json.dumps({"total_s": total, "report": report}, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Dialect DML tests: CTAS / INSERT / DELETE / UPDATE / MERGE / TRUNCATE /
+DROP through TrinoEngine.sql, copy-on-write managed tables.
+
+Reference semantics: SURVEY §3.3 entry point C — TableWriterOperator +
+TableFinishOperator rowcount result (TableWriterOperator.java:69),
+MergeWriterOperator row routing (MergeWriterOperator.java:48), and the
+"connector does not support updates" guard for read-only sources."""
+
+import pytest
+
+from trino_spark.dialect import TrinoEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    eng = TrinoEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS dml_t")
+    return eng
+
+
+def _rows(df):
+    return df.collect()[0][0]
+
+
+def test_ctas_and_select(engine):
+    n = _rows(engine.sql("CREATE TABLE dml_t AS SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"))
+    assert n == 25
+    assert engine.sql("SELECT count(*) AS c FROM dml_t").collect()[0].c == 25
+
+
+def test_ctas_if_not_exists_noop(engine):
+    n = _rows(engine.sql("CREATE TABLE IF NOT EXISTS dml_t AS SELECT 1 AS x"))
+    assert n == 0
+    assert engine.sql("SELECT count(*) AS c FROM dml_t").collect()[0].c == 25
+
+
+def test_insert_select(engine):
+    n = _rows(engine.sql("INSERT INTO dml_t SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 0"))
+    assert n == 5
+    assert engine.sql("SELECT count(*) AS c FROM dml_t").collect()[0].c == 30
+
+
+def test_insert_column_list_null_fill(engine):
+    n = _rows(engine.sql("INSERT INTO dml_t (k, r) SELECT 999, 9"))
+    assert n == 1
+    row = engine.sql("SELECT * FROM dml_t WHERE k = 999").collect()[0]
+    assert row.name is None and row.r == 9
+
+
+def test_update_where(engine):
+    n = _rows(engine.sql("UPDATE dml_t SET name = lower(name) WHERE r = 1"))
+    assert n == 5
+    names = [r.name for r in engine.sql("SELECT name FROM dml_t WHERE r = 1").collect()]
+    assert names and all(nm == nm.lower() for nm in names)
+
+
+def test_delete_where(engine):
+    n = _rows(engine.sql("DELETE FROM dml_t WHERE k >= 900"))
+    assert n == 1
+    assert engine.sql("SELECT count(*) AS c FROM dml_t").collect()[0].c == 30
+
+
+def test_merge_full(engine):
+    n = _rows(
+        engine.sql(
+            """
+        MERGE INTO dml_t t USING (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+                                  FROM nation WHERE n_regionkey IN (2, 4)) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.r = 4 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = concat(t.name, '!')
+        WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (s.k + 200, s.name, s.r)
+        """
+        )
+    )
+    # nation has 5 keys per region; all 10 source rows match -> affected 10.
+    assert n == 10
+    out = {r.k: r.name for r in engine.sql("SELECT k, name FROM dml_t").collect()}
+    # region-4 keys deleted, region-2 keys updated with '!'
+    assert sum(1 for nm in out.values() if nm and nm.endswith("!")) == 5
+
+
+def test_merge_insert_not_matched(engine):
+    n = _rows(
+        engine.sql(
+            """
+        MERGE INTO dml_t t USING (SELECT 5000 AS k, 'NEW' AS name, 0 AS r) s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (s.k, s.name, s.r)
+        """
+        )
+    )
+    assert n == 1
+    assert engine.sql("SELECT name FROM dml_t WHERE k = 5000").collect()[0].name == "NEW"
+
+
+def test_merge_update_before_delete_rejected(engine):
+    with pytest.raises(ValueError, match="DELETE before UPDATE"):
+        engine.sql(
+            """
+            MERGE INTO dml_t t USING (SELECT 1 AS k) s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET name = 'x'
+            WHEN MATCHED AND s.k = 1 THEN DELETE
+            """
+        )
+
+
+def test_merge_non_equi_on_rejected(engine):
+    with pytest.raises(ValueError, match="equalities"):
+        engine.sql(
+            """
+            MERGE INTO dml_t t USING (SELECT 1 AS k) s ON t.k > s.k
+            WHEN MATCHED THEN DELETE
+            """
+        )
+
+
+def test_mutating_readonly_source_raises(engine):
+    with pytest.raises(ValueError, match="does not support updates"):
+        engine.sql("DELETE FROM nation WHERE n_nationkey = 0")
+    with pytest.raises(ValueError, match="does not support updates"):
+        engine.sql("UPDATE nation SET n_name = 'x'")
+
+
+def test_truncate_and_drop(engine):
+    engine.sql("CREATE TABLE dml_tmp AS SELECT 1 AS x")
+    engine.sql("TRUNCATE TABLE dml_tmp")
+    assert engine.sql("SELECT count(*) AS c FROM dml_tmp").collect()[0].c == 0
+    engine.sql("DROP TABLE dml_tmp")
+    with pytest.raises(Exception):
+        engine.sql("SELECT * FROM dml_tmp").collect()
+    # idempotent with IF EXISTS
+    engine.sql("DROP TABLE IF EXISTS dml_tmp")
+
+
+def test_delete_null_predicate_keeps_row(engine):
+    engine.sql("CREATE TABLE dml_null AS SELECT * FROM (VALUES (1, 10), (2, NULL)) AS v(id, val)")
+    n = _rows(engine.sql("DELETE FROM dml_null WHERE val < 100"))
+    assert n == 1  # NULL predicate row is kept (three-valued logic)
+    assert engine.sql("SELECT id FROM dml_null").collect()[0].id == 2
+    engine.sql("DROP TABLE dml_null")

@@ -139,6 +139,15 @@ class TrinoEngine:
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
+        if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"]) or (
+            up[:2] in (["CREATE", "TABLE"], ["DROP", "TABLE"])
+        ):
+            # DML entry point (SURVEY §3.3): copy-on-write managed tables.
+            from trino_spark.dialect import dml as _dml
+
+            dml_out = _dml.try_execute(self, stripped)
+            if dml_out is not None:
+                return dml_out
         if up[:3] == ["CREATE", "MATERIALIZED", "VIEW"] or up[:5] == [
             "CREATE", "OR", "REPLACE", "MATERIALIZED", "VIEW",
         ]:

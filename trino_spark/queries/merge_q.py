@@ -77,3 +77,65 @@ def merge_upsert_delete_q(spark: SparkSession, sf: str) -> DataFrame:
         },
     )
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 6)).orderBy("o_orderkey")
+
+
+@REG.add(
+    "dialect_dml_lifecycle",
+    """
+    WITH base AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation),
+    ins AS (SELECT n_nationkey + 100 AS k, upper(n_name) AS name, n_regionkey AS r
+            FROM nation WHERE n_regionkey = 0),
+    t1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    t2 AS (SELECT k, CASE WHEN r = 1 THEN lower(name) ELSE name END AS name, r FROM t1),
+    t3 AS (SELECT * FROM t2 WHERE r <> 3),
+    src AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+            FROM nation WHERE n_regionkey IN (2, 4)
+            UNION ALL
+            SELECT n_nationkey + 300 AS k, n_name AS name, 9 AS r
+            FROM nation WHERE n_regionkey = 2),
+    surv AS (
+      SELECT t.k, CASE WHEN s.k IS NOT NULL AND s.r <> 4 THEN t.name || '!' ELSE t.name END AS name, t.r
+      FROM t3 t LEFT JOIN src s ON t.k = s.k
+      WHERE NOT coalesce(s.r = 4, FALSE)
+    ),
+    inserted AS (
+      SELECT s.k + 200 AS k, s.name AS name, s.r AS r
+      FROM src s LEFT JOIN t3 t ON t.k = s.k WHERE t.k IS NULL
+    )
+    SELECT CAST(k AS BIGINT) AS k, name, CAST(r AS INTEGER) AS r
+    FROM (SELECT * FROM surv UNION ALL SELECT * FROM inserted)
+    ORDER BY k
+    """,
+)
+def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Full DML lifecycle through TrinoEngine.sql (SURVEY §3.3 entry point
+    C): CTAS -> INSERT -> UPDATE -> DELETE -> MERGE on a copy-on-write
+    managed table (dialect/dml.py), final state returned as the result.
+    The oracle states the same end state as a pure SELECT CTE chain."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir=sf)
+    eng.sql("DROP TABLE IF EXISTS dml_life")
+    eng.sql(
+        "CREATE TABLE dml_life AS SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+    )
+    eng.sql(
+        "INSERT INTO dml_life SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 0"
+    )
+    eng.sql("UPDATE dml_life SET name = lower(name) WHERE r = 1")
+    eng.sql("DELETE FROM dml_life WHERE r = 3")
+    eng.sql(
+        """
+        MERGE INTO dml_life t
+        USING (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+               FROM nation WHERE n_regionkey IN (2, 4)
+               UNION ALL
+               SELECT n_nationkey + 300 AS k, n_name AS name, 9 AS r
+               FROM nation WHERE n_regionkey = 2) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.r = 4 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = concat(t.name, '!')
+        WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (s.k + 200, s.name, s.r)
+        """
+    )
+    return eng.sql("SELECT CAST(k AS BIGINT) AS k, name, CAST(r AS INT) AS r FROM dml_life ORDER BY k")
