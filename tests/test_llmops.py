@@ -352,3 +352,38 @@ class TestRebalance:
             max_ratio=2.0,
         )
         assert fr["small"] == 1.0 and abs(fr["big"] - 0.2) < 1e-9
+
+
+class TestRepetitionSignals:
+    """Gopher/MassiveText repetition filters (operators/text.py
+    repetition_signals): constructed docs with known repetition levels."""
+
+    def _signals(self, spark, rows):
+        from trino_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        return {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    def test_duplicate_lines_detected(self, spark):
+        out = self._signals(
+            spark,
+            [
+                (1, "same line\nsame line\nsame line\nunique one"),
+                (2, "alpha beta\ngamma delta\nepsilon zeta"),
+            ],
+        )
+        assert out[1].dup_line_frac == pytest.approx(1 - 2 / 4)
+        assert out[1].dup_line_char_frac > 0.6
+        assert out[2].dup_line_frac == 0.0
+        assert out[2].dup_line_char_frac == 0.0
+
+    def test_top_bigram_coverage(self, spark):
+        # "spam ham" repeated 5x -> the bigram "spam ham" dominates.
+        out = self._signals(spark, [(1, "spam ham " * 5), (2, "all words differ here now")])
+        assert out[1].top_bigram_char_frac > 0.7
+        assert out[2].top_bigram_char_frac < 0.5
+
+    def test_single_word_doc_no_bigrams(self, spark):
+        out = self._signals(spark, [(1, "word"), (2, "")])
+        assert out[1].top_bigram_char_frac == 0.0
+        assert out[2].dup_line_frac == 0.0

@@ -195,3 +195,66 @@ def pii_counts(text: Column | str) -> Column:
         fields.append(F.size(F.regexp_extract_all(masked_prev, F.lit(pat), F.lit(0))).alias(name))
         masked_prev = F.regexp_replace(masked_prev, F.lit(pat), F.lit("_"))
     return F.struct(*fields)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition metrics (the Gopher/MassiveText repetition
+    filters; see also C4's line dedup): documents dominated by repeated
+    lines or one repeated phrase are boilerplate/spam and get filtered
+    before training.
+
+      dup_line_frac       duplicate lines / total lines
+      dup_line_char_frac  chars in lines occurring >1x / total line chars
+      top_bigram_char_frac chars covered by the most frequent word 2-gram
+
+    Shape: explode lines/bigrams -> two hash aggregations keyed by
+    (document, unit) then (document) -> join back. Both shuffles are on the
+    document id, so at 100 TB this partitions by document and never builds
+    a per-executor state larger than one document's distinct units.
+    Line/bigram splitting is pure expression (codegen); no UDFs.
+    """
+    c = F.col(text_col)
+    lines = df.select(
+        id_col, F.explode(F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)).alias("line")
+    )
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("cnt"), F.first(F.length("line")).alias("len"))
+        .groupBy(id_col)
+        .agg(
+            (1.0 - F.sum(F.lit(1)) / F.sum("cnt")).alias("dup_line_frac"),
+            (
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(0))
+                / F.greatest(F.sum(F.col("cnt") * F.col("len")), F.lit(1))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    w = F.split(F.trim(c), r"\s+")
+    bigrams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    bigrams = df.select(
+        id_col,
+        F.length(c).alias("n_chars_total"),
+        F.explode(F.when(F.size(w) >= 2, bigrams_arr).otherwise(F.array())).alias("bigram"),
+    )
+    bigram_stats = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(
+            (F.count("*") * F.first(F.length("bigram"))).alias("covered"),
+            F.first("n_chars_total").alias("n_chars_total"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.max("covered") / F.greatest(F.first("n_chars_total"), F.lit(1))).alias(
+                "top_bigram_char_frac"
+            )
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .na.fill(0.0, ["dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"])
+    )

@@ -646,3 +646,65 @@ def corpus_rebalance_langs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@REG.add(
+    "text_repetition_signals",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    lines AS (
+      SELECT doc_id, l AS line
+      FROM docs, unnest(string_split(text, chr(10))) AS t(l)
+      WHERE length(l) > 0
+    ),
+    per_line AS (
+      SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+      FROM lines GROUP BY doc_id, line
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             1.0 - count(*) * 1.0 / sum(cnt) AS dup_line_frac,
+             sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) * 1.0
+               / greatest(sum(cnt * len), 1) AS dup_line_char_frac
+      FROM per_line GROUP BY doc_id
+    ),
+    words AS (
+      SELECT doc_id, length(text) AS nct, string_split_regex(trim(text), '\\s+') AS w
+      FROM docs
+    ),
+    bigrams AS (
+      SELECT doc_id, nct, list_extract(w, i) || ' ' || list_extract(w, i + 1) AS bigram
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    per_bigram AS (
+      SELECT doc_id, bigram, count(*) * length(bigram) AS covered, first(nct) AS nct
+      FROM bigrams GROUP BY doc_id, bigram
+    ),
+    bigram_stats AS (
+      SELECT doc_id, max(covered) * 1.0 / greatest(first(nct), 1) AS top_bigram_char_frac
+      FROM per_bigram GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(coalesce(ls.dup_line_frac, 0), 6) AS dup_line_frac,
+           round(coalesce(ls.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+           round(coalesce(bs.top_bigram_char_frac, 0), 6) AS top_bigram_char_frac
+    FROM docs d
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN bigram_stats bs USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: duplicate-line fraction,
+    duplicate-line character fraction, top word-bigram character coverage
+    (operators/text.py repetition_signals — explode + doc-keyed hash aggs,
+    pure expressions, scale = partition-by-document)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    sig = text.repetition_signals(d, "text", "doc_id")
+    return sig.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+    ).orderBy("doc_id")
