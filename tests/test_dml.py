@@ -139,3 +139,67 @@ def test_delete_null_predicate_keeps_row(engine):
     assert n == 1  # NULL predicate row is kept (three-valued logic)
     assert engine.sql("SELECT id FROM dml_null").collect()[0].id == 2
     engine.sql("DROP TABLE dml_null")
+
+
+class TestTransactions:
+    """START TRANSACTION / COMMIT / ROLLBACK over copy-on-write managed
+    tables (snapshot pin + restore; reference StartTransactionTask.java)."""
+
+    def test_rollback_restores_pre_txn_state(self, engine):
+        engine.sql("DROP TABLE IF EXISTS txn_t")
+        engine.sql("CREATE TABLE txn_t AS SELECT n_nationkey AS k FROM nation")
+        engine.sql("START TRANSACTION")
+        engine.sql("DELETE FROM txn_t WHERE k < 20")
+        assert engine.sql("SELECT count(*) AS c FROM txn_t").collect()[0].c == 5
+        engine.sql("ROLLBACK")
+        assert engine.sql("SELECT count(*) AS c FROM txn_t").collect()[0].c == 25
+        engine.sql("DROP TABLE txn_t")
+
+    def test_commit_keeps_changes(self, engine):
+        engine.sql("DROP TABLE IF EXISTS txn_c")
+        engine.sql("CREATE TABLE txn_c AS SELECT n_nationkey AS k FROM nation")
+        engine.sql("START TRANSACTION")
+        engine.sql("UPDATE txn_c SET k = k + 1000 WHERE k = 0")
+        engine.sql("COMMIT")
+        assert engine.sql("SELECT max(k) AS m FROM txn_c").collect()[0].m == 1000
+        engine.sql("DROP TABLE txn_c")
+
+    def test_rollback_drops_tables_created_in_txn(self, engine):
+        engine.sql("START TRANSACTION")
+        engine.sql("CREATE TABLE txn_new AS SELECT 1 AS x")
+        engine.sql("ROLLBACK")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            engine.sql("SELECT * FROM txn_new").collect()
+
+    def test_rollback_restores_dropped_table(self, engine):
+        engine.sql("DROP TABLE IF EXISTS txn_d")
+        engine.sql("CREATE TABLE txn_d AS SELECT 7 AS x")
+        engine.sql("START TRANSACTION")
+        engine.sql("DROP TABLE txn_d")
+        engine.sql("ROLLBACK")
+        assert engine.sql("SELECT x FROM txn_d").collect()[0].x == 7
+        engine.sql("DROP TABLE txn_d")
+
+    def test_nested_txn_rejected(self, engine):
+        engine.sql("START TRANSACTION")
+        with pytest.raises(ValueError, match="already in progress"):
+            engine.sql("START TRANSACTION")
+        engine.sql("ROLLBACK")
+
+    def test_commit_without_txn_rejected(self, engine):
+        with pytest.raises(ValueError, match="no transaction"):
+            engine.sql("COMMIT")
+
+
+def test_show_create_table(engine):
+    ddl = engine.sql("SHOW CREATE TABLE nation").collect()[0].create_table
+    assert "CREATE TABLE nation" in ddl and "n_nationkey" in ddl and "PARQUET" in ddl
+
+
+def test_show_create_materialized_view(engine):
+    engine.sql("CREATE MATERIALIZED VIEW scmv AS SELECT count(*) AS c FROM nation")
+    ddl = engine.sql("SHOW CREATE MATERIALIZED VIEW scmv").collect()[0].create_materialized_view
+    assert ddl.startswith("CREATE MATERIALIZED VIEW scmv AS")
+    engine.sql("DROP MATERIALIZED VIEW scmv")

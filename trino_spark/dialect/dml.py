@@ -110,6 +110,7 @@ def _written_rows(path: str) -> int:
 def _commit(engine, name: str, df: DataFrame) -> int:
     """Copy-on-write commit: stage-write the post-change relation, swap the
     table directory, re-register the view. Returns rows in the new state."""
+    txn_snapshot_if_needed(engine, name)
     path = os.path.join(_warehouse_dir(), name)
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
@@ -163,6 +164,8 @@ def _drop(engine, sql: str) -> DataFrame:
     parts = sql.split()
     idx = 4 if len(parts) > 4 and parts[2].upper() == "IF" else 2
     name = _norm_name(parts[idx])
+    if name in _managed(engine):
+        txn_snapshot_if_needed(engine, name)
     path = _managed(engine).pop(name, None)
     if path:
         shutil.rmtree(path, ignore_errors=True)
@@ -408,3 +411,67 @@ def _merge(engine, sql: str) -> DataFrame:
     )
     _commit(engine, tgt_name, out)
     return engine.spark.createDataFrame([(matched_n + inserted_n,)], "rows: bigint")
+
+
+# ---------------------------------------------------------------- transactions
+#
+# Trino's transaction statements (grammar SqlBase.g4 START TRANSACTION /
+# COMMIT / ROLLBACK; io.trino.execution.StartTransactionTask). Engine DML is
+# copy-on-write, so a transaction is a SNAPSHOT of the managed tables'
+# directories: START records (and lazily preserves) the pre-transaction
+# state, ROLLBACK restores it, COMMIT discards the snapshots. This is the
+# filesystem analog of a lakehouse snapshot pin — at scale the "copy" is
+# the table-format metadata pointer, not data movement; here the directory
+# is copied aside once per (table, transaction) — the current directory must
+# stay readable because the mutating statement itself reads it lazily. A
+# lakehouse format would pin the old snapshot id instead of copying.
+
+
+def txn_begin(engine) -> None:
+    if getattr(engine, "_txn", None) is not None:
+        raise ValueError("transaction already in progress (no nested transactions)")
+    engine._txn = {"snapshots": {}, "created": set()}
+
+
+def txn_snapshot_if_needed(engine, name: str) -> None:
+    """Before the first in-transaction mutation of `name`, move the current
+    directory aside as the rollback snapshot (the next _commit writes a
+    fresh directory)."""
+    txn = getattr(engine, "_txn", None)
+    if txn is None or name in txn["snapshots"] or name in txn["created"]:
+        return
+    path = _managed(engine).get(name)
+    if path is None:
+        txn["created"].add(name)  # table born inside the txn: rollback drops it
+        return
+    snap = f"{path}.txn-{uuid.uuid4().hex[:8]}"
+    shutil.copytree(path, snap)
+    txn["snapshots"][name] = snap
+
+
+def txn_commit(engine) -> None:
+    txn = getattr(engine, "_txn", None)
+    if txn is None:
+        raise ValueError("no transaction in progress")
+    for snap in txn["snapshots"].values():
+        shutil.rmtree(snap, ignore_errors=True)
+    engine._txn = None
+
+
+def txn_rollback(engine) -> None:
+    txn = getattr(engine, "_txn", None)
+    if txn is None:
+        raise ValueError("no transaction in progress")
+    for name, snap in txn["snapshots"].items():
+        path = os.path.join(_warehouse_dir(), name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(snap, path)
+        _managed(engine)[name] = path
+        engine.spark.read.parquet(path).createOrReplaceTempView(name)
+    for name in txn["created"]:
+        path = _managed(engine).pop(name, None)
+        if path:
+            shutil.rmtree(path, ignore_errors=True)
+            engine.spark.catalog.dropTempView(name)
+    engine._txn = None

@@ -235,6 +235,46 @@ class TrinoEngine:
             if key.startswith("spark."):
                 self.spark.conf.unset(key)
             return self.spark.createDataFrame([(key,)], "name: string")
+        if up[:2] == ["START", "TRANSACTION"]:
+            # Transaction statements (StartTransactionTask.java): DML is
+            # copy-on-write, so the transaction pins per-table snapshots
+            # (dialect/dml.py txn_*). Access modes are accepted and ignored
+            # (single-session engine).
+            from trino_spark.dialect import dml as _dml
+
+            _dml.txn_begin(self)
+            return self.spark.createDataFrame([("STARTED",)], "transaction: string")
+        if up[:1] in (["COMMIT"], ["ROLLBACK"]):
+            from trino_spark.dialect import dml as _dml
+
+            if up[0] == "COMMIT":
+                _dml.txn_commit(self)
+            else:
+                _dml.txn_rollback(self)
+            return self.spark.createDataFrame([(up[0],)], "transaction: string")
+        if up[:3] == ["SHOW", "CREATE", "TABLE"]:
+            # SHOW CREATE TABLE (ShowQueriesRewrite.java): rendered DDL.
+            name = stripped.split()[3].strip('"').split(".")[-1].lower()
+            cols = ",\n   ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.spark.table(name).schema.fields
+            )
+            src = self.catalog._sources.get(name)
+            dml_path = getattr(self, "dml_tables", {}).get(name)
+            if dml_path:
+                with_props = f"\nWITH (\n   format = 'PARQUET',\n   location = '{dml_path}'\n)"
+            elif src is not None:
+                with_props = f"\nWITH (\n   format = '{src.format.upper()}',\n   location = '{src.path}'\n)"
+            else:
+                with_props = ""
+            ddl = f"CREATE TABLE {name} (\n   {cols}\n){with_props}"
+            return self.spark.createDataFrame([(ddl,)], "create_table: string")
+        if up[:3] == ["SHOW", "CREATE", "MATERIALIZED"]:
+            name = stripped.split()[4].strip('"').split(".")[-1].lower()
+            if name not in self.materialized_views:
+                raise ValueError(f"materialized view not found: {name}")
+            ddl = f"CREATE MATERIALIZED VIEW {name} AS\n{self.materialized_views[name]}"
+            return self.spark.createDataFrame([(ddl,)], "create_materialized_view: string")
         if up[:3] == ["SHOW", "STATS", "FOR"]:
             from trino_spark.infoschema import show_stats
 

@@ -112,21 +112,26 @@ def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
     C): CTAS -> INSERT -> UPDATE -> DELETE -> MERGE on a copy-on-write
     managed table (dialect/dml.py), final state returned as the result.
     The oracle states the same end state as a pure SELECT CTE chain."""
+    import os
+
     from trino_spark.dialect import TrinoEngine
 
     eng = TrinoEngine(spark, sf_dir=sf)
-    eng.sql("DROP TABLE IF EXISTS dml_life")
+    # Per-process table name: concurrent runners (bench + driver) must not
+    # race on one copy-on-write directory.
+    tbl = f"dml_life_{os.getpid()}"
+    eng.sql(f"DROP TABLE IF EXISTS {tbl}")
     eng.sql(
-        "CREATE TABLE dml_life AS SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+        f"CREATE TABLE {tbl} AS SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
     )
     eng.sql(
-        "INSERT INTO dml_life SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 0"
+        f"INSERT INTO {tbl} SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation WHERE n_regionkey = 0"
     )
-    eng.sql("UPDATE dml_life SET name = lower(name) WHERE r = 1")
-    eng.sql("DELETE FROM dml_life WHERE r = 3")
+    eng.sql(f"UPDATE {tbl} SET name = lower(name) WHERE r = 1")
+    eng.sql(f"DELETE FROM {tbl} WHERE r = 3")
     eng.sql(
-        """
-        MERGE INTO dml_life t
+        f"""
+        MERGE INTO {tbl} t
         USING (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
                FROM nation WHERE n_regionkey IN (2, 4)
                UNION ALL
@@ -138,4 +143,8 @@ def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
         WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (s.k + 200, s.name, s.r)
         """
     )
-    return eng.sql("SELECT CAST(k AS BIGINT) AS k, name, CAST(r AS INT) AS r FROM dml_life ORDER BY k")
+    out = eng.sql(f"SELECT CAST(k AS BIGINT) AS k, name, CAST(r AS INT) AS r FROM {tbl} ORDER BY k")
+    # Materialize before dropping the backing table (builders are lazy).
+    pdf = out.toPandas()
+    eng.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(pdf, out.schema)
