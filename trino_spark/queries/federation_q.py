@@ -144,3 +144,36 @@ def multiformat_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey", "name_len")
         .orderBy("n_nationkey")
     )
+
+
+@REG.add(
+    "tpchgen_structure",
+    """
+    WITH orders_keys AS (SELECT i AS k FROM generate_series(0, 1499) t(i)),
+    lines AS (
+      SELECT k, 1 + (k % 7) AS n_lines FROM orders_keys
+    )
+    SELECT CAST(sum(n_lines) AS BIGINT) AS n_lineitem,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines * (n_lines + 1) / 2) AS BIGINT) AS sum_linenumbers,
+           CAST(max(k) AS BIGINT) AS max_orderkey
+    FROM lines
+    """,
+)
+def tpchgen_structure_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Generator-connector structural contract (sources/tpchgen.py, the
+    plugin/trino-tpch TpchMetadata.java:102 analog): lineitem fans out from
+    spark.range-generated orders with 1 + (orderkey % 7) lines per order.
+    The oracle re-derives the same counts from generate_series — a true
+    differential over the generator's cardinality contract. Content columns
+    (xxhash64-seeded) are pinned by determinism/range unit tests instead.
+    Fixed genSF=0.001, independent of sf_dir (the source reads no files)."""
+    from trino_spark.sources import tpchgen
+
+    li = tpchgen.gen_table(spark, "lineitem", sf=0.001)
+    return li.agg(
+        F.count("*").cast("long").alias("n_lineitem"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum("l_linenumber").cast("long").alias("sum_linenumbers"),
+        F.max("l_orderkey").cast("long").alias("max_orderkey"),
+    )
