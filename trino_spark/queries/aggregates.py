@@ -483,3 +483,67 @@ def agg_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_returnflag", "status_entropy", "month_entropy", "n")
         .orderBy("l_returnflag")
     )
+
+
+@REG.add(
+    "agg_minmax_by_n",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_suppkey ASC) AS rd,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC, l_suppkey ASC) AS ra
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           array_to_string(list(CASE WHEN rd <= 3 THEN l_suppkey END ORDER BY rd)
+                             FILTER (rd <= 3), ',') AS top3_supps,
+           array_to_string(list(CASE WHEN ra <= 3 THEN l_suppkey END ORDER BY ra)
+                             FILTER (ra <= 3), ',') AS bottom3_supps
+    FROM ranked
+    WHERE rd <= 3 OR ra <= 3
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_minmax_by_n(spark: SparkSession, sf: str) -> DataFrame:
+    """N-argument max_by/min_by (Trino: max_by(x, y, n) returning an array,
+    MaxByNAggregationFunction.java). Spark lacks the n-variant, so it is
+    composed as rank-filter + ordered collect: row_number per group then
+    collect the <=n survivors. Catalyst turns the rank filter into
+    WindowGroupLimit (partial top-n BEFORE the shuffle), so executor memory
+    is O(n) per group — never collect_list of the whole group. Ties broken
+    by the value column on both sides; arrays emitted as CSV strings so the
+    driver canonicalizer can hash them."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem").select("l_returnflag", "l_suppkey", "l_extendedprice")
+
+    def _topn(descending: bool, alias: str) -> DataFrame:
+        order = (
+            [F.col("l_extendedprice").desc(), F.col("l_suppkey").asc()]
+            if descending
+            else [F.col("l_extendedprice").asc(), F.col("l_suppkey").asc()]
+        )
+        w = Window.partitionBy("l_returnflag").orderBy(*order)
+        return (
+            li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .groupBy("l_returnflag")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("l_suppkey")))),
+                        lambda s: s["l_suppkey"].cast("string"),
+                    ),
+                    ",",
+                ).alias(alias)
+            )
+        )
+
+    return (
+        _topn(True, "top3_supps")
+        .join(_topn(False, "bottom3_supps"), "l_returnflag")
+        .orderBy("l_returnflag")
+    )

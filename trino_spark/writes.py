@@ -115,3 +115,11 @@ def ctas_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def blackhole(df: DataFrame) -> None:
+    """Discarding sink (reference: plugin/trino-blackhole) — executes the
+    full plan, writes nothing. Spark's `noop` DSv2 sink is exactly this;
+    it is also what bench.py uses to force execution without driver
+    materialization."""
+    df.write.format("noop").mode("overwrite").save()
