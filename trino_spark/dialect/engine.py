@@ -56,6 +56,12 @@ class TrinoEngine:
         from trino_spark.dialect import ptf as _ptf
 
         _ptf.register_builtin_table_functions(spark)
+        # Python-bodied scalar residue (normalize/word_stem/base32/hmac/
+        # CDFs) so those names resolve from SQL text — the
+        # SystemFunctionBundle registration analog.
+        from trino_spark.functions.registry import register_sql_functions
+
+        register_sql_functions(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
         """Dispatch a Trino-dialect statement; top-level calls are recorded

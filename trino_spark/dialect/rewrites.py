@@ -120,6 +120,23 @@ def _t_parse_datetime(args: list[str]) -> str:
     return f"to_timestamp({args[0]}, {args[1]})"
 
 
+def _t_wilson(sign: int):
+    """wilson_interval_lower/upper(successes, trials, z) — the closed-form
+    score interval (WilsonInterval.java), inlined as pure arithmetic so it
+    stays in codegen. Matches functions/stats.py's Column formula."""
+
+    def t(args: list[str]) -> str:
+        s, n, z = (f"CAST({a} AS DOUBLE)" for a in args)
+        p = f"({s} / {n})"
+        z2 = f"({z} * {z})"
+        center = f"({p} + {z2} / (2.0D * {n}))"
+        spread = f"({z} * sqrt({p} * (1.0D - {p}) / {n} + {z2} / (4.0D * {n} * {n})))"
+        op = "+" if sign > 0 else "-"
+        return f"(({center} {op} {spread}) / (1.0D + {z2} / {n}))"
+
+    return t
+
+
 def _t_to_unixtime(args: list[str]) -> str:
     return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) / 1000000.0)"
 
@@ -284,6 +301,58 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     ),
     "dot_product": lambda args: (
         f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    ),
+    "index": lambda args: f"instr({args[0]}, {args[1]})",
+    "hamming_distance": lambda args: (
+        # Per-position diff count (StringFunctions.java hamming_distance);
+        # unequal lengths count padded positions as differing.
+        f"aggregate(zip_with(split({args[0]}, ''), split({args[1]}, ''),"
+        f" (x, y) -> IF(x <=> y, 0L, 1L)), 0L, (s, v) -> s + v)"
+    ),
+    "bit_count": lambda args: (
+        f"bit_count({args[0]})"
+        if len(args) == 1
+        else (
+            # Trino bit_count(x, bits): popcount of x within a `bits`-wide
+            # two's-complement window (MathFunctions.java). Mask to width.
+            f"IF(({args[1]}) >= 64, bit_count({args[0]}),"
+            f" bit_count(({args[0]}) & (shiftleft(CAST(1 AS BIGINT), {args[1]}) - 1)))"
+        )
+    ),
+    "json_array_get": lambda args: (
+        f"get_json_object({args[0]}, concat('$[', CAST({args[1]} AS STRING), ']'))"
+    ),
+    "json_array_contains": lambda args: (
+        f"exists(from_json({args[0]}, 'array<string>'),"
+        f" x -> x = CAST({args[1]} AS STRING))"
+    ),
+    "map_top_n": lambda args: (
+        # n largest entries by value, key as deterministic tiebreak
+        # (MapTopNFunction.java).
+        f"map_from_entries(slice(array_sort(map_entries({args[0]}),"
+        f" (l, r) -> CASE WHEN l['value'] > r['value'] THEN -1"
+        f" WHEN l['value'] < r['value'] THEN 1"
+        f" WHEN l['key'] < r['key'] THEN -1"
+        f" WHEN l['key'] > r['key'] THEN 1 ELSE 0 END), 1, {args[1]}))"
+    ),
+    "wilson_interval_lower": _t_wilson(-1),
+    "wilson_interval_upper": _t_wilson(1),
+    "bar": lambda args: (
+        # Plain-block rendering of the reference's ANSI bar chart scalar
+        # (ColorFunctions.java bar): proportion -> width glyphs.
+        f"repeat('█', CAST(greatest(least(CAST({args[0]} AS DOUBLE), 1.0D), 0.0D)"
+        f" * ({args[1]}) AS INT))"
+    ),
+    "checksum": lambda args: (
+        # Order-insensitive aggregate checksum (ChecksumAggregationFunction
+        # .java): sum of per-row 64-bit hashes, overflow-wrapping. BIGINT
+        # here vs the reference's varbinary rendering of the same value.
+        f"sum(xxhash64(CAST({args[0]} AS STRING)))"
+    ),
+    "normalize": lambda args: (
+        f"normalize({args[0]})"
+        if len(args) == 1
+        else f"normalize_{args[1].strip().lower()}({args[0]})"
     ),
     "cosine_distance": lambda args: (
         f"(1.0D - (aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"

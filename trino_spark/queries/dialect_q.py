@@ -390,3 +390,46 @@ def dialect_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY user_id, match_no
         """,
     )
+
+
+@REG.add(
+    "dialect_scalar_residue",
+    """
+    SELECT s_suppkey,
+           round((p + zz / (2 * n) - z * sqrt(p * (1 - p) / n + zz / (4 * n * n)))
+                 / (1 + zz / n), 6) AS wilson_lo,
+           hamming('karolin', 'kathrin') AS hd,
+           bit_count(CAST(249 AS BIGINT)) AS bc,
+           json_extract_string('[5,10,15]', '$[2]') AS jg,
+           instr('hayneedlestack', 'needle') AS ix,
+           repeat('█', 3) AS bar3
+    FROM (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 50 + 10 AS DOUBLE) / 100.0 AS p,
+             100.0 AS n, 1.96 AS z, 1.96 * 1.96 AS zz
+      FROM supplier WHERE s_suppkey < 40
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def dialect_scalar_residue(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-2 scalar fill-ins through the dialect layer: Wilson score
+    interval (template-inlined arithmetic, stays in codegen), Hamming
+    distance (zip_with fold), 2-arg bit_count (masked popcount),
+    json_array_get, index, bar — each recomputed independently by DuckDB's
+    own spellings (hamming/bit_count/json_extract_string/instr/repeat)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT s_suppkey,
+               round(wilson_interval_lower(s_suppkey % 50 + 10, 100, 1.96), 6) AS wilson_lo,
+               hamming_distance('karolin', 'kathrin') AS hd,
+               bit_count(-7, 8) AS bc,
+               json_array_get('[5,10,15]', 2) AS jg,
+               index('hayneedlestack', 'needle') AS ix,
+               bar(0.3, 10) AS bar3
+        FROM supplier WHERE s_suppkey < 40
+        ORDER BY s_suppkey
+        """,
+    )
