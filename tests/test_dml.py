@@ -203,3 +203,15 @@ def test_show_create_materialized_view(engine):
     ddl = engine.sql("SHOW CREATE MATERIALIZED VIEW scmv").collect()[0].create_materialized_view
     assert ddl.startswith("CREATE MATERIALIZED VIEW scmv AS")
     engine.sql("DROP MATERIALIZED VIEW scmv")
+
+
+def test_describe_and_explain_types(engine):
+    cols = [r.column_name for r in engine.sql("DESCRIBE nation").collect()]
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+    assert "VALID" in engine.sql("EXPLAIN (TYPE VALIDATE) SELECT 1").collect()[0].query_plan
+    logical = engine.sql("EXPLAIN (TYPE LOGICAL) SELECT count(*) FROM nation").collect()[0].query_plan
+    assert "Optimized Logical Plan" in logical or "Aggregate" in logical
+    io = engine.sql("EXPLAIN (TYPE IO) SELECT n_name FROM nation").collect()[0].query_plan
+    assert "parquet" in io.lower() or "relation" in io.lower()
+    dist = engine.sql("EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM nation").collect()[0].query_plan
+    assert "Physical Plan" in dist or "Exchange" in dist or "HashAggregate" in dist

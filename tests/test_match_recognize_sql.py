@@ -169,3 +169,62 @@ def test_skip_to_last_subset(spark, engine):
     # (a)(b)? no: (A|B)=row1 a, C=row2 b -> fails; backtrack: rows (2,3) = (B)(C).
     # SKIP TO LAST S -> resume at row 3 ('c'): (B|A)? 'c' no -> advance; rows (4,5) = (B)(C).
     assert rows == [(2, 3), (4, 5)]
+
+
+class TestAggregateMeasures:
+    """SUM/AVG/MIN/MAX measures over pattern-variable rows."""
+
+    def _df(self, spark):
+        rows = [
+            (1, 1, "a", 10.0), (1, 2, "a", 20.0), (1, 3, "b", 5.0),
+            (1, 4, "a", 30.0), (1, 5, "b", 7.0),
+        ]
+        return spark.createDataFrame(rows, "uid: int, seq: int, kind: string, value: double")
+
+    def test_label_qualified_aggs(self, spark, sf_dir):
+        from trino_spark.dialect import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        self._df(spark).createOrReplaceTempView("agg_mr_t")
+        out = eng.sql(
+            """
+            SELECT uid, sum_a, avg_a, min_a, max_a, sum_all
+            FROM agg_mr_t MATCH_RECOGNIZE (
+              PARTITION BY uid ORDER BY seq
+              MEASURES SUM(A.value) AS sum_a, AVG(A.value) AS avg_a,
+                       MIN(A.value) AS min_a, MAX(A.value) AS max_a,
+                       SUM(value) AS sum_all
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A+ B)
+              DEFINE A AS kind = 'a', B AS kind = 'b'
+            ) ORDER BY uid, sum_a
+            """
+        ).collect()
+        assert len(out) == 2
+        first = out[0]  # A rows: 10, 20 then B 5
+        assert first.sum_a == 30.0 and first.avg_a == 15.0
+        assert first.min_a == 10.0 and first.max_a == 20.0
+        assert first.sum_all == 35.0  # includes the B row
+        second = out[1]  # A row: 30 then B 7
+        assert second.sum_a == 30.0 and second.sum_all == 37.0
+
+    def test_aggregate_in_define_rejected(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from trino_spark.dialect import TrinoEngine
+
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        self._df(spark).createOrReplaceTempView("agg_mr_t2")
+        with _pytest.raises(Exception, match="MEASURES only"):
+            eng.sql(
+                """
+                SELECT * FROM agg_mr_t2 MATCH_RECOGNIZE (
+                  PARTITION BY uid ORDER BY seq
+                  MEASURES COUNT(*) AS n
+                  ONE ROW PER MATCH
+                  PATTERN (A+)
+                  DEFINE A AS SUM(value) < 100
+                ) 
+                """
+            ).collect()

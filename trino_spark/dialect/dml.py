@@ -214,10 +214,11 @@ def _insert(engine, sql: str) -> DataFrame:
     aligned = incoming.select(
         *[F.col(f_.name).cast(f_.dataType).alias(f_.name) for f_ in current.schema.fields]
     )
-    inserted = aligned.count()
+    # Inserted count from footer metadata (before/after), not a second
+    # scan of the incoming relation.
+    before = _written_rows(_require_managed(engine, name))
     total = _commit(engine, name, current.unionByName(aligned))
-    assert total >= inserted
-    return engine.spark.createDataFrame([(inserted,)], "rows: bigint")
+    return engine.spark.createDataFrame([(total - before,)], "rows: bigint")
 
 
 def _delete(engine, sql: str) -> DataFrame:

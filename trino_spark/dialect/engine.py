@@ -218,14 +218,49 @@ class TrinoEngine:
                 rows or [], "name: string, freshness: string, last_fresh_time: string"
             )
         if up[:1] == ["EXPLAIN"]:
-            # EXPLAIN [ANALYZE] <stmt> (ExplainRewrite.java): returns the
-            # rendered plan as a one-column relation, like the reference.
+            # EXPLAIN [ANALYZE] [(TYPE ...)] <stmt> (ExplainRewrite.java):
+            # returns the rendered plan as a one-column relation. TYPE maps
+            # onto Spark's explain modes: LOGICAL -> extended (analyzed +
+            # optimized logical), DISTRIBUTED -> formatted physical (stage/
+            # exchange structure), VALIDATE -> analysis only, IO -> scanned
+            # relations summary.
             rest = stripped.split(None, 1)[1]
+            mode = "formatted"
+            import re as _re2
+
+            tm = _re2.match(r"\(\s*TYPE\s+(\w+)\s*\)\s*(.*)$", rest, _re2.IGNORECASE | _re2.DOTALL)
+            if tm:
+                ttype, rest = tm.group(1).upper(), tm.group(2)
+                mode = {
+                    "LOGICAL": "extended",
+                    "DISTRIBUTED": "formatted",
+                    "VALIDATE": "validate",
+                    "IO": "io",
+                }.get(ttype)
+                if mode is None:
+                    raise ValueError(f"EXPLAIN (TYPE {ttype}) not supported")
             if up[1:2] == ["ANALYZE"]:
                 text = self.explain_analyze(rest.split(None, 1)[1])
+            elif mode == "validate":
+                self.sql(rest).schema  # analysis only; no execution
+                text = "VALID"
+            elif mode == "io":
+                df = self.sql(rest)
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                import re as _re3
+
+                rels = sorted(set(_re3.findall(r"Relation \[[^\]]*\] \w+|FileScan \S+", plan))) or [
+                    ln.strip() for ln in plan.splitlines() if "Relation" in ln
+                ]
+                text = "\n".join(rels) if rels else plan
             else:
-                text = self.explain(rest)
+                text = self.explain(rest, mode=mode)
             return self.spark.createDataFrame([(text,)], "query_plan: string")
+        if up[:1] == ["DESCRIBE"] and len(up) == 2:
+            # DESCRIBE <table> == SHOW COLUMNS FROM <table> (the reference
+            # rewrites it the same way, ShowQueriesRewrite.java).
+            shown = rewrite_show(f"SHOW COLUMNS FROM {stripped.split()[1]}")
+            return self.spark.sql(shown)
         if up[:2] == ["SET", "SESSION"]:
             # SET SESSION k = v (SystemSessionProperties.java surface):
             # recorded per-engine; spark.* keys pass through to the conf.

@@ -205,7 +205,7 @@ def parse_spec(body: str) -> MRSpec:
 
 _TOKEN_RX = re.compile(
     r"""('(?:[^']|'')*')          # string literal
-      | (\bPREV|\bNEXT|\bFIRST|\bLAST|\bCOUNT|\bCLASSIFIER)\s*\(  # functions
+      | (\bPREV|\bNEXT|\bFIRST|\bLAST|\bCOUNT|\bCLASSIFIER|\bSUM|\bAVG|\bMIN|\bMAX)\s*\(  # functions
       | ([A-Za-z_]\w*(?:\.\w+|\.\*)?)  # identifier / qualified / L.*
       | (<>|<=|>=|=|<|>)          # comparison
       | (\S)                      # everything else
@@ -239,6 +239,18 @@ def _pyify(expr: str, mode: str) -> str:
             i = close + 1
             if f == "CLASSIFIER":
                 out.append("_classifier()")
+            elif f in ("SUM", "AVG", "MIN", "MAX"):
+                # Aggregate measures over the match's rows, optionally
+                # label-qualified: SUM(x) / SUM(A.x) (reference: row-pattern
+                # aggregations, MeasureComputation.java; grammar
+                # patternRecognition aggregations). MEASURES only.
+                if mode != "measure":
+                    raise ValueError(f"{f}() is not supported in DEFINE — MEASURES only")
+                am = re.match(r"(?:(\w+)\.)?(\w+)$", inner.strip())
+                if not am:
+                    raise ValueError(f"{f} expects col or label.col, got: {inner}")
+                label = f"'{am.group(1)}'" if am.group(1) else "None"
+                out.append(f"_agg('{f.lower()}', {label}, '{am.group(2)}')")
             elif f == "COUNT":
                 if inner in ("*", ""):
                     out.append("_count()")
@@ -310,6 +322,26 @@ def compile_define(cond: str):
     return fn
 
 
+def _run_agg(sl, labels, subsets, kind: str, label: str | None, col: str):
+    """SUM/AVG/MIN/MAX over the match's rows (label-filtered when
+    qualified; SUBSET union variables expand). NULL-skipping like SQL
+    aggregates; empty input -> NULL."""
+    vals = list(sl[col])
+    if label is not None:
+        members = set((subsets or {}).get(label, [label]))
+        vals = [v for v, lb in zip(vals, labels) if lb in members]
+    vals = [v for v in vals if v is not None and v == v]
+    if not vals:
+        return None
+    if kind == "sum":
+        return sum(vals)
+    if kind == "min":
+        return min(vals)
+    if kind == "max":
+        return max(vals)
+    return sum(vals) / len(vals)
+
+
 def compile_measure(expr: str, subsets: dict[str, list[str]] | None = None):
     code = compile(_pyify(expr, "measure"), "<measure>", "eval")
 
@@ -332,6 +364,7 @@ def compile_measure(expr: str, subsets: dict[str, list[str]] | None = None):
                 1 for x in labels if x == l or ((subsets or {}).get(l) and x in subsets[l])
             ),
             "_classifier": lambda: labels[-1],
+            "_agg": lambda kind, label, col: _run_agg(sl, labels, subsets, kind, label, col),
         }
         return eval(code, {"__builtins__": {}}, env)
 
@@ -345,6 +378,15 @@ def _measure_type(expr: str, schema: T.StructType) -> T.DataType:
         return T.StringType()
     if re.search(r"\bCOUNT\b", up):
         return T.LongType()
+    if re.search(r"\bAVG\s*\(", up):
+        return T.DoubleType()
+    am = re.search(r"\b(?:SUM|MIN|MAX)\s*\(\s*(?:\w+\.)?(\w+)", expr, re.IGNORECASE)
+    if am and am.group(1) in schema.fieldNames():
+        dt = schema[am.group(1)].dataType
+        # SUM widens integral inputs (SQL aggregate typing).
+        if re.search(r"\bSUM\b", up) and isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return T.LongType()
+        return dt
     if re.search(r"[+\-*/]", expr.replace("COUNT(*)", "")):
         # arithmetic over columns: use first referenced column's type if
         # numeric, else double

@@ -433,3 +433,62 @@ def dialect_scalar_residue(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY s_suppkey
         """,
     )
+
+
+@REG.add(
+    "dialect_mr_aggregates",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS grp
+      FROM o
+    ),
+    view_runs AS (
+      SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+             CAST(count(*) AS BIGINT) AS n_views,
+             sum(value) AS sv, avg(value) AS av, min(value) AS mv, max(value) AS xv
+      FROM runs WHERE event_type = 'view'
+      GROUP BY user_id, grp
+    )
+    SELECT v.user_id,
+           CAST(row_number() OVER (PARTITION BY v.user_id ORDER BY v.srn) AS BIGINT) AS match_no,
+           v.n_views,
+           round(v.sv, 6) AS sum_v, round(v.av, 6) AS avg_v,
+           round(v.mv, 6) AS min_v, round(v.xv, 6) AS max_v
+    FROM view_runs v
+    JOIN o p ON p.user_id = v.user_id AND p.rn = v.ern + 1 AND p.event_type = 'purchase'
+    ORDER BY v.user_id, match_no
+    """,
+)
+def dialect_mr_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-pattern AGGREGATE measures (reference: pattern aggregations in
+    MEASURES, core/.../rowpattern/ MeasureComputation + grammar
+    SqlBase.g4 patternRecognition): SUM/AVG/MIN/MAX over label-qualified
+    variable rows, compiled by dialect/match_recognize_sql.py onto the NFA
+    operator. Oracle restates each aggregate over the island-grouped view
+    runs."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT user_id, match_no, n_views,
+               round(sum_v, 6) AS sum_v, round(avg_v, 6) AS avg_v,
+               round(min_v, 6) AS min_v, round(max_v, 6) AS max_v
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES COUNT(V.*) AS n_views, SUM(V.value) AS sum_v,
+                   AVG(V.value) AS avg_v, MIN(V.value) AS min_v,
+                   MAX(V.value) AS max_v
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, match_no
+        """,
+    )
