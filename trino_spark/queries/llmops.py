@@ -708,3 +708,40 @@ def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
         F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
         F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "tokenizer_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT lower(w) AS w
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+      WHERE doc_id < 300 AND length(w) >= 2
+    ),
+    vocab AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+    pairs AS (
+      SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, freq
+      FROM vocab, unnest(generate_series(1, length(w) - 1)) AS g(i)
+    )
+    SELECT a || b AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a || b
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def tokenizer_bpe_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training, iteration-1 pair statistics
+    (operators/tokenizer.py): corpus -> weighted distinct vocab -> adjacent
+    char-pair counts. The full-corpus pass is one explode+agg; pair math
+    runs on the vocab only (Heaps' law). Oracle recomputes the same counts
+    character-positionally in DuckDB."""
+    from trino_spark.operators import tokenizer
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    syms = tokenizer.to_symbols(tokenizer.word_vocab(d))
+    stats = tokenizer.pair_stats(syms)
+    return (
+        stats.select(F.concat("a", "b").alias("pair"), F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
