@@ -215,3 +215,60 @@ def test_describe_and_explain_types(engine):
     assert "parquet" in io.lower() or "relation" in io.lower()
     dist = engine.sql("EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM nation").collect()[0].query_plan
     assert "Physical Plan" in dist or "Exchange" in dist or "HashAggregate" in dist
+
+
+class TestDDL:
+    """CREATE VIEW / plain CREATE TABLE / ALTER TABLE (CreateViewTask /
+    CreateTableTask / AddColumnTask-family statement surface)."""
+
+    def test_create_view_lazy(self, engine):
+        engine.sql("CREATE TABLE ddl_base AS SELECT 1 AS x")
+        engine.sql("CREATE VIEW ddl_v AS SELECT x * 10 AS y FROM ddl_base")
+        assert engine.sql("SELECT y FROM ddl_v").collect()[0].y == 10
+        ddl = engine.sql("SHOW CREATE VIEW ddl_v").collect()[0].create_view
+        assert ddl.startswith("CREATE VIEW ddl_v AS")
+        engine.sql("DROP VIEW ddl_v")
+        engine.sql("DROP TABLE ddl_base")
+
+    def test_create_view_duplicate_rejected_or_replace(self, engine):
+        engine.sql("CREATE VIEW ddl_v2 AS SELECT 1 AS a")
+        with pytest.raises(ValueError, match="already exists"):
+            engine.sql("CREATE VIEW ddl_v2 AS SELECT 2 AS a")
+        engine.sql("CREATE OR REPLACE VIEW ddl_v2 AS SELECT 2 AS a")
+        assert engine.sql("SELECT a FROM ddl_v2").collect()[0].a == 2
+        engine.sql("DROP VIEW ddl_v2")
+
+    def test_create_empty_table_then_insert(self, engine):
+        engine.sql("DROP TABLE IF EXISTS ddl_e")
+        engine.sql("CREATE TABLE ddl_e (id BIGINT, name VARCHAR(20), price DOUBLE)")
+        assert engine.sql("SELECT count(*) AS c FROM ddl_e").collect()[0].c == 0
+        n = engine.sql("INSERT INTO ddl_e SELECT 1, 'a', 9.5").collect()[0][0]
+        assert n == 1
+        row = engine.sql("SELECT * FROM ddl_e").collect()[0]
+        assert row.id == 1 and row.name == "a" and row.price == 9.5
+        engine.sql("DROP TABLE ddl_e")
+
+    def test_alter_add_drop_rename_column(self, engine):
+        engine.sql("DROP TABLE IF EXISTS ddl_a")
+        engine.sql("CREATE TABLE ddl_a AS SELECT 1 AS x, 'k' AS tag")
+        engine.sql("ALTER TABLE ddl_a ADD COLUMN note VARCHAR")
+        row = engine.sql("SELECT * FROM ddl_a").collect()[0]
+        assert row.note is None
+        engine.sql("ALTER TABLE ddl_a RENAME COLUMN note TO comment")
+        assert "comment" in engine.sql("SELECT * FROM ddl_a").columns
+        engine.sql("ALTER TABLE ddl_a DROP COLUMN comment")
+        assert engine.sql("SELECT * FROM ddl_a").columns == ["x", "tag"]
+        engine.sql("ALTER TABLE ddl_a RENAME TO ddl_b")
+        assert engine.sql("SELECT x FROM ddl_b").collect()[0].x == 1
+        engine.sql("DROP TABLE ddl_b")
+
+    def test_alter_guards(self, engine):
+        engine.sql("DROP TABLE IF EXISTS ddl_g")
+        engine.sql("CREATE TABLE ddl_g AS SELECT 1 AS only_col")
+        with pytest.raises(ValueError, match="only column"):
+            engine.sql("ALTER TABLE ddl_g DROP COLUMN only_col")
+        with pytest.raises(ValueError, match="not found"):
+            engine.sql("ALTER TABLE ddl_g DROP COLUMN ghost")
+        with pytest.raises(ValueError, match="does not support updates"):
+            engine.sql("ALTER TABLE nation ADD COLUMN c INT")
+        engine.sql("DROP TABLE ddl_g")

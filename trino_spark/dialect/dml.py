@@ -476,3 +476,145 @@ def txn_rollback(engine) -> None:
             shutil.rmtree(path, ignore_errors=True)
             engine.spark.catalog.dropTempView(name)
     engine._txn = None
+
+
+# ---------------------------------------------------------------- DDL
+#
+# CREATE VIEW (logical, lazily re-resolved), plain CREATE TABLE (empty
+# managed table from a column list), and ALTER TABLE column evolution —
+# the remaining statement surface of the reference's metadata entry point
+# (CreateViewTask.java, CreateTableTask.java, AddColumnTask.java /
+# DropColumnTask.java / RenameColumnTask.java). ALTER on a managed table
+# is a projection rewrite + copy-on-write commit: schema evolution without
+# a metastore.
+
+
+def try_execute_ddl(engine, sql: str) -> DataFrame | None:
+    stripped = sql.strip().rstrip(";")
+    up = stripped.upper().split()
+    if up[:2] == ["CREATE", "VIEW"] or up[:4] == ["CREATE", "OR", "REPLACE", "VIEW"]:
+        return _create_view(engine, stripped)
+    if up[:2] == ["DROP", "VIEW"]:
+        parts = stripped.split()
+        idx = 4 if len(parts) > 4 and parts[2].upper() == "IF" else 2
+        name = _norm_name(parts[idx])
+        existed = engine.views.pop(name, None) if hasattr(engine, "views") else None
+        if existed is None and idx == 2:
+            raise ValueError(f"view not found: {name}")
+        if existed is not None:
+            engine.spark.catalog.dropTempView(name)
+        return engine.spark.createDataFrame([(name,)], "view: string")
+    if up[:3] == ["SHOW", "CREATE", "VIEW"]:
+        name = _norm_name(stripped.split()[3])
+        views = getattr(engine, "views", {})
+        if name not in views:
+            raise ValueError(f"view not found: {name}")
+        return engine.spark.createDataFrame(
+            [(f"CREATE VIEW {name} AS\n{views[name]}",)], "create_view: string"
+        )
+    if up[:2] == ["CREATE", "TABLE"] and " AS " not in f" {stripped.upper()} ":
+        return _create_empty_table(engine, stripped)
+    if up[:2] == ["ALTER", "TABLE"]:
+        return _alter_table(engine, stripped)
+    return None
+
+
+def _create_view(engine, sql: str) -> DataFrame:
+    m = re.match(
+        rf"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+({_IDENT}(?:\.{_IDENT})*)\s+AS\s+(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE VIEW: {sql[:120]}")
+    name, defn = _norm_name(m.group(1)), m.group(2).strip()
+    if not hasattr(engine, "views"):
+        engine.views = {}
+    if name in engine.views and "OR REPLACE" not in sql.upper()[:40]:
+        raise ValueError(f"view already exists: {name}")
+    # Lazy logical view: the DataFrame plan re-reads sources at query time
+    # (CreateViewTask semantics — definition resolved, data not stored).
+    engine.sql(defn).createOrReplaceTempView(name)
+    engine.views[name] = defn
+    return engine.spark.createDataFrame([(name,)], "view: string")
+
+
+def _create_empty_table(engine, sql: str) -> DataFrame:
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT}(?:\.{_IDENT})*)\s*\((.*)\)\s*(?:WITH\s*\(.*\))?\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE TABLE: {sql[:120]}")
+    name = _norm_name(m.group(1))
+    if name in _managed(engine):
+        if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+            return engine.spark.createDataFrame([(0,)], "rows: bigint")
+        raise ValueError(f"table already exists: {name}")
+    cols = []
+    for piece in _split_top_level(m.group(2), ","):
+        parts = piece.split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"cannot parse column definition: {piece}")
+        cols.append(f"{_norm_name(parts[0])} {_trino_type_to_spark(parts[1])}")
+    empty = engine.spark.createDataFrame([], ", ".join(cols))
+    _commit(engine, name, empty)
+    return engine.spark.createDataFrame([(0,)], "rows: bigint")
+
+
+def _trino_type_to_spark(t: str) -> str:
+    t = t.strip().rstrip(",").lower()
+    t = re.sub(r"\bvarchar(\(\d+\))?", "string", t)
+    t = re.sub(r"\bchar\((\d+)\)", "string", t)
+    t = t.replace("varbinary", "binary").replace("real", "float")
+    t = re.sub(r"\binteger\b", "int", t)
+    t = re.sub(r"\btime\b(?!stamp)", "bigint", t)  # TIME emulated as nanos-of-day
+    return t
+
+
+def _alter_table(engine, sql: str) -> DataFrame:
+    m = re.match(
+        rf"ALTER\s+TABLE\s+({_IDENT}(?:\.{_IDENT})*)\s+(.*)$", sql, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE: {sql[:120]}")
+    name, action = _norm_name(m.group(1)), m.group(2).strip()
+    df = _read(engine, name)
+    au = action.upper()
+    if au.startswith("ADD COLUMN"):
+        am = re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)$", action, re.IGNORECASE)
+        col, typ = _norm_name(am.group(1)), _trino_type_to_spark(am.group(2))
+        if col in df.columns:
+            if re.search(r"IF\s+NOT\s+EXISTS", action, re.IGNORECASE):
+                return engine.spark.createDataFrame([(0,)], "rows: bigint")
+            raise ValueError(f"column already exists: {col}")
+        out = df.withColumn(col, F.lit(None).cast(typ))
+    elif au.startswith("DROP COLUMN"):
+        col = _norm_name(action.split()[2])
+        if col not in df.columns:
+            raise ValueError(f"column not found: {col}")
+        if len(df.columns) == 1:
+            raise ValueError("cannot drop the only column")
+        out = df.drop(col)
+    elif au.startswith("RENAME COLUMN"):
+        am = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", action, re.IGNORECASE)
+        old, new = _norm_name(am.group(1)), _norm_name(am.group(2))
+        if old not in df.columns:
+            raise ValueError(f"column not found: {old}")
+        out = df.withColumnRenamed(old, new)
+    elif au.startswith("RENAME TO"):
+        new = _norm_name(action.split()[2])
+        path = _require_managed(engine, name)
+        newpath = os.path.join(_warehouse_dir(), new)
+        os.rename(path, newpath)
+        tables = _managed(engine)
+        del tables[name]
+        tables[new] = newpath
+        engine.spark.catalog.dropTempView(name)
+        engine.spark.read.parquet(newpath).createOrReplaceTempView(new)
+        return engine.spark.createDataFrame([(0,)], "rows: bigint")
+    else:
+        raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")
+    _commit(engine, name, out)
+    return engine.spark.createDataFrame([(0,)], "rows: bigint")

@@ -145,13 +145,23 @@ class TrinoEngine:
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
-        if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"]) or (
-            up[:2] in (["CREATE", "TABLE"], ["DROP", "TABLE"])
+        if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"], ["ALTER"]) or (
+            up[:2]
+            in (
+                ["CREATE", "TABLE"],
+                ["DROP", "TABLE"],
+                ["CREATE", "VIEW"],
+                ["DROP", "VIEW"],
+            )
+            or up[:3] in (["CREATE", "OR", "REPLACE"], ["SHOW", "CREATE", "VIEW"])
         ):
-            # DML entry point (SURVEY §3.3): copy-on-write managed tables.
+            # DML/DDL entry point (SURVEY §3.3): copy-on-write managed
+            # tables, logical views, column evolution.
             from trino_spark.dialect import dml as _dml
 
             dml_out = _dml.try_execute(self, stripped)
+            if dml_out is None:
+                dml_out = _dml.try_execute_ddl(self, stripped)
             if dml_out is not None:
                 return dml_out
         if up[:3] == ["CREATE", "MATERIALIZED", "VIEW"] or up[:5] == [

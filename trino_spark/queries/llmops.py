@@ -745,3 +745,55 @@ def tokenizer_bpe_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@REG.add(
+    "text_lm_perplexity",
+    """
+    WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 300),
+    words AS (
+      SELECT doc_id, w FROM docs, unnest(string_split_regex(t, '\\s+')) AS u(w)
+      WHERE length(w) > 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM docs
+    ),
+    bigrams AS (
+      SELECT doc_id, list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w AS w1, count(*) AS c1 FROM words GROUP BY w),
+    v AS (SELECT count(*) AS vs FROM c1),
+    lm AS (
+      SELECT c12.w1, c12.w2, ln((c12 + 1.0) / (c1 + (SELECT vs FROM v))) AS logp
+      FROM c12 JOIN c1 ON c1.w1 = c12.w1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             coalesce(lm.logp, ln(1.0 / (coalesce(c1.c1, 0) + (SELECT vs FROM v)))) AS lp
+      FROM bigrams b
+      LEFT JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+      LEFT JOIN c1 ON c1.w1 = b.w1
+    )
+    SELECT d.doc_id, round(exp(-avg(s.lp)), 6) AS perplexity
+    FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality scoring (Wenzek et al. 2020): per-document
+    perplexity under a word-bigram LM with add-one smoothing, trained on
+    the same corpus (operators/lm.py). Train = 2 hash aggs; score =
+    broadcast model join + per-doc agg; all expressions. Oracle recomputes
+    train+score verbatim in DuckDB."""
+    from trino_spark.operators import lm as lmops
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    model, unigrams, v = lmops.train_bigram_lm(d)
+    out = lmops.score_perplexity(d, model, unigrams, v)
+    return out.select(
+        "doc_id", F.round("perplexity", 6).alias("perplexity")
+    ).orderBy("doc_id")
