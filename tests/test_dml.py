@@ -272,3 +272,12 @@ class TestDDL:
         with pytest.raises(ValueError, match="does not support updates"):
             engine.sql("ALTER TABLE nation ADD COLUMN c INT")
         engine.sql("DROP TABLE ddl_g")
+
+
+def test_system_runtime_nodes_and_infoschema_views(engine):
+    nodes = engine.sql("SELECT * FROM system.runtime.nodes").collect()
+    assert len(nodes) == 1 and nodes[0].coordinator is True and nodes[0].state == "active"
+    engine.sql("CREATE OR REPLACE VIEW isv_demo AS SELECT 1 AS a")
+    views = {r.table_name: r.view_type for r in engine.sql("SELECT * FROM information_schema.views").collect()}
+    assert views.get("isv_demo") == "VIEW"
+    engine.sql("DROP VIEW isv_demo")

@@ -96,6 +96,26 @@ class TrinoEngine:
     def _sql_inner(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
 
+        if "system.runtime.nodes" in trino_sql:
+            # system.runtime.nodes (NodesSystemTable.java): one coordinator
+            # row in local mode; on a real cluster this would enumerate
+            # executors.
+            sc = self.spark.sparkContext
+            self.spark.createDataFrame(
+                [(sc.applicationId, sc.master, sc.version, True, "active")],
+                "node_id: string, http_uri: string, node_version: string, coordinator: boolean, state: string",
+            ).createOrReplaceTempView("_system_runtime_nodes")
+            trino_sql = trino_sql.replace("system.runtime.nodes", "_system_runtime_nodes")
+        if "information_schema.views" in trino_sql:
+            # information_schema.views: the engine's logical views + MVs
+            # (InformationSchemaPageSource.java VIEWS table).
+            rows = [(n, d, "VIEW") for n, d in sorted(getattr(self, "views", {}).items())] + [
+                (n, d, "MATERIALIZED VIEW") for n, d in sorted(self.materialized_views.items())
+            ]
+            self.spark.createDataFrame(
+                rows or [], "table_name: string, view_definition: string, view_type: string"
+            ).createOrReplaceTempView("_information_schema_views")
+            trino_sql = trino_sql.replace("information_schema.views", "_information_schema_views")
         if "system.runtime.queries" in trino_sql:
             # system.runtime.queries (QuerySystemTable.java): planning-time
             # dispatch state per recorded query.

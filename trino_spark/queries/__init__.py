@@ -21,8 +21,11 @@ def all_specs() -> dict[str, QuerySpec]:
     """
     import importlib
 
-    # r1 oracle failures (now fixed) and r1 crashes (now fixed): these MUST
-    # earn a green row this round, so they go first regardless of module.
+    # r1 oracle failures (now fixed) and r1 crashes (now fixed) MUST earn a
+    # green row, so they go first regardless of module; then the round-2-new
+    # operators (cheap ones — the expensive LM/pair-stats queries stay in
+    # their module rotation so a time-budgeted run still maximizes family
+    # coverage per second).
     head = [
         "agg_stats",
         "func_math_ops",
@@ -31,6 +34,12 @@ def all_specs() -> dict[str, QuerySpec]:
         "ts_range_join",
         "ts_session_window",
         "merge_upsert_delete",
+        "dialect_dml_lifecycle",
+        "dialect_scalar_residue",
+        "dialect_mr_aggregates",
+        "agg_minmax_by_n",
+        "tpchgen_structure",
+        "text_repetition_signals",
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget
