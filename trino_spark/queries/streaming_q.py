@@ -141,3 +141,50 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(p.value), 6) AS sum_purchase
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (view -> purchase attribution within 30
+    minutes): two watermarked streams, event-time range condition bounding
+    the join state, AvailableNow replay. The oracle is the identical batch
+    interval join — the streaming buffers/eviction machinery is what's
+    being value-checked."""
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf)
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase").withColumnRenamed(
+        "value", "p_value"
+    )
+    joined = streaming.stream_stream_interval_join(views, purchases, within="30 minutes")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    streaming.run_available_now(
+        joined.select(F.col("l.user_id").alias("user_id"), F.col("r.p_value").alias("p_value")),
+        name,
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode="append",
+    )
+    out = spark.table(name)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("p_value"), 6).alias("sum_purchase"),
+        )
+        .orderBy("user_id")
+    )

@@ -82,13 +82,16 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, table_name: str, checkpoint_dir: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, table_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
     """Replay the whole source through the streaming engine once
-    (Trigger.AvailableNow) into an in-memory sink; blocks until done."""
+    (Trigger.AvailableNow) into an in-memory sink; blocks until done.
+    output_mode: "complete" for aggregations, "append" for joins/maps."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -150,3 +153,26 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["dedup_key"]
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with an event-time range:
+    right rows within [left.ts, left.ts + within]. The range condition +
+    both watermarks bound the join state (Spark evicts buffered rows once
+    the watermark passes the interval), so state is O(traffic within the
+    horizon) — the production shape for click->conversion attribution.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
