@@ -575,3 +575,62 @@ def test_show_catalogs_and_session(spark, sf_dir):
     eng.sql("SET SESSION query_max_run_time = '2h'")
     rows = {r.name: r.value for r in eng.sql("SHOW SESSION").collect()}
     assert rows.get("query_max_run_time") == "2h"
+
+
+class TestRound2SurfaceFillins:
+    """Quantified comparisons, ROW types, DECIMAL literals, OFFSET..LIMIT
+    order, standalone FROM UNNEST, niladic localtimestamp."""
+
+    def _eng(self, spark, sf_dir):
+        from trino_spark.dialect import TrinoEngine
+
+        return TrinoEngine(spark, sf_dir=sf_dir)
+
+    def test_quantified_comparisons(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        q = lambda s: eng.sql(s).collect()[0].c
+        assert q("SELECT count(*) AS c FROM nation WHERE n_nationkey > ALL (SELECT n_regionkey FROM nation)") == 20
+        assert q("SELECT count(*) AS c FROM nation WHERE n_nationkey = ANY (SELECT n_regionkey FROM nation)") == 5
+        assert q("SELECT count(*) AS c FROM nation WHERE n_nationkey < SOME (SELECT n_regionkey FROM nation)") == 4
+        assert q("SELECT count(*) AS c FROM nation WHERE n_regionkey <> ALL (SELECT 99)") == 25
+
+    def test_union_all_unaffected(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        assert len(eng.sql("SELECT 1 AS x UNION ALL SELECT 2").collect()) == 2
+
+    def test_row_constructor_and_cast(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        r = eng.sql("SELECT CAST(ROW(1, ROW(2, 'b')) AS ROW(a INT, b ROW(c INT, d VARCHAR))).b.d AS x").collect()[0]
+        assert r.x == "b"
+
+    def test_decimal_literal(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        import decimal
+
+        out = eng.sql("SELECT DECIMAL '12.345' * 2 AS x").collect()[0].x
+        assert out == decimal.Decimal("24.690")
+
+    def test_offset_before_limit(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        rows = eng.sql("SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 5 ROWS LIMIT 3").collect()
+        assert [r.n_nationkey for r in rows] == [5, 6, 7]
+
+    def test_from_unnest_forms(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        assert [tuple(r) for r in eng.sql(
+            "SELECT * FROM UNNEST(array['a','b']) WITH ORDINALITY AS t(v, i)"
+        ).collect()] == [("a", 1), ("b", 2)]
+        assert [tuple(r) for r in eng.sql(
+            "SELECT * FROM UNNEST(array[1,2], array['x','y']) AS t(n, s)"
+        ).collect()] == [(1, "x"), (2, "y")]
+
+    def test_localtimestamp_niladic(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        assert eng.sql("SELECT localtimestamp IS NOT NULL AS x").collect()[0].x is True
+
+    def test_eq_all_raises(self, spark, sf_dir):
+        from trino_spark.dialect.rewrites import TrinoSqlError
+
+        eng = self._eng(spark, sf_dir)
+        with pytest.raises(TrinoSqlError):
+            eng.sql("SELECT count(*) AS c FROM nation WHERE n_nationkey = ALL (SELECT 1)")

@@ -650,6 +650,34 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
     i = 0
     while i < len(toks):
         t = toks[i]
+        if t.is_word("FROM"):
+            # Standalone `FROM UNNEST(...) [WITH ORDINALITY] AS t(cols)`
+            # (UNNEST as the only relation): rewrite onto Spark's
+            # generator table-valued functions (explode/posexplode/inline
+            # in FROM), wrapped in a subquery that renames to the alias
+            # columns so `SELECT *` sees exactly the declared shape.
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_word("UNNEST"):
+                o = next_code(toks, j + 1)
+                c = match_paren(toks, o)
+                exprs = [render(toks[a:b]).strip() for a, b in split_args(toks, o, c)]
+                k = next_code(toks, c + 1)
+                ordinality = False
+                if k < len(toks) and toks[k].is_word("WITH"):
+                    k2 = next_code(toks, k + 1)
+                    if k2 < len(toks) and toks[k2].is_word("ORDINALITY"):
+                        ordinality = True
+                        k = next_code(toks, k2 + 1)
+                if not (k < len(toks) and toks[k].is_word("AS")):
+                    raise TrinoSqlError("UNNEST requires an AS alias(col, ...) clause")
+                a_i = next_code(toks, k + 1)
+                alias = toks[a_i].text
+                p_i = next_code(toks, a_i + 1)
+                pc = match_paren(toks, p_i)
+                cols = [render(toks[a:b]).strip() for a, b in split_args(toks, p_i, pc)]
+                out.extend(tokenize(" FROM " + _unnest_tvf(exprs, cols, ordinality, alias)))
+                i = pc + 1
+                continue
         is_cross = t.is_word("CROSS")
         is_comma = t.is_sym(",")
         if is_cross or is_comma:
@@ -685,6 +713,31 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
         out.append(t)
         i += 1
     return out
+
+
+def _unnest_tvf(exprs: list[str], cols: list[str], ordinality: bool, alias: str) -> str:
+    """UNNEST as the sole FROM relation -> Spark generator TVF subquery."""
+    if len(exprs) == 1 and not ordinality:
+        if len(cols) == 2:  # map input -> (key, value)
+            return f"(SELECT key AS {cols[0]}, value AS {cols[1]} FROM explode({exprs[0]})) AS {alias}"
+        if len(cols) != 1:
+            raise TrinoSqlError("UNNEST of one array produces one column")
+        return f"(SELECT col AS {cols[0]} FROM explode({exprs[0]})) AS {alias}"
+    if len(exprs) == 1 and ordinality:
+        if len(cols) != 2:
+            raise TrinoSqlError("UNNEST ... WITH ORDINALITY produces (value, ordinality)")
+        return (
+            f"(SELECT col AS {cols[0]}, CAST(pos + 1 AS BIGINT) AS {cols[1]}"
+            f" FROM posexplode({exprs[0]})) AS {alias}"
+        )
+    if len(exprs) == 2 and not ordinality:
+        if len(cols) != 2:
+            raise TrinoSqlError("UNNEST of two arrays produces two columns")
+        return (
+            f"(SELECT __a AS {cols[0]}, __b AS {cols[1]} FROM inline(zip_with("
+            f"{exprs[0]}, {exprs[1]}, (__a, __b) -> struct(__a, __b)))) AS {alias}"
+        )
+    raise TrinoSqlError("unsupported UNNEST form (maps / >2 arrays)")
 
 
 def _unnest_lateral(exprs: list[str], cols: list[str], ordinality: bool, alias: str) -> str:
@@ -836,6 +889,206 @@ def _rewrite_types(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+
+_QUANT_AGG = {
+    (">", "ALL"): "max", (">=", "ALL"): "max", ("<", "ALL"): "min", ("<=", "ALL"): "min",
+    (">", "ANY"): "min", (">=", "ANY"): "min", ("<", "ANY"): "max", ("<=", "ANY"): "max",
+}
+
+
+def _rewrite_quantified(toks: list[Tok]) -> list[Tok]:
+    """Quantified comparisons (grammar SqlBase.g4 comparisonQuantifier;
+    planner QuantifiedComparisonExpression): rewrite onto Spark, which has
+    no ANY/SOME/ALL subquery syntax.
+
+      = ANY/SOME (q)      -> IN (q)
+      <> ALL (q)          -> NOT IN (q)
+      >|>=|<|<= ALL (q)   -> op (SELECT max/min(c) FROM (q))
+      >|>=|<|<= ANY/SOME  -> op (SELECT min/max(c) FROM (q))
+
+    The min/max rewrite matches Trino on non-NULL, non-empty subqueries
+    (the overwhelmingly common case); NULL-bearing or empty subqueries
+    yield NULL where strict ALL-semantics would yield TRUE — documented
+    deviation. `= ALL` / `<> ANY` (equality against every/some row) have
+    no single-aggregate form and raise.
+    """
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD" and t.text.upper() in ("ALL", "ANY", "SOME"):
+            quant = "ANY" if t.text.upper() == "SOME" else t.text.upper()
+            prev = prev_code(out, len(out) - 1)
+            nxt = next_code(toks, i + 1)
+            cmp_tok = out[prev].text if prev >= 0 else ""
+            if (
+                cmp_tok in ("=", "<>", "!=", ">", ">=", "<", "<=")
+                and nxt < len(toks)
+                and toks[nxt].is_sym("(")
+            ):
+                close = match_paren(toks, nxt)
+                inner = render(toks[nxt + 1 : close]).strip()
+                if cmp_tok == "=" and quant == "ANY":
+                    del out[prev:]
+                    out.extend(tokenize(f" IN ({inner})"))
+                elif cmp_tok in ("<>", "!=") and quant == "ALL":
+                    del out[prev:]
+                    out.extend(tokenize(f" NOT IN ({inner})"))
+                elif (cmp_tok, quant) in _QUANT_AGG:
+                    agg = _QUANT_AGG[(cmp_tok, quant)]
+                    out.extend(
+                        tokenize(f" (SELECT {agg}(__qc) FROM ({inner}) AS __q(__qc))")
+                    )
+                else:
+                    raise TrinoSqlError(
+                        f"quantified comparison {cmp_tok} {quant} (subquery) has no "
+                        "aggregate rewrite"
+                    )
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_decimal_literal(toks: list[Tok]) -> list[Tok]:
+    """DECIMAL '12.34' typed literal -> CAST('12.34' AS DECIMAL(p, s)) with
+    Trino's inference: p = digit count, s = fraction digits."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        j = next_code(toks, i + 1)
+        if (
+            t.kind == "WORD"
+            and t.text.upper() == "DECIMAL"
+            and j < len(toks)
+            and toks[j].kind == "STR"
+        ):
+            lit = toks[j].text.strip("'").strip()
+            digits = lit.lstrip("+-")
+            whole, _, frac = digits.partition(".")
+            p = min(38, max(1, len(whole.lstrip("0") or "0") + len(frac)))
+            s = min(p, len(frac))
+            out.extend(tokenize(f"CAST({toks[j].text} AS DECIMAL({p}, {s}))"))
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_offset_limit(toks: list[Tok]) -> list[Tok]:
+    """Trino `OFFSET n [ROW|ROWS] LIMIT m` -> Spark `LIMIT m OFFSET n`
+    (Spark requires LIMIT before OFFSET)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD" and t.text.upper() == "OFFSET":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].kind == "NUM":
+                n = toks[j].text
+                k = next_code(toks, j + 1)
+                if k < len(toks) and toks[k].kind == "WORD" and toks[k].text.upper() in ("ROW", "ROWS"):
+                    k = next_code(toks, k + 1)
+                if k < len(toks) and toks[k].is_word("LIMIT"):
+                    m_i = next_code(toks, k + 1)
+                    out.extend(tokenize(f" LIMIT {toks[m_i].text} OFFSET {n} "))
+                    i = m_i + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_niladic(toks: list[Tok]) -> list[Tok]:
+    """Niladic keywords Spark only accepts with parens: localtimestamp."""
+    out: list[Tok] = []
+    for idx, t in enumerate(toks):
+        if t.kind == "WORD" and t.text.upper() == "LOCALTIMESTAMP":
+            j = next_code(toks, idx + 1)
+            if not (j < len(toks) and toks[j].is_sym("(")):
+                out.extend(tokenize("localtimestamp()"))
+                continue
+        out.append(t)
+    return out
+
+
+def _row_type_to_struct(text: str) -> str:
+    """ROW(name TYPE, ...) type syntax -> STRUCT<name: TYPE, ...>,
+    recursively, with Trino->Spark base-type spellings."""
+    m = re.search(r"\bROW\s*\(", text, re.IGNORECASE)
+    while m:
+        open_i = text.index("(", m.start())
+        depth, close_i = 0, open_i
+        for k in range(open_i, len(text)):
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_i = k
+                    break
+        inner = text[open_i + 1 : close_i]
+        fields = []
+        buf, depth2 = [], 0
+        for ch in inner:
+            if ch in "(<":
+                depth2 += 1
+            elif ch in ")>":
+                depth2 -= 1
+            if ch == "," and depth2 == 0:
+                fields.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            fields.append("".join(buf))
+        parts = []
+        for f_ in fields:
+            name, _, typ = f_.strip().partition(" ")
+            parts.append(f"{name}: {_spark_base_type(typ.strip())}")
+        text = text[: m.start()] + "STRUCT<" + ", ".join(parts) + ">" + text[close_i + 1 :]
+        m = re.search(r"\bROW\s*\(", text, re.IGNORECASE)
+    return text
+
+
+def _spark_base_type(t: str) -> str:
+    t = re.sub(r"\bVARCHAR(\(\d+\))?", "STRING", t, flags=re.IGNORECASE)
+    t = re.sub(r"\bVARBINARY\b", "BINARY", t, flags=re.IGNORECASE)
+    t = re.sub(r"\bREAL\b", "FLOAT", t, flags=re.IGNORECASE)
+    return _row_type_to_struct(t) if re.search(r"\bROW\s*\(", t, re.IGNORECASE) else t
+
+
+def _rewrite_row(toks: list[Tok]) -> list[Tok]:
+    """ROW(...) in expression position -> struct(...); ROW(...) in type
+    position (after AS inside CAST) -> STRUCT<name: TYPE, ...>."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "WORD" and t.text.upper() == "ROW":
+            j = next_code(toks, i + 1)
+            if j < len(toks) and toks[j].is_sym("("):
+                prev = prev_code(out, len(out) - 1)
+                in_type_pos = prev >= 0 and out[prev].is_word("AS")
+                close = match_paren(toks, j)
+                if in_type_pos:
+                    typed = _row_type_to_struct(render(toks[i : close + 1]))
+                    out.extend(tokenize(typed))
+                    i = close + 1
+                else:
+                    # Constructor: swap the word only and continue from the
+                    # paren so NESTED ROW(...) constructors get visited too.
+                    out.append(Tok("WORD", "struct"))
+                    i = j
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 # ------------------------------------------------------------------ driver
 
 def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
@@ -901,6 +1154,11 @@ def translate(sql: str) -> str:
         sql = "SELECT * FROM " + sql.strip()
     toks = tokenize(sql)
     toks = _rewrite_array_literal(toks)
+    toks = _rewrite_decimal_literal(toks)
+    toks = _rewrite_row(toks)
+    toks = _rewrite_quantified(toks)
+    toks = _rewrite_niladic(toks)
+    toks = _rewrite_offset_limit(toks)
     toks = _rewrite_functions(toks)
     toks = _rewrite_table_ptf(toks)
     toks = _rewrite_at_time_zone(toks)

@@ -492,3 +492,37 @@ def dialect_mr_aggregates(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY user_id, match_no
         """,
     )
+
+
+@REG.add(
+    "dialect_quantified_row",
+    """
+    WITH mx AS (SELECT max(n_regionkey) AS m FROM nation)
+    SELECT n.n_nationkey,
+           CAST(12.345 AS DECIMAL(5, 3)) * 2 AS dec_lit,
+           struct_pack(id := n.n_nationkey, nm := n.n_name)['nm'] AS row_nm
+    FROM nation n, mx
+    WHERE n.n_nationkey > mx.m
+    ORDER BY n.n_nationkey
+    OFFSET 5 LIMIT 4
+    """,
+)
+def dialect_quantified_row(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-2 grammar fill-ins end-to-end: `> ALL (subquery)` quantified
+    comparison (aggregate rewrite), typed DECIMAL literal (precision
+    inference), ROW constructor + cast field access, and Trino's
+    OFFSET-before-LIMIT clause order. DuckDB re-states each with its own
+    native spellings (struct_pack, max CTE, plain OFFSET)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT n_nationkey,
+               DECIMAL '12.345' * 2 AS dec_lit,
+               CAST(ROW(n_nationkey, n_name) AS ROW(id INT, nm VARCHAR)).nm AS row_nm
+        FROM nation
+        WHERE n_nationkey > ALL (SELECT n_regionkey FROM nation)
+        ORDER BY n_nationkey
+        OFFSET 5 LIMIT 4
+        """,
+    )
