@@ -499,7 +499,7 @@ def dialect_mr_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH mx AS (SELECT max(n_regionkey) AS m FROM nation)
     SELECT n.n_nationkey,
-           CAST(12.345 AS DECIMAL(5, 3)) * 2 AS dec_lit,
+           round(CAST(CAST(12.345 AS DECIMAL(5, 3)) * 2 AS DOUBLE), 3) AS dec_lit,
            struct_pack(id := n.n_nationkey, nm := n.n_name)['nm'] AS row_nm
     FROM nation n, mx
     WHERE n.n_nationkey > mx.m
@@ -518,7 +518,7 @@ def dialect_quantified_row(spark: SparkSession, sf: str) -> DataFrame:
         sf,
         """
         SELECT n_nationkey,
-               DECIMAL '12.345' * 2 AS dec_lit,
+               round(CAST(DECIMAL '12.345' * 2 AS DOUBLE), 3) AS dec_lit,
                CAST(ROW(n_nationkey, n_name) AS ROW(id INT, nm VARCHAR)).nm AS row_nm
         FROM nation
         WHERE n_nationkey > ALL (SELECT n_regionkey FROM nation)

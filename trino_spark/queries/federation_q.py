@@ -34,16 +34,26 @@ def ensure_derby_nation(spark: SparkSession, sf: str) -> None:
     nation is SF-invariant (25 rows at every scale factor), so any sf_dir
     seeds the same content. Seeding is the one side effect here — it stands
     in for the external OLTP database a real federation query talks to."""
-    try:
-        spark.read.format("jdbc").option("url", derby_url()).option(
-            "dbtable", "nation"
-        ).load().limit(1).collect()
-        return
-    except Exception:
-        pass
-    t(spark, sf, "nation").write.format("jdbc").option("url", derby_url(create=True)).option(
-        "dbtable", "nation"
-    ).mode("overwrite").save()
+    import time
+
+    last: Exception | None = None
+    for attempt in range(4):
+        try:
+            spark.read.format("jdbc").option("url", derby_url()).option(
+                "dbtable", "nation"
+            ).load().limit(1).collect()
+            return
+        except Exception:
+            pass
+        try:
+            t(spark, sf, "nation").write.format("jdbc").option(
+                "url", derby_url(create=True)
+            ).option("dbtable", "nation").mode("overwrite").save()
+            return
+        except Exception as exc:  # embedded Derby single-JVM lock: another
+            last = exc  # process (bench vs verify) may hold it briefly
+            time.sleep(1.5 * (attempt + 1))
+    raise last
 
 
 def jdbc_nation(spark: SparkSession, sf: str) -> DataFrame:
