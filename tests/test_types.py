@@ -71,3 +71,57 @@ def test_char_varchar_semantics(spark):
     # Spark (documented gap). Equality on trailing spaces must differ:
     r = spark.sql("SELECT 'a' = 'a ' AS eq, rtrim('a ') = 'a' AS eq2").first()
     assert r.eq is False and r.eq2 is True
+
+
+class TestJsonTableNested:
+    """NESTED PATH subset of JSON_TABLE (operators/json_table.py)."""
+
+    def test_two_levels_with_empty_child(self, spark):
+        from trino_spark.operators.json_table import ColumnSpec, NestedSpec, json_table
+
+        df = spark.createDataFrame(
+            [(1, '[{"o": 10, "items": [{"sku": "a"}, {"sku": "b"}]}, {"o": 11, "items": []}]')],
+            "id: int, j: string",
+        )
+        out = json_table(
+            df,
+            "j",
+            "lax $[*]",
+            [ColumnSpec("o", "int"), NestedSpec("lax $.items[*]", (ColumnSpec("sku"),))],
+        ).select("o", "sku")
+        rows = sorted((r.o, r.sku) for r in out.collect())
+        # o=11 has no items but survives (PLAIN LEFT OUTER)
+        assert rows == [(10, "a"), (10, "b"), (11, None)]
+
+    def test_three_levels(self, spark):
+        from trino_spark.operators.json_table import ColumnSpec, NestedSpec, json_table
+
+        doc = '[{"a": 1, "bs": [{"b": 2, "cs": [{"c": 3}, {"c": 4}]}]}]'
+        df = spark.createDataFrame([(doc,)], "j: string")
+        out = json_table(
+            df,
+            "j",
+            "$",
+            [
+                ColumnSpec("a", "int"),
+                NestedSpec(
+                    "lax $.bs[*]",
+                    (ColumnSpec("b", "int"), NestedSpec("lax $.cs[*]", (ColumnSpec("c", "int"),))),
+                ),
+            ],
+        ).select("a", "b", "c")
+        assert sorted(tuple(r) for r in out.collect()) == [(1, 2, 3), (1, 2, 4)]
+
+    def test_sibling_nested_rejected(self, spark):
+        import pytest as _pytest
+
+        from trino_spark.operators.json_table import ColumnSpec, NestedSpec, json_table
+
+        df = spark.createDataFrame([('[{"x": []}]',)], "j: string")
+        with _pytest.raises(ValueError, match="one NESTED"):
+            json_table(
+                df,
+                "j",
+                "$",
+                [NestedSpec("$.x[*]", ()), NestedSpec("$.y[*]", ())],
+            )

@@ -675,3 +675,56 @@ def zorder_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
     )
+
+
+@REG.add(
+    "json_table_nested",
+    """
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(value, 6) AS val
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, event_type, event_id
+    """,
+)
+def json_table_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON_TABLE NESTED PATH (grammar SqlBase.g4 jsonTableColumn ->
+    NESTED; reference main/operator/table/json/ nested plan): events pack
+    into one JSON doc per user with a per-type nested array, then NESTED
+    PATH unpacks both levels (PLAIN LEFT OUTER lateral). Pack->unpack must
+    be the identity, so the oracle is the plain relational projection."""
+    from trino_spark.operators.json_table import ColumnSpec, NestedSpec, json_table
+
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_type", "event_id", F.round("value", 6).alias("val"))
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "val"))).alias("evs")
+    )
+    packed = per_type.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.sort_array(F.collect_list(F.struct("event_type", "evs"))).alias("types")
+            )
+        ).alias("doc")
+    )
+    flat = json_table(
+        packed,
+        "doc",
+        "lax $.types[*]",
+        [
+            ColumnSpec("event_type", "string", path="$.event_type"),
+            NestedSpec(
+                "lax $.evs[*]",
+                (
+                    ColumnSpec("event_id", "bigint", path="$.event_id"),
+                    ColumnSpec("val", "double", path="$.val"),
+                ),
+            ),
+        ],
+    )
+    return flat.select("user_id", "event_type", "event_id", "val").orderBy(
+        "user_id", "event_type", "event_id"
+    )
