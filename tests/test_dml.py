@@ -281,3 +281,14 @@ def test_system_runtime_nodes_and_infoschema_views(engine):
     views = {r.table_name: r.view_type for r in engine.sql("SELECT * FROM information_schema.views").collect()}
     assert views.get("isv_demo") == "VIEW"
     engine.sql("DROP VIEW isv_demo")
+
+
+def test_show_tables_reflects_ddl(engine):
+    engine.sql("CREATE TABLE st_demo AS SELECT 1 AS x")
+    names = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
+    assert "st_demo" in names and "nation" in names
+    cols = [r.column_name for r in engine.sql("SHOW COLUMNS FROM st_demo").collect()]
+    assert cols == ["x"]
+    engine.sql("DROP TABLE st_demo")
+    names = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
+    assert "st_demo" not in names

@@ -122,6 +122,7 @@ def _commit(engine, name: str, df: DataFrame) -> int:
     _managed(engine)[name] = path
     stored = engine.spark.read.parquet(path)
     stored.createOrReplaceTempView(name)
+    refresh_infoschema(engine)
     return _written_rows(path)
 
 
@@ -170,6 +171,7 @@ def _drop(engine, sql: str) -> DataFrame:
     if path:
         shutil.rmtree(path, ignore_errors=True)
         engine.spark.catalog.dropTempView(name)
+        refresh_infoschema(engine)
     elif engine.spark.catalog.tableExists(name):
         # A saveAsTable-managed (e.g. bucketed-CTAS) catalog table.
         engine.spark.sql(f"DROP TABLE {name}")
@@ -536,6 +538,7 @@ def _create_view(engine, sql: str) -> DataFrame:
     # (CreateViewTask semantics — definition resolved, data not stored).
     engine.sql(defn).createOrReplaceTempView(name)
     engine.views[name] = defn
+    refresh_infoschema(engine)
     return engine.spark.createDataFrame([(name,)], "view: string")
 
 
@@ -618,3 +621,22 @@ def _alter_table(engine, sql: str) -> DataFrame:
         raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")
     _commit(engine, name, out)
     return engine.spark.createDataFrame([(0,)], "rows: bigint")
+
+
+def refresh_infoschema(engine) -> None:
+    """Re-register information_schema views to include engine-created
+    tables and views (the reference's information_schema reflects DDL
+    immediately — InformationSchemaMetadata.java)."""
+    from trino_spark.infoschema import register_information_schema
+
+    tables: dict[str, list[tuple[str, str]]] = {}
+    for name in list(engine.catalog._sources) + list(_managed(engine)) + list(
+        getattr(engine, "views", {})
+    ) + list(engine.materialized_views):
+        try:
+            tables[name] = [
+                (f.name, f.dataType.simpleString()) for f in engine.spark.table(name).schema
+            ]
+        except Exception:
+            continue
+    register_information_schema(engine.spark, tables)
