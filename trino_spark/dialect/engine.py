@@ -379,6 +379,15 @@ class TrinoEngine:
             return self.spark.sql(shown)
         import re as _re
 
+        if _re.search(r"\bJSON_TABLE\s*\(", stripped, _re.IGNORECASE):
+            # JSON_TABLE clause (grammar SqlBase.g4; operator
+            # main/operator/table/json/): execute on the json_table
+            # operator, substitute a temp view, re-dispatch.
+            from trino_spark.dialect import json_table_sql as _jtsql
+
+            jt_out = _jtsql.try_rewrite(self, stripped)
+            if jt_out is not None:
+                return jt_out
         if _re.search(r"\bMATCH_RECOGNIZE\b", stripped, _re.IGNORECASE):
             # Row-pattern recognition (grammar SqlBase.g4:448): execute the
             # block on the NFA operator, substitute a temp view, re-dispatch.

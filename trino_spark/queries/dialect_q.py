@@ -526,3 +526,53 @@ def dialect_quantified_row(spark: SparkSession, sf: str) -> DataFrame:
         OFFSET 5 LIMIT 4
         """,
     )
+
+
+@REG.add(
+    "dialect_json_table",
+    """
+    SELECT user_id,
+           CAST(seq AS BIGINT) AS seq,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(value, 6) AS val
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      FROM events WHERE user_id < 40
+    )
+    ORDER BY user_id, seq
+    """,
+)
+def dialect_json_table(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON_TABLE through the SQL surface (grammar SqlBase.g4 jsonTable ->
+    dialect/json_table_sql.py -> operators/json_table.py): events pack to
+    one JSON document per user, then the SQL clause flattens them back
+    with FOR ORDINALITY + typed PATH columns. Identity round-trip, so the
+    oracle is the relational projection."""
+    from pyspark.sql import functions as F
+
+    from trino_spark.dialect import TrinoEngine
+    from trino_spark.queries.base import t as _t
+
+    eng = TrinoEngine(spark, sf_dir=sf)
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", F.round("value", 6).alias("val"))
+    )
+    ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(F.sort_array(F.collect_list(F.struct("event_id", "val"))).alias("evs"))
+        ).alias("doc")
+    ).createOrReplaceTempView("jt_packed_events")
+    return eng.sql(
+        """
+        SELECT user_id, CAST(seq AS BIGINT) AS seq,
+               CAST(event_id AS BIGINT) AS event_id, val
+        FROM jt_packed_events p, JSON_TABLE(p.doc, 'lax $.evs[*]'
+          COLUMNS (seq FOR ORDINALITY,
+                   event_id BIGINT PATH '$.event_id',
+                   val DOUBLE PATH '$.val'))
+        ORDER BY user_id, seq
+        """
+    )
