@@ -165,6 +165,15 @@ class TrinoEngine:
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
+        # Access control + comments (AccessControl SPI / CommentTask.java):
+        # role statements handled here; every other statement is checked
+        # against the active role's grants before dispatch.
+        from trino_spark.dialect import access as _access
+
+        acl_out = _access.try_execute(self, stripped)
+        if acl_out is not None:
+            return acl_out
+        _access.enforce(self, stripped)
         if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"], ["ALTER"]) or (
             up[:2]
             in (
