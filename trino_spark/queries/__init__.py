@@ -40,6 +40,11 @@ def all_specs() -> dict[str, QuerySpec]:
         "agg_minmax_by_n",
         "tpchgen_structure",
         "text_repetition_signals",
+        "dialect_quantified_row",
+        "dialect_json_table",
+        "json_table_nested",
+        "tokenizer_bpe_pairs",
+        "streaming_interval_join",
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget
