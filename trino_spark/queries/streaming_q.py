@@ -173,12 +173,21 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = streaming.stream_stream_interval_join(views, purchases, within="30 minutes")
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    streaming.run_available_now(
-        joined.select(F.col("l.user_id").alias("user_id"), F.col("r.p_value").alias("p_value")),
-        name,
-        tempfile.mkdtemp(prefix="ckpt_"),
-        output_mode="append",
-    )
+    # Stream-stream joins allocate one state-store instance per shuffle
+    # partition PER SIDE per microbatch; at this volume 8 partitions cut
+    # fixed state overhead ~4x with identical results (at production
+    # volume you'd size this to traffic, not lower it).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        streaming.run_available_now(
+            joined.select(F.col("l.user_id").alias("user_id"), F.col("r.p_value").alias("p_value")),
+            name,
+            tempfile.mkdtemp(prefix="ckpt_"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     return (
         out.groupBy("user_id")
