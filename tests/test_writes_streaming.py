@@ -153,3 +153,52 @@ def test_bucketed_ctas_elides_join_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_stream_stream_interval_join_left_outer(spark, sf_dir):
+    """Left-outer stream-stream join: unmatched left rows surface with
+    NULL right side once the watermark closes their interval."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from trino_spark import streaming
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase").withColumnRenamed("value", "p_value")
+    joined = streaming.stream_stream_interval_join(views, purchases, within="30 minutes", how="leftOuter")
+    name = f"ij_lo_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        streaming.run_available_now(
+            joined.select(F.col("l.event_id").alias("view_id"), F.col("r.p_value").alias("p_value")),
+            name,
+            tempfile.mkdtemp(prefix="ckpt_"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    total_views = views.sparkSession.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'view'"
+    ).count()
+    n_left = out.select("view_id").distinct().count()
+    matched = out.filter("p_value IS NOT NULL").count()
+    unmatched = out.filter("p_value IS NULL").count()
+    assert matched > 0 and unmatched > 0
+    # Every view appears (matched, or unmatched-with-NULL) EXCEPT views in
+    # the final watermark horizon: the replay ends before the watermark
+    # can prove their interval has no future match, so they stay buffered
+    # — correct left-outer streaming semantics, not data loss.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F2
+
+    max_ts = ev.agg(F2.max("ts")).collect()[0][0]
+    tail = ev.filter(
+        (F2.col("event_type") == "view")
+        & (F2.col("ts") >= F2.lit(max_ts) - F2.expr("INTERVAL 90 MINUTES"))
+    ).count()
+    assert total_views - tail <= n_left <= total_views

@@ -161,6 +161,7 @@ def stream_stream_interval_join(
     key: str = "user_id",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join with an event-time range:
     right rows within [left.ts, left.ts + within]. The range condition +
@@ -175,4 +176,6 @@ def stream_stream_interval_join(
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    # leftOuter emits the unmatched left row once the watermark passes its
+    # interval (Spark can only then prove no future match arrives).
+    return l.join(r, cond, how)
