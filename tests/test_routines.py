@@ -99,3 +99,35 @@ def test_engine_roundtrip(spark, sf_dir):
     assert row.rev is not None and row.y0 >= 1992
     eng.sql("DROP FUNCTION discounted")
     assert "DISCOUNTED" not in eng.routines
+
+
+class TestWithFunction:
+    """Inline SQL routines: WITH FUNCTION ... SELECT (grammar queryWith ->
+    functionSpecification, docs udf/sql) — query-scoped, macro-inlined."""
+
+    def test_single_inline_function(self, spark, sf_dir):
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        rows = eng.sql(
+            "WITH FUNCTION dbl(x BIGINT) RETURNS BIGINT RETURN x * 2 "
+            "SELECT dbl(n_nationkey) AS d FROM nation WHERE n_nationkey < 3 ORDER BY d"
+        ).collect()
+        assert [r.d for r in rows] == [0, 2, 4]
+
+    def test_multiple_inline_functions_compose(self, spark, sf_dir):
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        out = eng.sql(
+            "WITH FUNCTION dbl(x BIGINT) RETURNS BIGINT RETURN x * 2, "
+            "FUNCTION inc(x BIGINT) RETURNS BIGINT RETURN x + 1 "
+            "SELECT inc(dbl(2)) AS v"
+        ).collect()[0].v
+        assert out == 5
+
+    def test_scoped_to_query(self, spark, sf_dir):
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        eng.sql("WITH FUNCTION f77(x BIGINT) RETURNS BIGINT RETURN x SELECT f77(1) AS v")
+        with pytest.raises(Exception):
+            eng.sql("SELECT f77(1) AS v").collect()
+
+    def test_plain_with_cte_untouched(self, spark, sf_dir):
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        assert eng.sql("WITH c AS (SELECT 1 AS x) SELECT x FROM c").collect()[0].x == 1

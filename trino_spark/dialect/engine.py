@@ -9,6 +9,8 @@ Tungsten execute. See SURVEY.md §3.1.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from trino_spark.catalog import ALL_TABLES, Catalog
@@ -128,6 +130,27 @@ class TrinoEngine:
                 "system.runtime.queries", "_system_runtime_queries"
             )
 
+        wf = re.match(
+            r"\s*WITH\s+(FUNCTION\s+.*?)\s+(SELECT|VALUES)\b(.*)$",
+            trino_sql,
+            re.IGNORECASE | re.DOTALL,
+        ) if "FUNCTION" in trino_sql.upper()[:20] else None
+        if wf:
+            # Inline SQL routines (grammar SqlBase.g4 queryWith ->
+            # functionSpecification; docs udf/sql): expression-bodied
+            # functions scoped to this one query — parsed with the
+            # CREATE FUNCTION machinery, macro-inlined, then discarded.
+            inline: dict = {}
+            for spec_txt in re.split(r",\s*(?=FUNCTION\b)", wf.group(1), flags=re.IGNORECASE):
+                r = _routines_mod.parse_create_function("CREATE " + spec_txt.strip())
+                if r is None or isinstance(r, _routines_mod.PythonRoutine):
+                    raise ValueError(
+                        "WITH FUNCTION supports expression-bodied SQL routines only"
+                    )
+                inline[r.name] = r
+            query = f"{wf.group(2)}{wf.group(3)}"
+            expanded = _routines_mod.expand(query, {**self.routines, **inline})
+            return self.sql(expanded)
         prep = _prep.parse_prepare(trino_sql)
         if prep is not None:
             name, body = prep
