@@ -797,3 +797,87 @@ def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("perplexity", 6).alias("perplexity")
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "corpus_quality_filter",
+    """
+    WITH docs AS (SELECT doc_id, lower(trim(text)) AS t, text FROM documents WHERE doc_id < 300),
+    -- repetition signals
+    lines AS (
+      SELECT doc_id, l AS line FROM docs, unnest(string_split(text, chr(10))) AS u(l)
+      WHERE length(l) > 0
+    ),
+    per_line AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len FROM lines GROUP BY doc_id, line),
+    line_stats AS (
+      SELECT doc_id, 1.0 - count(*) * 1.0 / sum(cnt) AS dup_line_frac
+      FROM per_line GROUP BY doc_id
+    ),
+    -- bigram LM perplexity (add-one smoothing, trained on the same corpus)
+    words AS (SELECT doc_id, w FROM docs, unnest(string_split_regex(t, '\\s+')) AS u(w) WHERE length(w) > 0),
+    toks AS (SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM docs),
+    bigrams AS (
+      SELECT doc_id, list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i) WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w AS w1, count(*) AS c1 FROM words GROUP BY w),
+    v AS (SELECT count(*) AS vs FROM c1),
+    lm AS (SELECT c12.w1, c12.w2, ln((c12 + 1.0) / (c1 + (SELECT vs FROM v))) AS logp
+           FROM c12 JOIN c1 ON c1.w1 = c12.w1),
+    scored AS (
+      SELECT b.doc_id, coalesce(lm.logp, ln(1.0 / (coalesce(c1.c1, 0) + (SELECT vs FROM v)))) AS lp
+      FROM bigrams b LEFT JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+      LEFT JOIN c1 ON c1.w1 = b.w1
+    ),
+    ppl AS (SELECT doc_id, exp(-avg(lp)) AS perplexity FROM scored GROUP BY doc_id),
+    -- length features
+    feats AS (
+      SELECT d.doc_id,
+             len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> '')) AS n_tokens,
+             coalesce(ls.dup_line_frac, 0) AS dup_line_frac,
+             p.perplexity
+      FROM docs d LEFT JOIN line_stats ls USING (doc_id) JOIN ppl p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(dup_line_frac, 6) AS dup_line_frac,
+           round(perplexity, 6) AS perplexity
+    FROM feats
+    WHERE n_tokens >= 10 AND dup_line_frac < 0.3 AND perplexity < 2000
+    ORDER BY doc_id
+    """,
+)
+def corpus_quality_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed pre-training quality-filter pass: token-count floor +
+    Gopher duplicate-line ceiling + bigram-LM perplexity ceiling, one
+    declarative pipeline (operators/text.py + operators/lm.py). Survivors
+    with their signals — what a 100 TB filter stage emits before dedup."""
+    from trino_spark.operators import lm as lmops
+    from trino_spark.operators import text as textops
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    rep = textops.repetition_signals(d, "text", "doc_id").select("doc_id", "dup_line_frac")
+    model, unigrams, v = lmops.train_bigram_lm(d)
+    ppl = lmops.score_perplexity(d, model, unigrams, v)
+    n_tok = textops.token_count(F.col("text"))
+    feats = (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .join(rep, "doc_id", "left")
+        .na.fill(0.0, ["dup_line_frac"])
+        .join(ppl, "doc_id")
+    )
+    return (
+        feats.filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("dup_line_frac") < 0.3)
+            & (F.col("perplexity") < 2000)
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
