@@ -844,7 +844,7 @@ def text_lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
            round(dup_line_frac, 6) AS dup_line_frac,
            round(perplexity, 6) AS perplexity
     FROM feats
-    WHERE n_tokens >= 10 AND dup_line_frac < 0.3 AND perplexity < 2000
+    WHERE n_tokens >= 20 AND round(dup_line_frac, 6) < 0.3 AND round(perplexity, 6) < 31.0
     ORDER BY doc_id
     """,
 )
@@ -869,9 +869,9 @@ def corpus_quality_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         feats.filter(
-            (F.col("n_tokens") >= 10)
-            & (F.col("dup_line_frac") < 0.3)
-            & (F.col("perplexity") < 2000)
+            (F.col("n_tokens") >= 20)
+            & (F.round("dup_line_frac", 6) < 0.3)
+            & (F.round("perplexity", 6) < 31.0)
         )
         .select(
             "doc_id",
