@@ -112,6 +112,15 @@ def _commit(engine, name: str, df: DataFrame) -> int:
     table directory, re-register the view. Returns rows in the new state."""
     txn_snapshot_if_needed(engine, name)
     path = os.path.join(_warehouse_dir(), name)
+    # Janitor: a crashed earlier run can leave .staging-*/.old-* dirs for
+    # this table; concurrent runners use per-process table names, so any
+    # leftover here is garbage.
+    parent = os.path.dirname(path)
+    if os.path.isdir(parent):
+        base = os.path.basename(path)
+        for d in os.listdir(parent):
+            if d.startswith((f"{base}.staging-", f"{base}.old-")):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
