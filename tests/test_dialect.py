@@ -634,3 +634,42 @@ class TestRound2SurfaceFillins:
         eng = self._eng(spark, sf_dir)
         with pytest.raises(TrinoSqlError):
             eng.sql("SELECT count(*) AS c FROM nation WHERE n_nationkey = ALL (SELECT 1)")
+
+
+class TestMultimapAndOrderedArrayAgg:
+    """multimap_from_entries / split_to_multimap templates and Trino's
+    array_agg(... ORDER BY ...) ordered-aggregation clause."""
+
+    def _eng(self, spark, sf_dir):
+        from trino_spark.dialect import TrinoEngine
+
+        return TrinoEngine(spark, sf_dir=sf_dir)
+
+    def test_multimap_from_entries(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        out = eng.sql(
+            "SELECT multimap_from_entries(array[ROW('a',1), ROW('a',2), ROW('b',3)]) AS x"
+        ).collect()[0].x
+        assert out == {"a": [1, 2], "b": [3]}
+
+    def test_split_to_multimap(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        out = eng.sql("SELECT split_to_multimap('a=1;a=2;b=3', ';', '=') AS x").collect()[0].x
+        assert out == {"a": ["1", "2"], "b": ["3"]}
+
+    def test_array_agg_order_by(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        desc = eng.sql(
+            "SELECT array_agg(n_nationkey ORDER BY n_nationkey DESC) AS x "
+            "FROM nation WHERE n_regionkey = 0"
+        ).collect()[0].x
+        assert desc == sorted(desc, reverse=True) and len(desc) == 5
+        asc = eng.sql(
+            "SELECT array_agg(n_nationkey ORDER BY n_nationkey) AS x "
+            "FROM nation WHERE n_regionkey = 0"
+        ).collect()[0].x
+        assert asc == sorted(asc)
+
+    def test_array_agg_plain_still_collects(self, spark, sf_dir):
+        eng = self._eng(spark, sf_dir)
+        assert eng.sql("SELECT cardinality(array_agg(n_name)) AS x FROM nation").collect()[0].x == 25

@@ -137,6 +137,52 @@ def _t_wilson(sign: int):
     return t
 
 
+def _t_multimap_entries_body(entries: str) -> str:
+    """array<struct(col1, col2)> text -> map<K, array<V>> grouping
+    expression (MultimapFromEntriesFunction.java). Quadratic in per-row
+    distinct keys — multimaps are row-local values, not relations."""
+    keys = f"array_distinct(transform({entries}, __e -> __e.col1))"
+    return (
+        f"map_from_arrays({keys}, transform({keys}, "
+        f"__k -> transform(filter({entries}, __e -> __e.col1 <=> __k), __e -> __e.col2)))"
+    )
+
+
+def _t_multimap_from_entries(args: list[str]) -> str:
+    return _t_multimap_entries_body(args[0])
+
+
+def _t_split_to_multimap(args: list[str]) -> str:
+    # split_to_multimap(s, entryDelim, kvDelim) (SplitToMapFunction.java
+    # sibling): split entries, then the same key-grouping shape.
+    entries = (
+        f"transform(split({args[0]}, {args[1]}), "
+        f"__p -> struct(split_part(__p, {args[2]}, 1) AS col1, "
+        f"split_part(__p, {args[2]}, 2) AS col2))"
+    )
+    return _t_multimap_entries_body(f"({entries})")
+
+
+def _t_array_agg(args: list[str]) -> str:
+    """array_agg(v [ORDER BY k [DESC]]) — Trino's ordered aggregation
+    clause; Spark's collect_list has no ordering, so: collect (k, v)
+    structs, array_sort (with a reversing comparator for DESC), project v.
+    Unordered form passes straight through to collect_list."""
+    m = re.match(r"(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(DESC|ASC))?\s*$", args[0], re.IGNORECASE | re.DOTALL)
+    if not m:
+        return f"collect_list({args[0]})"
+    v, k, direction = m.group(1).strip(), m.group(2).strip(), (m.group(3) or "ASC").upper()
+    pairs = f"collect_list(struct(({k}) AS __k, ({v}) AS __v))"
+    if direction == "DESC":
+        sorted_pairs = (
+            f"array_sort({pairs}, (l, r) -> CASE WHEN l.__k > r.__k THEN -1 "
+            f"WHEN l.__k < r.__k THEN 1 ELSE 0 END)"
+        )
+    else:
+        sorted_pairs = f"array_sort({pairs})"
+    return f"transform({sorted_pairs}, __s -> __s.__v)"
+
+
 def _t_to_unixtime(args: list[str]) -> str:
     return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) / 1000000.0)"
 
@@ -303,6 +349,9 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
         f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     ),
     "index": lambda args: f"instr({args[0]}, {args[1]})",
+    "multimap_from_entries": _t_multimap_from_entries,
+    "split_to_multimap": _t_split_to_multimap,
+    "array_agg": _t_array_agg,
     "hamming_distance": lambda args: (
         # Per-position diff count (StringFunctions.java hamming_distance);
         # unequal lengths count padded positions as differing.
