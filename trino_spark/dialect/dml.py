@@ -131,7 +131,7 @@ def _commit(engine, name: str, df: DataFrame) -> int:
     _managed(engine)[name] = path
     stored = engine.spark.read.parquet(path)
     stored.createOrReplaceTempView(name)
-    refresh_infoschema(engine)
+    refresh_infoschema(engine, changed=name)
     return _written_rows(path)
 
 
@@ -180,7 +180,7 @@ def _drop(engine, sql: str) -> DataFrame:
     if path:
         shutil.rmtree(path, ignore_errors=True)
         engine.spark.catalog.dropTempView(name)
-        refresh_infoschema(engine)
+        refresh_infoschema(engine, dropped=name)
     elif engine.spark.catalog.tableExists(name):
         # A saveAsTable-managed (e.g. bucketed-CTAS) catalog table.
         engine.spark.sql(f"DROP TABLE {name}")
@@ -547,7 +547,7 @@ def _create_view(engine, sql: str) -> DataFrame:
     # (CreateViewTask semantics — definition resolved, data not stored).
     engine.sql(defn).createOrReplaceTempView(name)
     engine.views[name] = defn
-    refresh_infoschema(engine)
+    refresh_infoschema(engine, changed=name)
     return engine.spark.createDataFrame([(name,)], "view: string")
 
 
@@ -632,20 +632,36 @@ def _alter_table(engine, sql: str) -> DataFrame:
     return engine.spark.createDataFrame([(0,)], "rows: bigint")
 
 
-def refresh_infoschema(engine) -> None:
+def refresh_infoschema(engine, changed: str | None = None, dropped: str | None = None) -> None:
     """Re-register information_schema views to include engine-created
     tables and views (the reference's information_schema reflects DDL
-    immediately — InformationSchemaMetadata.java)."""
+    immediately — InformationSchemaMetadata.java).
+
+    Incremental: the per-table schema dict is cached on the engine and
+    only the changed/dropped entry is recomputed — a DML statement must
+    not pay a full catalog schema scan per commit."""
     from trino_spark.infoschema import register_information_schema
 
-    tables: dict[str, list[tuple[str, str]]] = {}
-    for name in list(engine.catalog._sources) + list(_managed(engine)) + list(
-        getattr(engine, "views", {})
-    ) + list(engine.materialized_views):
+    cache = getattr(engine, "_infoschema_cache", None)
+    if cache is None or (changed is None and dropped is None):
+        cache = {}
+        for name in list(engine.catalog._sources) + list(_managed(engine)) + list(
+            getattr(engine, "views", {})
+        ) + list(engine.materialized_views):
+            try:
+                cache[name] = [
+                    (f.name, f.dataType.simpleString()) for f in engine.spark.table(name).schema
+                ]
+            except Exception:
+                continue
+        engine._infoschema_cache = cache
+    if dropped is not None:
+        cache.pop(dropped, None)
+    if changed is not None:
         try:
-            tables[name] = [
-                (f.name, f.dataType.simpleString()) for f in engine.spark.table(name).schema
+            cache[changed] = [
+                (f.name, f.dataType.simpleString()) for f in engine.spark.table(changed).schema
             ]
         except Exception:
-            continue
-    register_information_schema(engine.spark, tables)
+            cache.pop(changed, None)
+    register_information_schema(engine.spark, cache)
