@@ -147,3 +147,46 @@ def test_zorder_readback_pushes_range_filters(spark, sf_dir, tmp_path):
     # toString truncates long filter lists; both columns appearing in the
     # pushed set proves the 2-D range reaches the parquet scan
     assert "GreaterThanOrEqual(l_partkey" in pushed and "IsNotNull(l_suppkey" in pushed
+
+
+def test_minmax_by_n_uses_window_group_limit(spark, sf_dir):
+    """The n-arg max_by composition must keep Catalyst's partial top-n
+    (WindowGroupLimit BEFORE the shuffle) — the OR-of-two-ranks shape
+    that defeats it is the documented anti-pattern (PERF.md)."""
+    from trino_spark.queries import all_specs
+
+    df = all_specs()["agg_minmax_by_n"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_lm_scoring_broadcasts_model(spark, sf_dir):
+    from trino_spark.operators import lm
+    from trino_spark.queries.base import t
+
+    d = t(spark, sf_dir, "documents").limit(50)
+    model, uni, v = lm.train_bigram_lm(d)
+    scored = lm.score_perplexity(d, model, uni, v)
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_no_cartesian(spark, sf_dir):
+    from trino_spark.operators.text import repetition_signals
+    from trino_spark.queries.base import t
+
+    d = t(spark, sf_dir, "documents").limit(50)
+    plan = _plan(repetition_signals(d))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tokenizer_vocab_single_agg_pass(spark, sf_dir):
+    """word_vocab is explode + ONE hash aggregation over the corpus."""
+    from trino_spark.operators import tokenizer
+    from trino_spark.queries.base import t
+
+    d = t(spark, sf_dir, "documents").limit(50)
+    plan = _plan(tokenizer.word_vocab(d))
+    assert plan.count("HashAggregate") <= 4  # partial+final (AQE may add shuffle-read nodes)
+    assert "Generate explode" in plan or "Generate" in plan
