@@ -292,3 +292,32 @@ def test_show_tables_reflects_ddl(engine):
     engine.sql("DROP TABLE st_demo")
     names = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
     assert "st_demo" not in names
+
+
+def test_ctas_with_partitioned_by(engine):
+    import os
+
+    engine.sql("DROP TABLE IF EXISTS part_t")
+    n = engine.sql(
+        "CREATE TABLE part_t WITH (format = 'PARQUET', partitioned_by = ARRAY['r']) AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r FROM nation"
+    ).collect()[0][0]
+    assert n == 25
+    path = engine.dml_tables["part_t"]
+    assert any(d.startswith("r=") for d in os.listdir(path))
+    # mutations preserve the partitioned layout
+    engine.sql("DELETE FROM part_t WHERE r = 4")
+    assert not any(d == "r=4" for d in os.listdir(engine.dml_tables["part_t"]))
+    assert any(d.startswith("r=") for d in os.listdir(engine.dml_tables["part_t"]))
+    assert engine.sql("SELECT count(*) AS c FROM part_t").collect()[0].c == 20
+    engine.sql("DROP TABLE part_t")
+
+
+def test_ctas_with_bad_format_rejected(engine):
+    with pytest.raises(ValueError, match="parquet only"):
+        engine.sql("CREATE TABLE bad_fmt WITH (format = 'ORC') AS SELECT 1 AS x")
+
+
+def test_ctas_with_unknown_property_rejected(engine):
+    with pytest.raises(ValueError, match="unsupported CTAS table property"):
+        engine.sql("CREATE TABLE bad_prop WITH (bucket_count = 8) AS SELECT 1 AS x")

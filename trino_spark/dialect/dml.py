@@ -107,9 +107,11 @@ def _written_rows(path: str) -> int:
     return total
 
 
-def _commit(engine, name: str, df: DataFrame) -> int:
+def _commit(engine, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
     """Copy-on-write commit: stage-write the post-change relation, swap the
-    table directory, re-register the view. Returns rows in the new state."""
+    table directory, re-register the view. Returns rows in the new state.
+    `partition_by` produces a hive-style layout (downstream scans get
+    static partition pruning + DPP); mutations preserve the layout."""
     txn_snapshot_if_needed(engine, name)
     path = os.path.join(_warehouse_dir(), name)
     # Janitor: a crashed earlier run can leave .staging-*/.old-* dirs for
@@ -122,7 +124,16 @@ def _commit(engine, name: str, df: DataFrame) -> int:
             if d.startswith((f"{base}.staging-", f"{base}.old-")):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
+    layouts = getattr(engine, "_dml_layouts", None)
+    if layouts is None:
+        layouts = engine._dml_layouts = {}
+    if partition_by is not None:
+        layouts[name] = partition_by
+    part_cols = layouts.get(name)
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -165,9 +176,31 @@ def _ctas(engine, sql: str) -> DataFrame:
     if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", sql[: m.start(3)], re.IGNORECASE)
     if name in _managed(engine) and if_not_exists:
         return engine.spark.createDataFrame([(0,)], "rows: bigint")
+    partition_by = _parse_with_props(m.group(2))
     df = engine.sql(m.group(3))
-    n = _commit(engine, name, df)
+    n = _commit(engine, name, df, partition_by=partition_by)
     return engine.spark.createDataFrame([(n,)], "rows: bigint")
+
+
+def _parse_with_props(with_txt: str | None) -> list[str] | None:
+    """CTAS WITH (...) table properties (reference: HiveTableProperties /
+    connector table property metadata): `partitioned_by = ARRAY['c', ...]`
+    produces a hive-layout partitioned write; `format = 'PARQUET'` is
+    accepted (parquet is the only storage here — any other format raises
+    rather than silently writing parquet)."""
+    if not with_txt:
+        return None
+    fm = re.search(r"format\s*=\s*'(\w+)'", with_txt, re.IGNORECASE)
+    if fm and fm.group(1).upper() != "PARQUET":
+        raise ValueError(f"CTAS WITH format = '{fm.group(1)}' not supported (parquet only)")
+    pm = re.search(r"partitioned_by\s*=\s*ARRAY\s*\[([^\]]*)\]", with_txt, re.IGNORECASE)
+    if pm:
+        cols = [c.strip().strip("'\"") for c in pm.group(1).split(",") if c.strip()]
+        return cols or None
+    known = re.sub(r"(format|partitioned_by)\s*=", "", with_txt, flags=re.IGNORECASE)
+    if "=" in known:
+        raise ValueError(f"unsupported CTAS table property in: {with_txt.strip()[:60]}")
+    return None
 
 
 def _drop(engine, sql: str) -> DataFrame:
