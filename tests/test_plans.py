@@ -190,3 +190,20 @@ def test_tokenizer_vocab_single_agg_pass(spark, sf_dir):
     plan = _plan(tokenizer.word_vocab(d))
     assert plan.count("HashAggregate") <= 4  # partial+final (AQE may add shuffle-read nodes)
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_partitioned_ctas_scan_prunes_partitions(spark, sf_dir):
+    """A WITH (partitioned_by=...) managed table must give downstream
+    scans static partition pruning (PartitionFilters on the scan)."""
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS pp_t")
+    eng.sql(
+        "CREATE TABLE pp_t WITH (partitioned_by = ARRAY['r']) AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r FROM nation"
+    )
+    plan = _plan(eng.sql("SELECT k FROM pp_t WHERE r = 2"))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "r" in pf and "2" in pf
+    eng.sql("DROP TABLE pp_t")
