@@ -83,3 +83,29 @@ def test_comments(engine):
     engine.sql("COMMENT ON TABLE nation IS NULL")
     rows = engine.sql("SELECT table_name FROM system.metadata.table_comments").collect()
     assert "nation" not in [r.table_name for r in rows]
+
+
+class TestCallProcedures:
+    """CALL statement + procedure registry (grammar SqlBase.g4 CALL;
+    connector procedures SPI)."""
+
+    def test_register_tpch(self, engine):
+        engine.sql("CALL system.register_tpch(0.001)")
+        n = engine.sql("SELECT count(*) AS c FROM tpchgen_orders").collect()[0].c
+        assert n == 1500
+
+    def test_register_faker(self, engine):
+        engine.sql("CALL system.register_faker('fk_users', 'uid bigint, email string', 20, 7)")
+        rows = engine.sql("SELECT * FROM fk_users").collect()
+        assert len(rows) == 20 and all("@" in r.email for r in rows)
+
+    def test_flush_query_log(self, engine):
+        engine.sql("SELECT 1 AS x").collect()
+        flushed = engine.sql("CALL system.flush_query_log()").collect()[0].flushed
+        assert flushed >= 1
+        again = engine.sql("CALL system.flush_query_log()").collect()[0].flushed
+        assert again <= 1
+
+    def test_unknown_procedure(self, engine):
+        with pytest.raises(ValueError, match="procedure not found"):
+            engine.sql("CALL system.no_such_proc()")

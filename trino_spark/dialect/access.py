@@ -181,3 +181,68 @@ def enforce(engine, sql: str) -> None:
             continue  # not a relation (alias, subquery result, etc.)
         if (priv, tbl) not in grants:
             raise AccessDenied(f"Access Denied: role '{role}' lacks {priv} on {tbl}")
+
+
+# ---------------------------------------------------------------- CALL
+#
+# CALL procedures (grammar SqlBase.g4 CALL; reference: connector
+# procedures, e.g. system.flush_metadata_cache in trino-hive,
+# io.trino.spi.procedure.Procedure). Engine-side registry with the
+# built-ins our connectors need: generator-source registration and
+# query-log maintenance.
+
+
+def try_execute_call(engine, sql: str) -> "DataFrame | None":
+    m = re.match(r"CALL\s+([\w.]+)\s*\((.*)\)\s*$", sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    name = m.group(1).lower().split(".")[-1]
+    args = [a.strip() for a in _split_call_args(m.group(2))]
+    spark = engine.spark
+
+    def _lit(a: str):
+        if a.startswith("'"):
+            return a.strip("'")
+        if "." in a:
+            return float(a)
+        return int(a)
+
+    if name == "register_tpch":
+        from trino_spark.sources import tpchgen
+
+        sf = float(_lit(args[0])) if args else 1.0
+        prefix = _lit(args[1]) if len(args) > 1 else "tpchgen_"
+        tpchgen.register_tpch_catalog(spark, sf, prefix=str(prefix))
+        return spark.createDataFrame([(f"{prefix}*", sf)], "tables: string, sf: double")
+    if name == "register_faker":
+        from trino_spark.sources import faker
+
+        view, schema, n = str(_lit(args[0])), str(_lit(args[1])), int(_lit(args[2]))
+        seed = int(_lit(args[3])) if len(args) > 3 else 0
+        faker.gen(spark, schema, n, seed=seed).createOrReplaceTempView(view)
+        return spark.createDataFrame([(view, n)], "table: string, rows: bigint")
+    if name == "flush_query_log":
+        n = len(getattr(engine, "_query_log", []) or [])
+        engine._query_log = []
+        return spark.createDataFrame([(n,)], "flushed: bigint")
+    raise ValueError(f"procedure not found: {name}")
+
+
+def _split_call_args(s: str) -> list[str]:
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(buf))
+                buf = []
+                continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return out

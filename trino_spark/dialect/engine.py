@@ -194,6 +194,8 @@ class TrinoEngine:
         from trino_spark.dialect import access as _access
 
         acl_out = _access.try_execute(self, stripped)
+        if acl_out is None and up[:1] == ["CALL"]:
+            acl_out = _access.try_execute_call(self, stripped)
         if acl_out is not None:
             return acl_out
         _access.enforce(self, stripped)
