@@ -65,3 +65,25 @@ def test_cancel_discards_pages(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(first["nextUri"])
     assert exc.value.code == 404
+
+
+def test_dml_lifecycle_through_http(server):
+    """The write path works over the wire: CTAS -> INSERT -> SELECT ->
+    DROP, all as /v1/statement requests (entry point C over entry point A)."""
+    fetch_all(server.url(), "DROP TABLE IF EXISTS http_t")
+    cols, rows = fetch_all(server.url(), "CREATE TABLE http_t AS SELECT 1 AS x")
+    assert [c["name"] for c in cols] == ["rows"] and rows[0][0] == 1
+    _, ins = fetch_all(server.url(), "INSERT INTO http_t SELECT 2")
+    assert ins[0][0] == 1
+    _, out = fetch_all(server.url(), "SELECT sum(x) AS s FROM http_t")
+    assert out[0][0] == 3
+    fetch_all(server.url(), "DROP TABLE http_t")
+
+
+def test_call_and_roles_through_http(server):
+    fetch_all(server.url(), "CALL system.register_faker('http_fk', 'id bigint', 5)")
+    _, rows = fetch_all(server.url(), "SELECT count(*) AS c FROM http_fk")
+    assert rows[0][0] == 5
+    fetch_all(server.url(), "CREATE ROLE http_r")
+    _, roles = fetch_all(server.url(), "SHOW ROLES")
+    assert ["http_r"] in roles or any("http_r" in r for r in roles)
