@@ -321,3 +321,17 @@ def test_ctas_with_bad_format_rejected(engine):
 def test_ctas_with_unknown_property_rejected(engine):
     with pytest.raises(ValueError, match="unsupported CTAS table property"):
         engine.sql("CREATE TABLE bad_prop WITH (bucket_count = 8) AS SELECT 1 AS x")
+
+
+def test_set_time_zone_and_use(engine):
+    engine.sql("SET TIME ZONE 'America/New_York'")
+    try:
+        # UTC midnight renders as 19:00 previous day in New York
+        out = engine.sql(
+            "SELECT date_format(TIMESTAMP '2024-06-01 00:00:00+00:00', '%H:%i') AS hm"
+        ).collect()[0].hm
+        assert out == "20:00"  # EDT = UTC-4 in June
+    finally:
+        engine.sql("SET TIME ZONE LOCAL")
+    assert engine.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert engine.sql("USE memory.default").collect()[0].schema == "memory.default"

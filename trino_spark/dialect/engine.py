@@ -325,6 +325,21 @@ class TrinoEngine:
             # rewrites it the same way, ShowQueriesRewrite.java).
             shown = rewrite_show(f"SHOW COLUMNS FROM {stripped.split()[1]}")
             return self.spark.sql(shown)
+        if up[:3] == ["SET", "TIME", "ZONE"]:
+            # SET TIME ZONE (grammar SqlBase.g4; SetTimeZoneTask.java):
+            # maps onto Spark's session timezone, which drives timestamp
+            # rendering and AT TIME ZONE defaults. LOCAL restores UTC
+            # (this engine's canonical zone, session.py).
+            arg = stripped.split(None, 3)[3].strip()
+            zone = "UTC" if arg.upper() == "LOCAL" else arg.strip("'")
+            self.spark.conf.set("spark.sql.session.timeZone", zone)
+            return self.spark.createDataFrame([(zone,)], "time_zone: string")
+        if up[:1] == ["USE"] and len(up) == 2:
+            # USE catalog.schema (UseTask.java): single-catalog engine —
+            # record the default schema; unqualified names already resolve
+            # against the session catalog.
+            self._current_schema = stripped.split()[1].strip('"')
+            return self.spark.createDataFrame([(self._current_schema,)], "schema: string")
         if up[:2] == ["SET", "SESSION"]:
             # SET SESSION k = v (SystemSessionProperties.java surface):
             # recorded per-engine; spark.* keys pass through to the conf.
