@@ -387,3 +387,42 @@ class TestRepetitionSignals:
         out = self._signals(spark, [(1, "word"), (2, "")])
         assert out[1].top_bigram_char_frac == 0.0
         assert out[2].dup_line_frac == 0.0
+
+
+class TestLabelCentroids:
+    """Per-label centroids + centroid-distance outliers
+    (operators/similarity.py label_centroids/centroid_outliers)."""
+
+    def test_centroid_math(self, spark):
+        from trino_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(1, 0, [1.0, 0.0]), (2, 0, [3.0, 2.0]), (3, 1, [10.0, 10.0])],
+            "vec_id: long, label: int, embedding: array<float>",
+        )
+        cents = {r.label: r.centroid for r in similarity.label_centroids(df).collect()}
+        assert cents[0] == pytest.approx([2.0, 1.0])
+        assert cents[1] == pytest.approx([10.0, 10.0])
+
+    def test_outlier_distance(self, spark):
+        from trino_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(1, 0, [0.0, 0.0]), (2, 0, [0.0, 2.0]), (3, 0, [0.0, 100.0])],
+            "vec_id: long, label: int, embedding: array<float>",
+        )
+        cents = similarity.label_centroids(df)
+        out = {r.vec_id: r.centroid_dist for r in similarity.centroid_outliers(df, cents).collect()}
+        # centroid = [0, 34]; distances 34 / 32 / 66 — outlier ranks first
+        assert out[3] == max(out.values())
+        assert out[3] == pytest.approx(66.0) and out[2] == pytest.approx(32.0)
+
+    def test_broadcast_plan(self, spark):
+        from trino_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(i, i % 2, [float(i), 1.0]) for i in range(50)],
+            "vec_id: long, label: int, embedding: array<float>",
+        )
+        plan = similarity.centroid_outliers(df, similarity.label_centroids(df))._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -323,3 +323,43 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label mean embedding (cluster centroids): posexplode the vector,
+    hash-aggregate (label, dim) partial sums, reassemble ordered arrays.
+
+    The embedding-analytics primitive behind semantic clustering, class
+    prototypes, and centroid-distance outlier flags. Shape: one explode +
+    two aggs keyed by (label, dim) then (label) — dims are a constant
+    (e.g. 64), so state per group is bounded and the shuffles are on small
+    keys; no vector ever reaches the driver.
+    """
+    exploded = corpus.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    per_dim = exploded.groupBy(label_col, "dim").agg(F.avg("v").alias("m"))
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def centroid_outliers(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distance of every vector to its own label's centroid — broadcast
+    the (tiny) centroid table, one zip_with fold per row, no UDF. High
+    distance = mislabeled/outlier candidate for curation review."""
+    joined = corpus.join(F.broadcast(centroids), label_col)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return joined.select(id_col, label_col, dist.alias("centroid_dist"))

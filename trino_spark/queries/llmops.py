@@ -881,3 +881,35 @@ def corpus_quality_filter_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@REG.add(
+    "embedding_label_centroids",
+    """
+    WITH per_dim AS (
+      SELECT label, i AS dim, avg(list_extract(embedding, i)) AS m
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY label, i
+    )
+    SELECT label,
+           array_to_string(list(printf('%.6f', round(m, 6)) ORDER BY dim), ',') AS centroid_csv
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.label_centroids
+    — explode + (label, dim)-keyed aggs, the class-prototype primitive).
+    Oracle recomputes each dimension mean positionally; arrays emitted as
+    CSV so the driver canonicalizer hashes them."""
+    from trino_spark.operators import similarity
+
+    emb = t(spark, sf, "embeddings")
+    cent = similarity.label_centroids(emb)
+    return cent.select(
+        "label",
+        F.array_join(
+            F.transform(F.col("centroid"), lambda v: F.format_string("%.6f", F.round(v, 6))), ","
+        ).alias("centroid_csv"),
+    ).orderBy("label")
