@@ -45,6 +45,9 @@ def all_specs() -> dict[str, QuerySpec]:
         "json_table_nested",
         "tokenizer_bpe_pairs",
         "streaming_interval_join",
+        "corpus_quality_filter",
+        "embedding_label_centroids",
+        "text_lm_perplexity",
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget
