@@ -1,7 +1,14 @@
 """Driver-mimic: run every registry query at sf0.01 with its DuckDB oracle,
 time both sides, and report failures + per-query cost in registry order.
 
-Usage: python scripts/driver_mimic.py [sf_dir] [--limit N]
+Usage: python scripts/driver_mimic.py [sf_dir] [--limit N] [--strict]
+
+--strict additionally requires each (name-sorted) output column to have the
+same pandas dtype KIND on both sides (int vs float vs bool vs object). The
+driver's canonicalizer hashes values, so Spark BIGINT 19 vs DuckDB DOUBLE
+19.0 is a hash FAIL even when the tolerant value compare passes — exactly
+the `func_math_ops` r1/r2 failure mode. Run strict before every round end.
+
 Writes a JSON report to /tmp/driver_mimic.json.
 """
 
@@ -20,9 +27,43 @@ from trino_spark.session import get_spark  # noqa: E402
 from trino_spark.testing import _cells_equal, _frame_to_rows, duckdb_connection  # noqa: E402
 
 
-def _compare(pdf, opdf, name):
+def _dtype_kind(series) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: b(ool) / i(nt) / f(loat) / M (datetime) / O (everything
+    else — strings, arrays, decimals as objects)."""
+    k = series.dtype.kind
+    if k == "u":
+        return "i"
+    if k in ("m", "M"):
+        return "M"
+    if k in ("b", "i", "f"):
+        return k
+    # object columns: sniff the first non-null value so a float-valued
+    # object column (DuckDB sometimes) still compares as 'f'.
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            return "f"
+        break
+    return "O"
+
+
+def _compare(pdf, opdf, name, strict=False):
     a_cols, o_cols = sorted(pdf.columns), sorted(opdf.columns)
     assert a_cols == o_cols, f"{name}: column mismatch spark={a_cols} oracle={o_cols}"
+    if strict:
+        for c in a_cols:
+            ka, ko = _dtype_kind(pdf[c]), _dtype_kind(opdf[c])
+            assert ka == ko, (
+                f"{name}: STRICT dtype-kind mismatch on column {c!r}: "
+                f"spark={pdf[c].dtype}({ka}) oracle={opdf[c].dtype}({ko}) — "
+                f"the driver hash WILL fail on this (e.g. 19 vs 19.0)"
+            )
     actual, expect = _frame_to_rows(pdf), _frame_to_rows(opdf)
     assert len(actual) == len(expect), f"{name}: rows spark={len(actual)} oracle={len(expect)}"
     for i, (ra, re_) in enumerate(zip(actual, expect)):
@@ -35,6 +76,7 @@ def main() -> None:
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    strict = "--strict" in sys.argv
 
     spark = get_spark()
     con = duckdb_connection(sf_dir)
@@ -55,7 +97,7 @@ def main() -> None:
                 t1 = time.time()
                 opdf = con.execute(spec.oracle).fetch_df()
                 entry["oracle_s"] = round(time.time() - t1, 3)
-                _compare(pdf, opdf, name)
+                _compare(pdf, opdf, name, strict=strict)
                 entry["ok"] = True
             else:
                 entry["ok"] = "rows-only"

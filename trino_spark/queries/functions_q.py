@@ -100,8 +100,8 @@ def func_regex_ops(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                       AS abs_c,
-           ceil(l_extendedprice / 1000)                 AS ceil_k,
-           floor(l_extendedprice / 1000)                AS floor_k,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS ceil_k,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_k,
            floor((CAST(round(l_extendedprice * 100, 0) AS BIGINT) + 5) / 10) / 10 AS round_1,
            round(sqrt(l_quantity), 6)                   AS sqrt_q,
            round(ln(l_extendedprice), 6)                AS ln_p,
@@ -109,7 +109,7 @@ def func_regex_ops(spark: SparkSession, sf: str) -> DataFrame:
            round(exp(l_discount), 6)                    AS exp_d,
            round(power(l_quantity, 2.0), 6)             AS q_sq,
            mod(CAST(l_quantity AS BIGINT), 7)           AS qty_mod7,
-           sign(l_discount - 0.05)                      AS sgn,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sgn,
            greatest(l_quantity, 25.0)                   AS hi,
            least(l_quantity, 25.0)                      AS lo,
            CAST(CASE WHEN l_quantity < 0 THEN 0

@@ -64,34 +64,50 @@ def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
 @REG.add(
     "text_ngram_jaccard_pairs",
     """
-    WITH sh AS (
+    WITH corpus AS (
+      SELECT doc_id * 10 AS doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id * 10 + 1 AS doc_id,
+             substring(text, 1, CAST(floor(length(text) * 0.8) AS INTEGER)) AS text
+      FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+    ),
+    sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingle_set
       FROM (SELECT doc_id,
                    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
-            FROM documents) base
+            FROM corpus) base
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 9) AS jaccard_sim
-    FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
-    WHERE a.doc_id < 200
-      AND CAST(len(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.2
+    SELECT id_a, id_b, jaccard_sim FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 9) AS jaccard_sim
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+    ) p
+    WHERE jaccard_sim >= 0.2
     ORDER BY id_a, id_b
     """,
 )
 def text_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-3-gram Jaccard over a sliding id window (the ground-truth
-    primitive behind minhash dedup; window-restricted to stay linear)."""
-    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200 + 5)
-    s = dedup.with_shingles(d, "doc_id", "text", 3, out="shingle_set").withColumnRenamed(
+    primitive behind minhash dedup; window-restricted to stay linear).
+
+    The corpus unions each even doc with an 80%-prefix clone at the adjacent
+    id so the query returns a non-trivial pair set at every SF (the raw
+    testdata has no near-dups inside a 5-id window — r2's green was vacuous
+    at 0 rows)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    corpus = d.select((F.col("doc_id") * 10).alias("doc_id"), "text").unionAll(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") * 10 + 1).alias("doc_id"),
+            F.expr("substring(text, 1, cast(floor(length(text) * 0.8) as int))").alias("text"),
+        )
+    )
+    s = dedup.with_shingles(corpus, "doc_id", "text", 3, out="shingle_set").withColumnRenamed(
         "_id", "doc_id"
     )
-    a = s.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sh_a")).filter(
-        F.col("id_a") < 200
-    )
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sh_b"))
     return (
         a.join(b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 5))
