@@ -21,20 +21,44 @@ io.trino.spi.connector.ConnectorMetadata default methods).
 Scale notes: each statement is one Spark job over the table — DELETE/UPDATE
 are scan+filter/scan+project (whole-stage codegen, no shuffle), MERGE is the
 single full-outer equi-join of operators/merge.py. The affected-row count
-(Trino's TableFinish output) is taken from the written parquet footers'
-row counts, not a second scan of the data.
+(Trino's TableFinish output) comes from parquet footer metadata or an
+``Observation`` folded into the commit's own write job — never a second
+scan of the data.
+
+Partition-scoped copy-on-write: on a partitioned table, DELETE/UPDATE
+derive the affected partitions dynamically (one pruned scan collecting the
+matching files' partition dirs + values), rewrite ONLY those partitions,
+and carry every untouched partition into the new table version by
+HARDLINKING its files (metadata-only, no data movement) — the filesystem
+analog of Delta/Iceberg file-scoped copy-on-write, where unaffected data
+files are carried by pointer in the new snapshot. INSERT likewise appends:
+it writes only the incoming rows and links the entire previous version.
+At 100 TB a selective `DELETE WHERE day = ...` therefore rewrites one
+partition, not the table.
+
+Every commit is retained as a table VERSION (snapshot log under
+``.snapshots/<name>/``), read back via Trino's time-travel syntax
+``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF t`` (grammar SqlBase.g4
+queryPeriod; behavior: plugin/trino-iceberg time travel). Old versions are
+pruned beyond a retention window, like snapshot expiration.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import json
 import os
 import re
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from trino_spark.operators.merge import merge_into
+
+#: retained historical versions per table (current version excluded);
+#: older snapshot dirs are removed — lakehouse snapshot expiration.
+SNAPSHOT_RETENTION = 8
 
 _IDENT = r'[A-Za-z_][\w$]*|"[^"]+"'
 
@@ -107,11 +131,87 @@ def _written_rows(path: str) -> int:
     return total
 
 
-def _commit(engine, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+def _snap_root(name: str) -> str:
+    return os.path.join(_warehouse_dir(), ".snapshots", name)
+
+
+def _read_log(name: str) -> list[dict]:
+    logf = os.path.join(_snap_root(name), "log.json")
+    if not os.path.exists(logf):
+        return []
+    try:
+        return json.loads(open(logf).read())
+    except (OSError, ValueError):
+        return []
+
+
+def _write_log(name: str, entries: list[dict]) -> None:
+    root = _snap_root(name)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".log-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh, indent=0)
+    os.replace(tmp, os.path.join(root, "log.json"))
+
+
+def _link_tree(src_root: str, dst_root: str, rel_dirs: list[str] | None = None) -> None:
+    """Hardlink every data file under `src_root` (or only the given leaf
+    dirs) into `dst_root`, preserving relative paths. Links are metadata
+    operations — carrying an untouched 1 TB partition into the new table
+    version costs directory entries, not I/O. Falls back to copy when the
+    filesystem refuses links."""
+
+    def _link_dir(rel: str) -> None:
+        sdir = os.path.join(src_root, rel) if rel else src_root
+        for root, _dirs, files in os.walk(sdir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden metadata
+                sp = os.path.join(root, f)
+                rp = os.path.relpath(sp, src_root)
+                dp = os.path.join(dst_root, rp)
+                os.makedirs(os.path.dirname(dp), exist_ok=True)
+                try:
+                    os.link(sp, dp)
+                except OSError:
+                    shutil.copy2(sp, dp)
+
+    if rel_dirs is None:
+        _link_dir("")
+    else:
+        for rel in rel_dirs:
+            _link_dir(rel)
+
+
+def _leaf_partition_dirs(path: str) -> list[str]:
+    """Relative paths of every directory under `path` that directly holds
+    parquet files (the hive-layout leaf partitions). '' = flat root files."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            out.append(os.path.relpath(root, path))
+    return ["" if d == "." else d for d in out]
+
+
+def _commit(
+    engine,
+    name: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    preserve_rel_dirs: list[str] | None = None,
+    append_base: bool = False,
+    operation: str = "write",
+) -> int:
     """Copy-on-write commit: stage-write the post-change relation, swap the
     table directory, re-register the view. Returns rows in the new state.
+
     `partition_by` produces a hive-style layout (downstream scans get
-    static partition pruning + DPP); mutations preserve the layout."""
+    static partition pruning + DPP); mutations preserve the layout.
+    `preserve_rel_dirs` carries the listed untouched partition dirs of the
+    CURRENT version into the new one by hardlink (partition-scoped
+    rewrite). `append_base` carries the ENTIRE current version and adds
+    `df` on top (INSERT). The previous version's directory is retained as
+    a snapshot for time travel rather than deleted."""
     txn_snapshot_if_needed(engine, name)
     path = os.path.join(_warehouse_dir(), name)
     # Janitor: a crashed earlier run can leave .staging-*/.old-* dirs for
@@ -134,16 +234,76 @@ def _commit(engine, name: str, df: DataFrame, partition_by: list[str] | None = N
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.parquet(staging)
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(path):
+        if append_base:
+            # INSERT: new version = all previous files (linked) + new rows.
+            # A flat 0-row placeholder in a partitioned layout (freshly
+            # created / truncated table) is skipped — linking it next to
+            # hive dirs would break partition discovery, and it holds no
+            # rows.
+            rels = _leaf_partition_dirs(path)
+            if not (part_cols and rels == [""] and _written_rows(path) == 0):
+                _link_tree(path, staging, rels)
+        elif preserve_rel_dirs:
+            _link_tree(path, staging, preserve_rel_dirs)
+    if not any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(staging) for f in fs
+    ):
+        # Zero rows + partitionBy writes no part files, and a dir with no
+        # parquet cannot be re-read ("unable to infer schema"). Rewrite the
+        # empty state flat — the file carries the full schema (partition
+        # columns included) and the layout reapplies on the next insert.
+        shutil.rmtree(staging, ignore_errors=True)
+        df.limit(0).write.mode("overwrite").parquet(staging)
+    # Version bookkeeping: retire the current directory into the snapshot
+    # log (time travel reads it back); prune beyond retention.
+    log = _read_log(name)
+    cur_version = max((e["version"] for e in log), default=0)
     if os.path.exists(path):
-        os.rename(path, old)
+        os.rename(path, os.path.join(_ensure_dir(_snap_root(name)), f"v{cur_version:05d}"))
+    new_version = cur_version + 1
+    now = _dt.datetime.now(_dt.timezone.utc)
+    log.append(
+        {
+            "version": new_version,
+            "committed_at": now.timestamp(),
+            "committed_at_iso": now.isoformat(),
+            "operation": operation,
+        }
+    )
+    live = [e for e in log if not e.get("expired")]
+    for e in live[:-(SNAPSHOT_RETENTION + 1)]:
+        shutil.rmtree(os.path.join(_snap_root(name), f"v{e['version']:05d}"), ignore_errors=True)
+        e["expired"] = True
+    _write_log(name, log)
     os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
     _managed(engine)[name] = path
-    stored = engine.spark.read.parquet(path)
+    # Register the new version. The committed schema is known (partition
+    # columns read back LAST in a hive layout), so pass it explicitly —
+    # skipping the footer/partition-discovery inference job per commit.
+    reader = engine.spark.read
+    try:
+        fields = {f.name: f for f in df.schema.fields}
+        if part_cols and all(c in fields for c in part_cols):
+            ordered = [f for f in df.schema.fields if f.name not in part_cols] + [
+                fields[c] for c in part_cols
+            ]
+        else:
+            ordered = list(df.schema.fields)
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType(ordered))
+    except Exception:
+        pass
+    stored = reader.parquet(path)
     stored.createOrReplaceTempView(name)
     refresh_infoschema(engine, changed=name)
     return _written_rows(path)
+
+
+def _ensure_dir(d: str) -> str:
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _read(engine, name: str) -> DataFrame:
@@ -174,11 +334,16 @@ def _ctas(engine, sql: str) -> DataFrame:
         raise ValueError(f"cannot parse CTAS: {sql[:120]}")
     name = _norm_name(m.group(1))
     if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", sql[: m.start(3)], re.IGNORECASE)
-    if name in _managed(engine) and if_not_exists:
-        return engine.spark.createDataFrame([(0,)], "rows: bigint")
+    if name in _managed(engine):
+        if if_not_exists:
+            return engine.spark.createDataFrame([(0,)], "rows: bigint")
+        raise ValueError(f"table already exists: {name}")
+    # A fresh table must not inherit a stale layout from a same-named
+    # predecessor (layouts are popped at DROP, but be defensive).
+    getattr(engine, "_dml_layouts", {}).pop(name, None)
     partition_by = _parse_with_props(m.group(2))
     df = engine.sql(m.group(3))
-    n = _commit(engine, name, df, partition_by=partition_by)
+    n = _commit(engine, name, df, partition_by=partition_by, operation="ctas")
     return engine.spark.createDataFrame([(n,)], "rows: bigint")
 
 
@@ -212,6 +377,10 @@ def _drop(engine, sql: str) -> DataFrame:
     path = _managed(engine).pop(name, None)
     if path:
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(_snap_root(name), ignore_errors=True)
+        # A later CREATE TABLE with this name must not inherit the old
+        # partition layout (stale _dml_layouts entry).
+        getattr(engine, "_dml_layouts", {}).pop(name, None)
         engine.spark.catalog.dropTempView(name)
         refresh_infoschema(engine, dropped=name)
     elif engine.spark.catalog.tableExists(name):
@@ -225,7 +394,7 @@ def _drop(engine, sql: str) -> DataFrame:
 def _truncate(engine, sql: str) -> DataFrame:
     name = _norm_name(sql.split()[2])
     df = _read(engine, name)
-    _commit(engine, name, df.limit(0))
+    _commit(engine, name, df.limit(0), operation="truncate")
     return engine.spark.createDataFrame([(0,)], "rows: bigint")
 
 
@@ -258,11 +427,59 @@ def _insert(engine, sql: str) -> DataFrame:
     aligned = incoming.select(
         *[F.col(f_.name).cast(f_.dataType).alias(f_.name) for f_ in current.schema.fields]
     )
-    # Inserted count from footer metadata (before/after), not a second
-    # scan of the incoming relation.
+    # Append-only commit: write ONLY the incoming rows; the previous
+    # version's files are carried into the new version by hardlink (the
+    # lakehouse "add files to snapshot" shape — an INSERT never rewrites
+    # existing data). Inserted count from footer metadata (before/after).
     before = _written_rows(_require_managed(engine, name))
-    total = _commit(engine, name, current.unionByName(aligned))
+    total = _commit(engine, name, aligned, append_base=True, operation="insert")
     return engine.spark.createDataFrame([(total - before,)], "rows: bigint")
+
+
+def _affected_partitions(engine, name: str, df: DataFrame, pred):
+    """Dynamically derive the partitions a predicate touches: one pruned
+    scan collecting (file, partition values) of matching rows. Returns
+    (affected_row_filter, untouched_rel_dirs) or None when the
+    partition-scoped path does not apply (unpartitioned / flat layout /
+    nothing matched → caller short-circuits on []).
+
+    This is the engine-side analog of the reference's metadata-delete
+    partition derivation (TableMutationOperator.java) and of Delta's
+    find-touched-files phase. The collect is bounded by the number of
+    AFFECTED data files (metadata scale, not data scale)."""
+    from urllib.parse import unquote, urlparse
+
+    part_cols = getattr(engine, "_dml_layouts", {}).get(name)
+    path = _require_managed(engine, name)
+    if not part_cols:
+        return None
+    leafs = _leaf_partition_dirs(path)
+    if "" in leafs:
+        return None  # flat/placeholder layout: full rewrite
+    touched = (
+        df.filter(pred)
+        .select(F.input_file_name().alias("__f"), *part_cols)
+        .distinct()
+        .collect()
+    )
+    real = os.path.realpath(path)
+    affected_dirs = set()
+    affected_vals = set()
+    for r in touched:
+        fpath = os.path.realpath(unquote(urlparse(r["__f"]).path))
+        affected_dirs.add(os.path.relpath(os.path.dirname(fpath), real))
+        affected_vals.add(tuple(r[c] for c in part_cols))
+    if not touched:
+        return (None, [])
+    untouched = [d for d in leafs if d not in affected_dirs]
+    cond = None
+    for vals in affected_vals:
+        piece = None
+        for c, v in zip(part_cols, vals):
+            eq = F.col(c).eqNullSafe(F.lit(v))
+            piece = eq if piece is None else piece & eq
+        cond = piece if cond is None else cond | piece
+    return (cond, untouched)
 
 
 def _delete(engine, sql: str) -> DataFrame:
@@ -275,14 +492,29 @@ def _delete(engine, sql: str) -> DataFrame:
         raise ValueError(f"cannot parse DELETE: {sql[:120]}")
     name = _norm_name(m.group(1))
     df = _read(engine, name)
-    before = df.count()
     if m.group(2) is None:
-        kept = df.limit(0)
+        # Unconditional DELETE == TRUNCATE shape; count from footers.
+        before = _written_rows(_require_managed(engine, name))
+        _commit(engine, name, df.limit(0), operation="delete")
+        return engine.spark.createDataFrame([(before,)], "rows: bigint")
+    # DELETE removes rows where pred is TRUE; NULL predicate keeps.
+    pred = F.coalesce(F.expr(_translate_fragment(engine, m.group(2))), F.lit(False))
+    # Deleted-row count = footer-metadata delta (before/after) — rows only
+    # ever leave, so no counting scan or observation is needed.
+    before = _written_rows(_require_managed(engine, name))
+    scoped = _affected_partitions(engine, name, df, pred)
+    if scoped is not None:
+        cond, untouched = scoped
+        if cond is None:  # predicate matched nothing: no new version
+            return engine.spark.createDataFrame([(0,)], "rows: bigint")
+        # Rewrite only the affected partitions (partition-pruned scan);
+        # untouched partitions are hardlinked into the new version.
+        after = _commit(
+            engine, name, df.filter(cond).filter(~pred),
+            preserve_rel_dirs=untouched, operation="delete",
+        )
     else:
-        pred = _translate_fragment(engine, m.group(2))
-        # DELETE removes rows where pred is TRUE; NULL predicate keeps.
-        kept = df.filter(~F.coalesce(F.expr(pred), F.lit(False)))
-    after = _commit(engine, name, kept)
+        after = _commit(engine, name, df.filter(~pred), operation="delete")
     return engine.spark.createDataFrame([(before - after,)], "rows: bigint")
 
 
@@ -303,15 +535,42 @@ def _update(engine, sql: str) -> DataFrame:
     for a in assigns:
         col, _, expr = a.partition("=")
         updated_cols[_norm_name(col)] = F.expr(_translate_fragment(engine, expr))
-    out = df.select(
-        *[
-            (F.when(pred, updated_cols[f_.name].cast(f_.dataType)).otherwise(F.col(f_.name)) if f_.name in updated_cols else F.col(f_.name)).alias(f_.name)
-            for f_ in df.schema.fields
-        ]
+
+    def _project(src: DataFrame) -> DataFrame:
+        return src.select(
+            *[
+                (
+                    F.when(pred, updated_cols[f_.name].cast(f_.dataType)).otherwise(F.col(f_.name))
+                    if f_.name in updated_cols
+                    else F.col(f_.name)
+                ).alias(f_.name)
+                for f_ in df.schema.fields
+            ]
+        )
+
+    part_cols = getattr(engine, "_dml_layouts", {}).get(name) or []
+    # An UPDATE that reassigns a partition column can move rows into
+    # partitions the predicate never touched — only the full rewrite is
+    # correct there. (Moving INTO an untouched partition is fine in the
+    # scoped path: the staged write and the hardlinked files merge into
+    # the same partition dir.)
+    scoped = (
+        _affected_partitions(engine, name, df, pred)
+        if not any(c in updated_cols for c in part_cols)
+        else None
     )
-    n_updated = df.filter(pred).count()
-    _commit(engine, name, out)
-    return engine.spark.createDataFrame([(n_updated,)], "rows: bigint")
+    obs = Observation()
+    n_expr = F.sum(pred.cast("long")).alias("n")
+    if scoped is not None:
+        cond, untouched = scoped
+        if cond is None:
+            return engine.spark.createDataFrame([(0,)], "rows: bigint")
+        out = _project(df.filter(cond).observe(obs, n_expr))
+        _commit(engine, name, out, preserve_rel_dirs=untouched, operation="update")
+    else:
+        out = _project(df.observe(obs, n_expr))
+        _commit(engine, name, out, operation="update")
+    return engine.spark.createDataFrame([(int(obs.get["n"] or 0),)], "rows: bigint")
 
 
 def _split_top_level(text: str, sep: str) -> list[str]:
@@ -428,6 +687,7 @@ def _merge(engine, sql: str) -> DataFrame:
         else:
             raise ValueError(f"unsupported MERGE clause: WHEN {matched_kw} ... THEN {action[:40]}")
 
+    update_touch = update_cond if update_set is not None else None
     if update_set is not None and update_cond is not None:
         # merge_into applies update to every surviving matched row; narrow
         # each assignment with the clause condition.
@@ -440,6 +700,12 @@ def _merge(engine, sql: str) -> DataFrame:
             c: e.cast(target.schema[c].dataType) for c, e in insert_values.items() if c in target.columns
         }
 
+    # Affected rows (TableFinish count) ride the merge join itself as an
+    # Observation: rows a clause actually touched (deleted / updated under
+    # the clause condition / inserted) — an insert-only MERGE reports only
+    # inserts, matching MergeWriterOperator's written-row accounting. No
+    # separate counting joins.
+    obs = Observation()
     out = merge_into(
         target,
         source,
@@ -447,15 +713,83 @@ def _merge(engine, sql: str) -> DataFrame:
         update_set=update_set,
         delete_condition=delete_cond,
         insert_values=insert_values,
+        count_into=obs,
+        update_touch_condition=update_touch,
     )
-    # Affected rows (TableFinish count): matched target rows + inserted rows.
-    src_keyed = source.select(*[F.col(k) for k in keys]).dropDuplicates(keys)
-    matched_n = target.join(src_keyed, on=keys, how="left_semi").count()
-    inserted_n = (
-        src_keyed.join(target, on=keys, how="left_anti").count() if insert_values is not None else 0
+    _commit(engine, tgt_name, out, operation="merge")
+    m_ = obs.get
+    return engine.spark.createDataFrame(
+        [(int((m_["touched"] or 0) + (m_["inserted"] or 0)),)], "rows: bigint"
     )
-    _commit(engine, tgt_name, out)
-    return engine.spark.createDataFrame([(matched_n + inserted_n,)], "rows: bigint")
+
+
+# ---------------------------------------------------------------- time travel
+#
+# Trino's queryPeriod grammar (SqlBase.g4: tableName FOR VERSION|TIMESTAMP
+# AS OF expr; behavior: plugin/trino-iceberg + plugin/trino-delta-lake time
+# travel). Every _commit retains the previous table directory as an
+# immutable snapshot; reads resolve the requested version to its directory
+# and substitute a temp view for the table reference.
+
+_TT_RX = re.compile(
+    rf"({_IDENT})\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(TIMESTAMP\s+'[^']*'|'[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def list_versions(engine, name: str) -> list[dict]:
+    """The snapshot log for a managed table (system.metadata-style history
+    surface; Iceberg's $snapshots metadata table analog)."""
+    _require_managed(engine, name)
+    return _read_log(name)
+
+
+def _version_dir(engine, name: str, version: int) -> str:
+    path = _require_managed(engine, name)
+    log = _read_log(name)
+    cur = max((e["version"] for e in log), default=0)
+    entry = next((e for e in log if e["version"] == version), None)
+    if entry is None:
+        raise ValueError(f"table {name}: version {version} does not exist")
+    if version == cur:
+        return path
+    if entry.get("expired"):
+        raise ValueError(
+            f"table {name}: version {version} has been expired by snapshot retention"
+        )
+    return os.path.join(_snap_root(name), f"v{version:05d}")
+
+
+def resolve_time_travel(engine, sql: str) -> str:
+    """Rewrite `tbl FOR VERSION AS OF n` / `tbl FOR TIMESTAMP AS OF t`
+    table references to temp views over the pinned snapshot directory."""
+
+    def repl(m: re.Match) -> str:
+        name = _norm_name(m.group(1))
+        if name not in _managed(engine):
+            raise ValueError(f"time travel requires a managed table, got: {name}")
+        kind, arg = m.group(2).upper(), m.group(3).strip()
+        log = _read_log(name)
+        if kind == "VERSION":
+            version = int(arg)
+        else:
+            ts_txt = re.sub(r"^TIMESTAMP\s+", "", arg, flags=re.IGNORECASE).strip("'")
+            ts = _dt.datetime.fromisoformat(ts_txt)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            epoch = ts.timestamp()
+            older = [e for e in log if e["committed_at"] <= epoch]
+            if not older:
+                raise ValueError(
+                    f"table {name}: no version committed at or before {ts_txt}"
+                )
+            version = max(e["version"] for e in older)
+        view = f"{name}__v{version}"
+        engine.spark.read.parquet(_version_dir(engine, name, version)).createOrReplaceTempView(view)
+        return view
+
+    return _TT_RX.sub(repl, sql)
 
 
 # ---------------------------------------------------------------- transactions
@@ -490,8 +824,12 @@ def txn_snapshot_if_needed(engine, name: str) -> None:
         txn["created"].add(name)  # table born inside the txn: rollback drops it
         return
     snap = f"{path}.txn-{uuid.uuid4().hex[:8]}"
-    shutil.copytree(path, snap)
+    shutil.copytree(path, snap, copy_function=os.link)  # hardlinks: metadata-only pin
     txn["snapshots"][name] = snap
+    # Remember the version so rollback can rewind the snapshot log too.
+    txn.setdefault("versions", {})[name] = max(
+        (e["version"] for e in _read_log(name)), default=0
+    )
 
 
 def txn_commit(engine) -> None:
@@ -512,12 +850,27 @@ def txn_rollback(engine) -> None:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(snap, path)
+        # Rewind the snapshot log: versions committed inside the aborted
+        # transaction never happened.
+        pin = txn.get("versions", {}).get(name, 0)
+        log = _read_log(name)
+        for e in log:
+            # >= pin: the pinned version is live again, so its retired
+            # snapshot dir must go too or the next commit's rename onto
+            # .snapshots/v{pin} would collide.
+            if e["version"] >= pin:
+                shutil.rmtree(
+                    os.path.join(_snap_root(name), f"v{e['version']:05d}"), ignore_errors=True
+                )
+        _write_log(name, [e for e in log if e["version"] <= pin])
         _managed(engine)[name] = path
         engine.spark.read.parquet(path).createOrReplaceTempView(name)
     for name in txn["created"]:
         path = _managed(engine).pop(name, None)
         if path:
             shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(_snap_root(name), ignore_errors=True)
+            getattr(engine, "_dml_layouts", {}).pop(name, None)
             engine.spark.catalog.dropTempView(name)
     engine._txn = None
 
@@ -653,11 +1006,22 @@ def _alter_table(engine, sql: str) -> DataFrame:
         path = _require_managed(engine, name)
         newpath = os.path.join(_warehouse_dir(), new)
         os.rename(path, newpath)
+        if os.path.isdir(_snap_root(name)):
+            os.makedirs(os.path.dirname(_snap_root(new)), exist_ok=True)
+            shutil.rmtree(_snap_root(new), ignore_errors=True)
+            os.rename(_snap_root(name), _snap_root(new))
         tables = _managed(engine)
         del tables[name]
         tables[new] = newpath
+        # Move the partition layout with the table; a future CREATE TABLE
+        # under the old name must not inherit it.
+        layouts = getattr(engine, "_dml_layouts", {})
+        if name in layouts:
+            layouts[new] = layouts.pop(name)
         engine.spark.catalog.dropTempView(name)
         engine.spark.read.parquet(newpath).createOrReplaceTempView(new)
+        refresh_infoschema(engine, dropped=name)
+        refresh_infoschema(engine, changed=new)
         return engine.spark.createDataFrame([(0,)], "rows: bigint")
     else:
         raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")

@@ -95,9 +95,22 @@ class TrinoEngine:
         log.append((qid, state, sql.strip()[:1000], round(elapsed_s * 1000, 3)))
         del log[:-200]  # bounded, like the reference's history window
 
+    @staticmethod
+    def _sub_outside_literals(sql: str, target: str, repl: str) -> str:
+        """Replace `target` only OUTSIDE single-quoted string literals —
+        a raw str.replace would corrupt e.g. SELECT 'system.runtime.nodes'."""
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        return "".join(p if p.startswith("'") else p.replace(target, repl) for p in parts)
+
     def _sql_inner(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
 
+        if re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", trino_sql, re.IGNORECASE):
+            # Time travel (grammar SqlBase.g4 queryPeriod; Iceberg/Delta
+            # connector behavior): pin table refs to snapshot versions.
+            from trino_spark.dialect import dml as _dml
+
+            trino_sql = _dml.resolve_time_travel(self, trino_sql)
         if "system.runtime.nodes" in trino_sql:
             # system.runtime.nodes (NodesSystemTable.java): one coordinator
             # row in local mode; on a real cluster this would enumerate
@@ -107,7 +120,9 @@ class TrinoEngine:
                 [(sc.applicationId, sc.master, sc.version, True, "active")],
                 "node_id: string, http_uri: string, node_version: string, coordinator: boolean, state: string",
             ).createOrReplaceTempView("_system_runtime_nodes")
-            trino_sql = trino_sql.replace("system.runtime.nodes", "_system_runtime_nodes")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.runtime.nodes", "_system_runtime_nodes"
+            )
         if "information_schema.views" in trino_sql:
             # information_schema.views: the engine's logical views + MVs
             # (InformationSchemaPageSource.java VIEWS table).
@@ -117,7 +132,9 @@ class TrinoEngine:
             self.spark.createDataFrame(
                 rows or [], "table_name: string, view_definition: string, view_type: string"
             ).createOrReplaceTempView("_information_schema_views")
-            trino_sql = trino_sql.replace("information_schema.views", "_information_schema_views")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "information_schema.views", "_information_schema_views"
+            )
         if "system.runtime.queries" in trino_sql:
             # system.runtime.queries (QuerySystemTable.java): planning-time
             # dispatch state per recorded query.
@@ -126,8 +143,8 @@ class TrinoEngine:
                 rows or [],
                 "query_id: string, state: string, query: string, elapsed_ms: double",
             ).createOrReplaceTempView("_system_runtime_queries")
-            trino_sql = trino_sql.replace(
-                "system.runtime.queries", "_system_runtime_queries"
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.runtime.queries", "_system_runtime_queries"
             )
 
         wf = re.match(

@@ -29,6 +29,8 @@ def merge_into(
     delete_condition: Column | None = None,
     insert_values: dict[str, Column] | None = None,
     broadcast_source: bool = False,
+    count_into=None,
+    update_touch_condition: Column | None = None,
 ) -> DataFrame:
     """Compute the post-MERGE state of `target`.
 
@@ -40,6 +42,14 @@ def merge_into(
     `update_set` / `insert_values` columns reference source columns as
     `s_<name>` and target columns by their own name. Column order of the
     result matches `target`.
+
+    `count_into` (a pyspark Observation) rides the join with the
+    TableFinish affected-row count (TableFinishOperator.java:55): rows a
+    clause actually touched — deleted, updated (narrowed by
+    `update_touch_condition` when the UPDATE clause was conditional), or
+    inserted. Matched rows no clause touched do NOT count. The metrics
+    materialize with whatever action the caller runs on the result — no
+    extra counting scan.
     """
     tcols = target.columns
     src = source
@@ -56,6 +66,28 @@ def merge_into(
 
     matched = src[f"s_{keys[0]}"].isNotNull() & target[keys[0]].isNotNull()
     source_only = target[keys[0]].isNull()
+
+    if count_into is not None:
+        del_c = (
+            F.coalesce(delete_condition, F.lit(False))
+            if delete_condition is not None
+            else F.lit(False)
+        )
+        if update_set is not None:
+            upd_c = (
+                F.coalesce(update_touch_condition, F.lit(False))
+                if update_touch_condition is not None
+                else F.lit(True)
+            )
+        else:
+            upd_c = F.lit(False)
+        joined = joined.observe(
+            count_into,
+            F.sum((matched & (del_c | upd_c)).cast("long")).alias("touched"),
+            F.sum((source_only & F.lit(insert_values is not None)).cast("long")).alias(
+                "inserted"
+            ),
+        )
 
     out_cols = []
     for c in tcols:

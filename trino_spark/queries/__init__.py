@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "dedup_connected_components",
         # --- round-3-new queries (no prior CORRECTNESS row possible) ---
         "text_ngram_jaccard_pairs",  # de-vacuated this round; re-verify
+        "dml_partitioned_lifecycle",  # partition-scoped DML + time travel
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget

@@ -148,3 +148,67 @@ def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
     pdf = out.toPandas()
     eng.sql(f"DROP TABLE {tbl}")
     return spark.createDataFrame(pdf, out.schema)
+
+
+def _dml_partitioned_lifecycle_impl(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-scoped DML + snapshot time travel through TrinoEngine.sql:
+    partitioned CTAS -> partition DELETE -> partition-local UPDATE ->
+    append INSERT, then a FULL JOIN of the CURRENT state against
+    ``FOR VERSION AS OF 1`` (the pre-mutation snapshot). Untouched
+    partitions are carried between versions by hardlink — the
+    Delta/Iceberg file-scoped copy-on-write shape (dialect/dml.py);
+    time travel per SqlBase.g4 queryPeriod / trino-iceberg semantics."""
+    import os
+
+    from trino_spark.dialect import TrinoEngine
+
+    eng = TrinoEngine(spark, sf_dir=sf)
+    tbl = f"dml_part_{os.getpid()}"
+    eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+    eng.sql(
+        f"CREATE TABLE {tbl} WITH (partitioned_by = ARRAY['r']) AS "
+        "SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+    )
+    eng.sql(f"DELETE FROM {tbl} WHERE r = 3")
+    eng.sql(f"UPDATE {tbl} SET name = lower(name) WHERE r = 1")
+    eng.sql(
+        f"INSERT INTO {tbl} SELECT n_nationkey + 100, upper(n_name), n_regionkey "
+        "FROM nation WHERE n_regionkey = 0"
+    )
+    out = eng.sql(
+        f"""
+        WITH v1 AS (SELECT r, count(*) AS n FROM {tbl} FOR VERSION AS OF 1 GROUP BY r),
+             cur AS (SELECT r, count(*) AS n, min(name) AS mn FROM {tbl} GROUP BY r)
+        SELECT CAST(coalesce(v1.r, cur.r) AS INT) AS r,
+               CAST(coalesce(v1.n, 0) AS BIGINT)  AS n_v1,
+               CAST(coalesce(cur.n, 0) AS BIGINT) AS n_cur,
+               cur.mn AS min_name_cur
+        FROM v1 FULL JOIN cur ON v1.r = cur.r
+        ORDER BY r
+        """
+    )
+    pdf = out.toPandas()
+    eng.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(pdf, out.schema)
+
+
+REG.add(
+    "dml_partitioned_lifecycle",
+    """
+    WITH base AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation),
+    v1 AS (SELECT r, count(*) AS n FROM base GROUP BY r),
+    cur_rows AS (
+      SELECT k, CASE WHEN r = 1 THEN lower(name) ELSE name END AS name, r
+      FROM base WHERE r <> 3
+      UNION ALL
+      SELECT k + 100, upper(name), r FROM base WHERE r = 0
+    ),
+    cur AS (SELECT r, count(*) AS n, min(name) AS mn FROM cur_rows GROUP BY r)
+    SELECT CAST(coalesce(v1.r, cur.r) AS INTEGER) AS r,
+           CAST(coalesce(v1.n, 0) AS BIGINT)      AS n_v1,
+           CAST(coalesce(cur.n, 0) AS BIGINT)     AS n_cur,
+           cur.mn AS min_name_cur
+    FROM v1 FULL JOIN cur ON v1.r = cur.r
+    ORDER BY r
+    """,
+)(_dml_partitioned_lifecycle_impl)
