@@ -109,3 +109,123 @@ class TestCallProcedures:
     def test_unknown_procedure(self, engine):
         with pytest.raises(ValueError, match="procedure not found"):
             engine.sql("CALL system.no_such_proc()")
+
+
+class TestEnforcementBreadth:
+    """r2 ADVICE: MERGE/TRUNCATE/ALTER/DROP/CTAS targets must be checked
+    too — a zero-grant role could previously mutate or drop any managed
+    table."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("DROP TABLE IF EXISTS acl_b")
+        engine.sql("CREATE TABLE acl_b AS SELECT 1 AS x, 'a' AS s")
+        engine.sql("CREATE ROLE nobody")
+        yield engine
+        engine.sql("SET ROLE NONE")
+        engine.sql("DROP TABLE IF EXISTS acl_b")
+
+    def test_merge_requires_write_privs(self, eng):
+        eng.sql("SET ROLE nobody")
+        with pytest.raises(AccessDenied, match="lacks (UPDATE|INSERT|DELETE)"):
+            eng.sql(
+                "MERGE INTO acl_b t USING (SELECT 1 AS x) s ON t.x = s.x "
+                "WHEN MATCHED THEN UPDATE SET s = 'z'"
+            )
+        eng.sql("SET ROLE NONE")
+        eng.sql("GRANT ALL ON acl_b TO ROLE nobody")
+        eng.sql("SET ROLE nobody")
+        eng.sql(
+            "MERGE INTO acl_b t USING (SELECT 1 AS x) s ON t.x = s.x "
+            "WHEN MATCHED THEN UPDATE SET s = 'z'"
+        )
+
+    def test_merge_using_table_requires_select(self, eng):
+        eng.sql("SET ROLE NONE")
+        eng.sql("GRANT ALL ON acl_b TO ROLE nobody")
+        eng.sql("SET ROLE nobody")
+        with pytest.raises(AccessDenied, match="lacks SELECT on nation"):
+            eng.sql(
+                "MERGE INTO acl_b t USING nation s ON t.x = s.n_nationkey "
+                "WHEN MATCHED THEN UPDATE SET s = 'z'"
+            )
+
+    def test_truncate_requires_delete(self, eng):
+        eng.sql("SET ROLE nobody")
+        with pytest.raises(AccessDenied, match="lacks DELETE"):
+            eng.sql("TRUNCATE TABLE acl_b")
+
+    def test_drop_and_alter_require_ownership_proxy(self, eng):
+        eng.sql("SET ROLE nobody")
+        with pytest.raises(AccessDenied):
+            eng.sql("DROP TABLE acl_b")
+        with pytest.raises(AccessDenied):
+            eng.sql("ALTER TABLE acl_b ADD COLUMN y bigint")
+        eng.sql("SET ROLE NONE")
+        eng.sql("GRANT ALL ON acl_b TO ROLE nobody")
+        eng.sql("SET ROLE nobody")
+        eng.sql("ALTER TABLE acl_b ADD COLUMN y bigint")
+
+    def test_ctas_requires_ownership_proxy(self, eng):
+        eng.sql("SET ROLE nobody")
+        with pytest.raises(AccessDenied):
+            eng.sql("CREATE TABLE acl_new AS SELECT 1 AS x")
+
+
+class TestRowFiltersAndMasks:
+    """ConnectorAccessControl.getRowFilters / getColumnMasks: per-role
+    predicates and masking expressions applied to reads."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("CREATE ROLE filtered")
+        engine.sql("GRANT SELECT ON nation TO ROLE filtered")
+        yield engine
+        engine.sql("SET ROLE NONE")
+
+    def test_row_filter_applies_to_reads(self, eng):
+        eng.sql("CALL system.add_row_filter('filtered', 'nation', 'n_regionkey = 0')")
+        eng.sql("SET ROLE filtered")
+        assert eng.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 5
+        eng.sql("SET ROLE NONE")
+        assert eng.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
+
+    def test_column_mask_applies_to_reads(self, eng):
+        eng.sql(
+            "CALL system.add_column_mask('filtered', 'nation', 'n_name', "
+            "'substr(n_name, 1, 2) || ''***''')"
+        )
+        eng.sql("SET ROLE filtered")
+        names = {r.n_name for r in eng.sql("SELECT n_name FROM nation").collect()}
+        assert all(n.endswith("***") and len(n) == 5 for n in names)
+        eng.sql("SET ROLE NONE")
+        names = {r.n_name for r in eng.sql("SELECT n_name FROM nation").collect()}
+        assert not any(n.endswith("***") for n in names)
+
+    def test_filter_and_mask_compose_in_joins(self, eng):
+        eng.sql("GRANT SELECT ON region TO ROLE filtered")
+        eng.sql("CALL system.add_row_filter('filtered', 'nation', 'n_regionkey = 1')")
+        eng.sql("CALL system.add_column_mask('filtered', 'nation', 'n_name', '''REDACTED''')")
+        eng.sql("SET ROLE filtered")
+        rows = eng.sql(
+            "SELECT n.n_name, r.r_name FROM nation n "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey"
+        ).collect()
+        assert len(rows) == 5 and {r.n_name for r in rows} == {"REDACTED"}
+
+    def test_role_cannot_define_rules(self, eng):
+        eng.sql("SET ROLE filtered")
+        with pytest.raises(AccessDenied, match="owner session"):
+            eng.sql("CALL system.add_row_filter('filtered', 'nation', '1=1')")
+
+    def test_drop_row_filter_restores_full_view(self, eng):
+        eng.sql("CALL system.add_row_filter('filtered', 'nation', 'n_regionkey = 0')")
+        eng.sql("CALL system.drop_row_filter('filtered', 'nation')")
+        eng.sql("SET ROLE filtered")
+        assert eng.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
+
+    def test_literal_mentions_are_not_rewritten(self, eng):
+        eng.sql("CALL system.add_row_filter('filtered', 'nation', 'n_regionkey = 0')")
+        eng.sql("SET ROLE filtered")
+        row = eng.sql("SELECT 'nation' AS word").collect()[0]
+        assert row.word == "nation"

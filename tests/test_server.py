@@ -87,3 +87,20 @@ def test_call_and_roles_through_http(server):
     fetch_all(server.url(), "CREATE ROLE http_r")
     _, roles = fetch_all(server.url(), "SHOW ROLES")
     assert ["http_r"] in roles or any("http_r" in r for r in roles)
+
+
+def test_row_filter_through_http(server):
+    """Row filters / column masks apply to HTTP reads too — the server
+    dispatches through the same engine (ConnectorAccessControl
+    getRowFilters over the wire)."""
+    fetch_all(server.url(), "CREATE ROLE http_sec")
+    fetch_all(server.url(), "GRANT SELECT ON region TO ROLE http_sec")
+    fetch_all(server.url(), "CALL system.add_row_filter('http_sec', 'region', 'r_regionkey < 2')")
+    fetch_all(server.url(), "SET ROLE http_sec")
+    try:
+        _, rows = fetch_all(server.url(), "SELECT count(*) AS c FROM region")
+        assert rows == [[2]]
+    finally:
+        fetch_all(server.url(), "SET ROLE NONE")
+    _, rows = fetch_all(server.url(), "SELECT count(*) AS c FROM region")
+    assert rows == [[5]]

@@ -1,17 +1,27 @@
 """Access control + catalog comments: CREATE/DROP/SET ROLE, GRANT/REVOKE,
-SHOW ROLES/GRANTS, COMMENT ON TABLE/COLUMN.
+SHOW ROLES/GRANTS, COMMENT ON TABLE/COLUMN, row filters + column masks.
 
 Reference: the role/grant statement family (grammar SqlBase.g4 GRANT/
 REVOKE/CREATE ROLE/SET ROLE; engine side io.trino.metadata.MetadataManager
-+ security AccessControl SPI) and CommentTask.java for COMMENT ON.
++ security AccessControl SPI) and CommentTask.java for COMMENT ON. Row
+filters and column masks mirror the other half of the SPI —
+ConnectorAccessControl.getRowFilters / getColumnMasks (ViewExpression):
+per-(role, table) predicates and per-(role, table, column) masking
+expressions applied to every read. Trino configures these through access
+control plugins (e.g. file-based rules), not DDL, so the engine exposes
+them as CALL procedures (add_row_filter / add_column_mask / drop_*).
 
 Single-session semantics, honestly scoped: roles and grants live on the
 engine instance (no external identity provider); with no role set the
 session is the table owner (everything allowed — Trino's legacy/allow-all
 access control default); after SET ROLE r, SELECT requires a SELECT grant
 on every referenced table and DML requires the matching privilege on its
-target. Enforcement is at dispatch (the reference checks in analysis —
-same observable behavior: AccessDeniedException before execution).
+target: INSERT/DELETE/UPDATE their own privilege, MERGE all three on the
+target (the reference checks checkCanInsert/Delete/Update per clause),
+TRUNCATE requires DELETE, and ALTER/DROP/CREATE TABLE require ownership —
+proxied here as holding ALL four privileges on the name. Enforcement is
+at dispatch (the reference checks in analysis — same observable behavior:
+AccessDeniedException before execution).
 """
 
 from __future__ import annotations
@@ -34,7 +44,12 @@ def _state(engine):
             "current": None,  # None = owner/allow-all
             "table_comments": {},
             "column_comments": {},  # (table, col) -> text
+            "row_filters": {},  # (role, table) -> predicate SQL
+            "column_masks": {},  # (role, table) -> {col: mask expr SQL}
         }
+    # older engine instances may lack the security maps
+    engine._acl.setdefault("row_filters", {})
+    engine._acl.setdefault("column_masks", {})
     return engine._acl
 
 
@@ -149,7 +164,15 @@ _KEYWORD_RELS = {"unnest", "json_table", "lateral", "values", "table"}
 
 def enforce(engine, sql: str) -> None:
     """Raise AccessDenied when the active role lacks a needed privilege.
-    Owner sessions (no SET ROLE) bypass — the allow-all default."""
+    Owner sessions (no SET ROLE) bypass — the allow-all default.
+
+    Privilege derivation per statement (reference: the checkCan* methods
+    of io.trino.spi.connector.ConnectorAccessControl):
+    INSERT/DELETE/UPDATE → their own privilege on the target; MERGE →
+    UPDATE+INSERT+DELETE on the target and SELECT on a named USING table;
+    TRUNCATE → DELETE; ALTER/DROP/CREATE TABLE [AS] → ownership, proxied
+    as ALL four privileges on the name; every referenced relation →
+    SELECT."""
     st = _state(engine)
     role = st["current"]
     if role is None:
@@ -157,13 +180,42 @@ def enforce(engine, sql: str) -> None:
     grants = st["roles"].get(role, set())
     s = sql.strip()
     up = s.upper().split()
+    toks = s.split()
     needed: list[tuple[str, str]] = []
+    skip_select: set[str] = set()
+
+    def _name(raw: str) -> str:
+        return raw.strip('"').split(".")[-1].lower().strip("()")
+
     if up[:2] == ["INSERT", "INTO"]:
-        needed.append(("INSERT", s.split()[2]))
+        needed.append(("INSERT", toks[2]))
     elif up[:2] == ["DELETE", "FROM"]:
-        needed.append(("DELETE", s.split()[2]))
+        needed.append(("DELETE", toks[2]))
+        skip_select.add(_name(toks[2]))
     elif up[:1] == ["UPDATE"]:
-        needed.append(("UPDATE", s.split()[1]))
+        needed.append(("UPDATE", toks[1]))
+    elif up[:2] == ["MERGE", "INTO"]:
+        tgt = toks[2]
+        needed += [("UPDATE", tgt), ("INSERT", tgt), ("DELETE", tgt)]
+        skip_select.add(_name(tgt))
+        um = re.search(r"\bUSING\s+([A-Za-z_][\w.]*)", s, re.IGNORECASE)
+        if um:
+            needed.append(("SELECT", um.group(1)))
+    elif up[:2] == ["TRUNCATE", "TABLE"]:
+        needed.append(("DELETE", toks[2]))
+    elif up[:2] in (["ALTER", "TABLE"], ["DROP", "TABLE"]) or (
+        up[:2] == ["CREATE", "TABLE"]
+    ):
+        idx = 2
+        if up[2:5] == ["IF", "NOT", "EXISTS"] or up[2:4] == ["IF", "EXISTS"]:
+            idx = 5 if up[3] == "NOT" else 4
+        tgt = toks[idx] if len(toks) > idx else ""
+        # Ownership proxy: the role must hold every privilege on the name.
+        # A CTAS target does not exist yet, so the not-a-relation skip
+        # below must not exempt it.
+        for p in _PRIVS:
+            needed.append((p, f"!{tgt}" if up[:2] == ["CREATE", "TABLE"] else tgt))
+        skip_select.add(_name(tgt))
     for m in _REL_RX.finditer(s):
         name = m.group(1).split(".")[-1].lower()
         if name in _KEYWORD_RELS or name.startswith("__"):
@@ -172,15 +224,103 @@ def enforce(engine, sql: str) -> None:
             # information_schema / system tables stay readable under any
             # role (the reference's access control does the same).
             continue
-        if up[:2] == ["DELETE", "FROM"] and name == needed[0][1].split(".")[-1].lower():
+        if name in skip_select:
             continue
         needed.append(("SELECT", name))
     for priv, tbl in needed:
-        tbl = tbl.strip('"').split(".")[-1].lower()
-        if not engine.spark.catalog.tableExists(tbl) and tbl not in getattr(engine, "dml_tables", {}):
+        must_check = tbl.startswith("!")
+        tbl = _name(tbl.lstrip("!"))
+        if not tbl:
+            continue
+        if (
+            not must_check
+            and not engine.spark.catalog.tableExists(tbl)
+            and tbl not in getattr(engine, "dml_tables", {})
+        ):
             continue  # not a relation (alias, subquery result, etc.)
         if (priv, tbl) not in grants:
             raise AccessDenied(f"Access Denied: role '{role}' lacks {priv} on {tbl}")
+
+
+# ------------------------------------------------- row filters / column masks
+
+
+def add_row_filter(engine, role: str, table: str, predicate_sql: str) -> None:
+    """Attach a row-filter predicate for (role, table) —
+    ConnectorAccessControl.getRowFilters ViewExpression analog."""
+    st = _state(engine)
+    if st["current"] is not None:
+        raise AccessDenied("Access Denied: only the owner session defines security rules")
+    if role.lower() not in st["roles"]:
+        raise ValueError(f"role not found: {role}")
+    st["row_filters"][(role.lower(), table.lower())] = predicate_sql
+
+
+def add_column_mask(engine, role: str, table: str, column: str, mask_sql: str) -> None:
+    """Attach a masking expression for (role, table, column) —
+    ConnectorAccessControl.getColumnMasks analog. The expression may
+    reference the column itself (e.g. partial redaction)."""
+    st = _state(engine)
+    if st["current"] is not None:
+        raise AccessDenied("Access Denied: only the owner session defines security rules")
+    if role.lower() not in st["roles"]:
+        raise ValueError(f"role not found: {role}")
+    st["column_masks"].setdefault((role.lower(), table.lower()), {})[column.lower()] = mask_sql
+
+
+def apply_security(engine, sql: str) -> str:
+    """Rewrite table references to secured views when the active role has
+    a row filter or column mask on them: reads see filtered/masked data,
+    exactly like the reference applies ViewExpressions during analysis.
+    Applies to every statement whose reads go through this dispatch —
+    including the SELECT side of INSERT ... SELECT (the reference also
+    filters the read half, not the written rows)."""
+    st = _state(engine)
+    role = st["current"]
+    if role is None:
+        return sql
+    secured: dict[str, str] = {}
+    tables = {t for (r, t) in st["row_filters"] if r == role} | {
+        t for (r, t) in st["column_masks"] if r == role
+    }
+    for tbl in tables:
+        if not re.search(rf"\b{re.escape(tbl)}\b", sql, re.IGNORECASE):
+            continue
+        from trino_spark.dialect.rewrites import translate
+
+        df = engine.spark.table(tbl)
+        masks = st["column_masks"].get((role, tbl), {})
+        if masks:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.expr(translate(masks[c.lower()])).alias(c) if c.lower() in masks else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        pred = st["row_filters"].get((role, tbl))
+        if pred:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.expr(translate(pred)))
+        view = f"__sec_{role}_{tbl}"
+        df.createOrReplaceTempView(view)
+        secured[tbl] = view
+    if not secured:
+        return sql
+    # word-boundary substitution outside string literals; qualified
+    # references (schema.tbl) collapse to the secured view too
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    out = []
+    for p in parts:
+        if p.startswith("'"):
+            out.append(p)
+            continue
+        for tbl, view in secured.items():
+            p = re.sub(rf"\b(?:[A-Za-z_][\w$]*\.)*{re.escape(tbl)}\b", view, p, flags=re.IGNORECASE)
+        out.append(p)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------- CALL
@@ -201,8 +341,8 @@ def try_execute_call(engine, sql: str) -> "DataFrame | None":
     spark = engine.spark
 
     def _lit(a: str):
-        if a.startswith("'"):
-            return a.strip("'")
+        if a.startswith("'") and a.endswith("'"):
+            return a[1:-1].replace("''", "'")
         if "." in a:
             return float(a)
         return int(a)
@@ -225,6 +365,29 @@ def try_execute_call(engine, sql: str) -> "DataFrame | None":
         n = len(getattr(engine, "_query_log", []) or [])
         engine._query_log = []
         return spark.createDataFrame([(n,)], "flushed: bigint")
+    if name == "add_row_filter":
+        add_row_filter(engine, str(_lit(args[0])), str(_lit(args[1])), str(_lit(args[2])))
+        return spark.createDataFrame(
+            [(str(_lit(args[0])), str(_lit(args[1])))], "role: string, table_name: string"
+        )
+    if name == "add_column_mask":
+        add_column_mask(
+            engine, str(_lit(args[0])), str(_lit(args[1])), str(_lit(args[2])), str(_lit(args[3]))
+        )
+        return spark.createDataFrame(
+            [(str(_lit(args[0])), str(_lit(args[1])), str(_lit(args[2])))],
+            "role: string, table_name: string, column_name: string",
+        )
+    if name == "drop_row_filter":
+        st = _state(engine)
+        st["row_filters"].pop((str(_lit(args[0])).lower(), str(_lit(args[1])).lower()), None)
+        return spark.createDataFrame([(str(_lit(args[1])),)], "table_name: string")
+    if name == "drop_column_mask":
+        st = _state(engine)
+        masks = st["column_masks"].get((str(_lit(args[0])).lower(), str(_lit(args[1])).lower()))
+        if masks:
+            masks.pop(str(_lit(args[2])).lower(), None)
+        return spark.createDataFrame([(str(_lit(args[1])),)], "table_name: string")
     raise ValueError(f"procedure not found: {name}")
 
 

@@ -216,6 +216,12 @@ class TrinoEngine:
         if acl_out is not None:
             return acl_out
         _access.enforce(self, stripped)
+        if up[:1] in (["SELECT"], ["WITH"], ["VALUES"], ["TABLE"]):
+            # Row filters / column masks (ConnectorAccessControl
+            # getRowFilters/getColumnMasks): reads under an active role see
+            # secured views. DML reads recurse through this dispatch, so
+            # their SELECT halves are covered too.
+            trino_sql = stripped = _access.apply_security(self, stripped)
         if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"], ["ALTER"]) or (
             up[:2]
             in (
