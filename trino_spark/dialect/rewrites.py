@@ -1195,6 +1195,28 @@ def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def _rewrite_qident(toks):
+    """Trino double-quoted identifiers -> Spark form (SqlBase.g4
+    quotedIdentifier; the vendored TPC-DS corpus quotes every identifier,
+    including function names like "sum"(...)). Simple identifiers drop the
+    quotes and become WORD tokens — so later passes (function renames,
+    keyword logic) see them; anything else becomes a backtick identifier."""
+    out = []
+    for t in toks:
+        if t.kind == "QIDENT":
+            inner = t.text[1:-1]
+            if _SIMPLE_IDENT.match(inner):
+                out.append(Tok("WORD", inner))
+            else:
+                out.append(Tok("QIDENT", f"`{inner}`"))
+        else:
+            out.append(t)
+    return out
+
+
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
     # Standalone VALUES statement (grammar SqlBase.g4 query -> VALUES):
@@ -1202,6 +1224,7 @@ def translate(sql: str) -> str:
     if re.match(r"\s*VALUES\b", sql, re.IGNORECASE):
         sql = "SELECT * FROM " + sql.strip()
     toks = tokenize(sql)
+    toks = _rewrite_qident(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
     toks = _rewrite_row(toks)

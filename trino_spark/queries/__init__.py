@@ -100,11 +100,22 @@ def all_specs() -> dict[str, QuerySpec]:
         # --- round-3-new queries (no prior CORRECTNESS row possible) ---
         "text_ngram_jaccard_pairs",  # de-vacuated this round; re-verify
         "dml_partitioned_lifecycle",  # partition-scoped DML + time travel
+        "tpcds_q03",
+        "tpcds_q42",
+        "tpcds_q52",
+        "tpcds_q55",
+        "tpcds_q98",
+        "tpcds_q06",
+        "tpcds_q36",
+        "tpcds_q51",
+        "tpcds_q08",
+        "tpcds_q01",
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget
     # prefix covers the maximum number of operator families.
     fresh_mods = (
+        "tpcds",
         "federation_q",
         "llmops",
         "dialect_q",

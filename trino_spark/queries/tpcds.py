@@ -1,0 +1,800 @@
+"""TPC-DS corpus through the dialect engine.
+
+The reference vendors 103 TPC-DS benchmark queries
+(testing/trino-benchmark-queries/src/main/resources/sql/trino/tpcds/
+q01.sql ...) and benchmarks them via Benchto
+(testing/trino-benchto-benchmarks/.../tpcds.yaml). This module runs a
+grammar-heavy 10-query subset VERBATIM as Trino SQL text through
+``TrinoEngine.sql`` — CTE chains (q1), INTERSECT (q8), GROUP BY ROLLUP +
+GROUPING() + rank() (q36), windowed aggregates over FULL OUTER JOIN
+(q51), correlated scalar subqueries (q1, q6), quoted identifiers and
+DECIMAL literals throughout — against the deterministic generator tables
+of sources/tpcdsgen.py, with DuckDB running the SAME text over the SAME
+materialized parquet as the oracle.
+
+Documented adaptations from the vendored text (each applied identically
+to both engines, so the comparison stays meaningful):
+- ``${database}.${schema}.`` catalog prefixes dropped; table names
+  qualified to the ``tpcds_`` view prefix (tpcdsgen.qualify) so the
+  TPC-DS ``customer`` table cannot collide with the driver testdata view
+  of the same name.
+- Surfaced DECIMAL aggregates wrapped in CAST(... AS DOUBLE) and ratio
+  expressions in round(..., 6): decimal sums are exact in both engines,
+  but Spark returns Decimal objects where DuckDB's pandas bridge returns
+  float64, and decimal-division scale rules differ — the cast pins one
+  representation.
+- Unaliased aggregate outputs given explicit aliases (the driver's
+  comparator matches columns by name).
+- q51: output d_date cast to TIMESTAMP (pandas dtype parity) and its
+  web_sales/store_sales COLUMN aliases renamed web_rev/store_rev (they
+  would otherwise be rewritten by the table-name qualifier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_spark.queries.base import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def _engine(spark: SparkSession, sf: str):
+    """One TrinoEngine + tpcds registration per (session, sf_dir)."""
+    from trino_spark.dialect import TrinoEngine
+    from trino_spark.sources import tpcdsgen
+
+    key = f"_tpcds_engine_{sf}"
+    eng = getattr(spark, key, None)
+    if eng is None:
+        eng = TrinoEngine(spark, sf_dir=sf)
+        setattr(spark, key, eng)
+    tpcdsgen.register_tpcds(spark)
+    return eng
+
+
+def _oracle(text: str) -> str:
+    from trino_spark.sources import tpcdsgen
+
+    t = tpcdsgen.qualify(text).strip()
+    prelude = tpcdsgen.oracle_prelude()
+    if t.upper().startswith("WITH"):
+        return "WITH " + prelude + ", " + t[4:].lstrip()
+    return "WITH " + prelude + " " + t
+
+
+def _add(name: str, text: str, doc: str) -> None:
+    def run(spark: SparkSession, sf: str, _text=text) -> DataFrame:
+        from trino_spark.sources import tpcdsgen
+
+        return _engine(spark, sf).sql(tpcdsgen.qualify(_text))
+
+    run.__name__ = f"tpcds_{name}"
+    run.__doc__ = doc
+    REG.add(f"tpcds_{name}", _oracle(text))(run)
+
+
+
+_TEXT_Q01 = r"""
+WITH
+  customer_total_return AS (
+   SELECT
+     "sr_customer_sk" "ctr_customer_sk"
+   , "sr_store_sk" "ctr_store_sk"
+   , "sum"("sr_return_amt") "ctr_total_return"
+   FROM
+     store_returns
+   , date_dim
+   WHERE ("sr_returned_date_sk" = "d_date_sk")
+      AND ("d_year" = 2000)
+   GROUP BY "sr_customer_sk", "sr_store_sk"
+) 
+SELECT "c_customer_id"
+FROM
+  customer_total_return ctr1
+, store
+, customer
+WHERE ("ctr1"."ctr_total_return" > (
+      SELECT ("avg"("ctr_total_return") * DECIMAL '1.2')
+      FROM
+        customer_total_return ctr2
+      WHERE ("ctr1"."ctr_store_sk" = "ctr2"."ctr_store_sk")
+   ))
+   AND ("s_store_sk" = "ctr1"."ctr_store_sk")
+   AND ("s_state" = 'TN')
+   AND ("ctr1"."ctr_customer_sk" = "c_customer_sk")
+ORDER BY "c_customer_id" ASC
+LIMIT 100
+"""
+
+_add("q01", _TEXT_Q01, "TPC-DS q01: CTE + correlated scalar subquery over store_returns (customers above 1.2x their store's average return) (vendored: testing/trino-benchmark-queries/.../tpcds/q01.sql).")
+
+
+_TEXT_Q03 = r"""
+SELECT
+  "dt"."d_year"
+, "item"."i_brand_id" "brand_id"
+, "item"."i_brand" "brand"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "sum_agg"
+FROM
+  date_dim dt
+, store_sales
+, item
+WHERE ("dt"."d_date_sk" = "store_sales"."ss_sold_date_sk")
+   AND ("store_sales"."ss_item_sk" = "item"."i_item_sk")
+   AND ("item"."i_manufact_id" = 128)
+   AND ("dt"."d_moy" = 11)
+GROUP BY "dt"."d_year", "item"."i_brand", "item"."i_brand_id"
+ORDER BY "dt"."d_year" ASC, "sum_agg" DESC, "brand_id" ASC
+LIMIT 100
+"""
+
+_add("q03", _TEXT_Q03, "TPC-DS q03: brand revenue by year for one manufacturer, November sales (vendored: testing/trino-benchmark-queries/.../tpcds/q03.sql).")
+
+
+_TEXT_Q06 = r"""
+SELECT
+  "a"."ca_state" "STATE"
+, "count"(*) "cnt"
+FROM
+  customer_address a
+, customer c
+, store_sales s
+, date_dim d
+, item i
+WHERE ("a"."ca_address_sk" = "c"."c_current_addr_sk")
+   AND ("c"."c_customer_sk" = "s"."ss_customer_sk")
+   AND ("s"."ss_sold_date_sk" = "d"."d_date_sk")
+   AND ("s"."ss_item_sk" = "i"."i_item_sk")
+   AND ("d"."d_month_seq" = (
+      SELECT DISTINCT "d_month_seq"
+      FROM
+        date_dim
+      WHERE ("d_year" = 2001)
+         AND ("d_moy" = 1)
+   ))
+   AND ("i"."i_current_price" > (DECIMAL '1.2' * (
+         SELECT "avg"("j"."i_current_price")
+         FROM
+           item j
+         WHERE ("j"."i_category" = "i"."i_category")
+      )))
+GROUP BY "a"."ca_state"
+HAVING ("count"(*) >= 10)
+ORDER BY "cnt" ASC, "a"."ca_state" ASC
+LIMIT 100
+"""
+
+_add("q06", _TEXT_Q06, "TPC-DS q06: state rollup of customers buying items priced 20% above their category average (two nested scalar subqueries) (vendored: testing/trino-benchmark-queries/.../tpcds/q06.sql).")
+
+
+_TEXT_Q08 = r"""
+SELECT
+  "s_store_name"
+, CAST("sum"("ss_net_profit") AS DOUBLE) "net_profit"
+FROM
+  store_sales
+, date_dim
+, store
+, (
+   SELECT "ca_zip"
+   FROM
+     (
+(
+         SELECT "substr"("ca_zip", 1, 5) "ca_zip"
+         FROM
+           customer_address
+         WHERE ("substr"("ca_zip", 1, 5) IN (
+                '24128'
+              , '57834'
+              , '13354'
+              , '15734'
+              , '78668'
+              , '76232'
+              , '62878'
+              , '45375'
+              , '63435'
+              , '22245'
+              , '65084'
+              , '49130'
+              , '40558'
+              , '25733'
+              , '15798'
+              , '87816'
+              , '81096'
+              , '56458'
+              , '35474'
+              , '27156'
+              , '83926'
+              , '18840'
+              , '28286'
+              , '24676'
+              , '37930'
+              , '77556'
+              , '27700'
+              , '45266'
+              , '94627'
+              , '62971'
+              , '20548'
+              , '23470'
+              , '47305'
+              , '53535'
+              , '21337'
+              , '26231'
+              , '50412'
+              , '69399'
+              , '17879'
+              , '51622'
+              , '43848'
+              , '21195'
+              , '83921'
+              , '15559'
+              , '67853'
+              , '15126'
+              , '16021'
+              , '26233'
+              , '53268'
+              , '10567'
+              , '91137'
+              , '76107'
+              , '11101'
+              , '59166'
+              , '38415'
+              , '61265'
+              , '71954'
+              , '15371'
+              , '11928'
+              , '15455'
+              , '98294'
+              , '68309'
+              , '69913'
+              , '59402'
+              , '58263'
+              , '25782'
+              , '18119'
+              , '35942'
+              , '33282'
+              , '42029'
+              , '17920'
+              , '98359'
+              , '15882'
+              , '45721'
+              , '60279'
+              , '18426'
+              , '64544'
+              , '25631'
+              , '43933'
+              , '37125'
+              , '98235'
+              , '10336'
+              , '24610'
+              , '68101'
+              , '56240'
+              , '40081'
+              , '86379'
+              , '44165'
+              , '33515'
+              , '88190'
+              , '84093'
+              , '27068'
+              , '99076'
+              , '36634'
+              , '50308'
+              , '28577'
+              , '39736'
+              , '33786'
+              , '71286'
+              , '26859'
+              , '55565'
+              , '98569'
+              , '70738'
+              , '19736'
+              , '64457'
+              , '17183'
+              , '28915'
+              , '26653'
+              , '58058'
+              , '89091'
+              , '54601'
+              , '24206'
+              , '14328'
+              , '55253'
+              , '82136'
+              , '67897'
+              , '56529'
+              , '72305'
+              , '67473'
+              , '62377'
+              , '22752'
+              , '57647'
+              , '62496'
+              , '41918'
+              , '36233'
+              , '86284'
+              , '54917'
+              , '22152'
+              , '19515'
+              , '63837'
+              , '18376'
+              , '42961'
+              , '10144'
+              , '36495'
+              , '58078'
+              , '38607'
+              , '91110'
+              , '64147'
+              , '19430'
+              , '17043'
+              , '45200'
+              , '63981'
+              , '48425'
+              , '22351'
+              , '30010'
+              , '21756'
+              , '14922'
+              , '14663'
+              , '77191'
+              , '60099'
+              , '29741'
+              , '36420'
+              , '21076'
+              , '91393'
+              , '28810'
+              , '96765'
+              , '23006'
+              , '18799'
+              , '49156'
+              , '98025'
+              , '23932'
+              , '67467'
+              , '30450'
+              , '50298'
+              , '29178'
+              , '89360'
+              , '32754'
+              , '63089'
+              , '87501'
+              , '87343'
+              , '29839'
+              , '30903'
+              , '81019'
+              , '18652'
+              , '73273'
+              , '25989'
+              , '20260'
+              , '68893'
+              , '53179'
+              , '30469'
+              , '28898'
+              , '31671'
+              , '24996'
+              , '18767'
+              , '64034'
+              , '91068'
+              , '51798'
+              , '51200'
+              , '63193'
+              , '39516'
+              , '72550'
+              , '72325'
+              , '51211'
+              , '23968'
+              , '86057'
+              , '10390'
+              , '85816'
+              , '45692'
+              , '65164'
+              , '21309'
+              , '18845'
+              , '68621'
+              , '92712'
+              , '68880'
+              , '90257'
+              , '47770'
+              , '13955'
+              , '70466'
+              , '21286'
+              , '67875'
+              , '82636'
+              , '36446'
+              , '79994'
+              , '72823'
+              , '40162'
+              , '41367'
+              , '41766'
+              , '22437'
+              , '58470'
+              , '11356'
+              , '76638'
+              , '68806'
+              , '25280'
+              , '67301'
+              , '73650'
+              , '86198'
+              , '16725'
+              , '38935'
+              , '13394'
+              , '61810'
+              , '81312'
+              , '15146'
+              , '71791'
+              , '31016'
+              , '72013'
+              , '37126'
+              , '22744'
+              , '73134'
+              , '70372'
+              , '30431'
+              , '39192'
+              , '35850'
+              , '56571'
+              , '67030'
+              , '22461'
+              , '88424'
+              , '88086'
+              , '14060'
+              , '40604'
+              , '19512'
+              , '72175'
+              , '51649'
+              , '19505'
+              , '24317'
+              , '13375'
+              , '81426'
+              , '18270'
+              , '72425'
+              , '45748'
+              , '55307'
+              , '53672'
+              , '52867'
+              , '56575'
+              , '39127'
+              , '30625'
+              , '10445'
+              , '39972'
+              , '74351'
+              , '26065'
+              , '83849'
+              , '42666'
+              , '96976'
+              , '68786'
+              , '77721'
+              , '68908'
+              , '66864'
+              , '63792'
+              , '51650'
+              , '31029'
+              , '26689'
+              , '66708'
+              , '11376'
+              , '20004'
+              , '31880'
+              , '96451'
+              , '41248'
+              , '94898'
+              , '18383'
+              , '60576'
+              , '38193'
+              , '48583'
+              , '13595'
+              , '76614'
+              , '24671'
+              , '46820'
+              , '82276'
+              , '10516'
+              , '11634'
+              , '45549'
+              , '88885'
+              , '18842'
+              , '90225'
+              , '18906'
+              , '13376'
+              , '84935'
+              , '78890'
+              , '58943'
+              , '15765'
+              , '50016'
+              , '69035'
+              , '49448'
+              , '39371'
+              , '41368'
+              , '33123'
+              , '83144'
+              , '14089'
+              , '94945'
+              , '73241'
+              , '19769'
+              , '47537'
+              , '38122'
+              , '28587'
+              , '76698'
+              , '22927'
+              , '56616'
+              , '34425'
+              , '96576'
+              , '78567'
+              , '97789'
+              , '94983'
+              , '79077'
+              , '57855'
+              , '97189'
+              , '46081'
+              , '48033'
+              , '19849'
+              , '28488'
+              , '28545'
+              , '72151'
+              , '69952'
+              , '43285'
+              , '26105'
+              , '76231'
+              , '15723'
+              , '25486'
+              , '39861'
+              , '83933'
+              , '75691'
+              , '46136'
+              , '61547'
+              , '66162'
+              , '25858'
+              , '22246'
+              , '51949'
+              , '27385'
+              , '77610'
+              , '34322'
+              , '51061'
+              , '68100'
+              , '61860'
+              , '13695'
+              , '44438'
+              , '90578'
+              , '96888'
+              , '58048'
+              , '99543'
+              , '73171'
+              , '56691'
+              , '64528'
+              , '56910'
+              , '83444'
+              , '30122'
+              , '68014'
+              , '14171'
+              , '16807'
+              , '83041'
+              , '34102'
+              , '51103'
+              , '79777'
+              , '17871'
+              , '12305'
+              , '22685'
+              , '94167'
+              , '28709'
+              , '35258'
+              , '57665'
+              , '71256'
+              , '57047'
+              , '11489'
+              , '31387'
+              , '68341'
+              , '78451'
+              , '14867'
+              , '25103'
+              , '35458'
+              , '25003'
+              , '54364'
+              , '73520'
+              , '32213'
+              , '35576'))
+      )       INTERSECT (
+         SELECT "ca_zip"
+         FROM
+           (
+            SELECT
+              "substr"("ca_zip", 1, 5) "ca_zip"
+            , "count"(*) "cnt"
+            FROM
+              customer_address
+            , customer
+            WHERE ("ca_address_sk" = "c_current_addr_sk")
+               AND ("c_preferred_cust_flag" = 'Y')
+            GROUP BY "ca_zip"
+            HAVING ("count"(*) > 10)
+         )  a1
+      )    )  a2
+)  v1
+WHERE ("ss_store_sk" = "s_store_sk")
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND ("d_qoy" = 2)
+   AND ("d_year" = 1998)
+   AND ("substr"("s_zip", 1, 2) = "substr"("v1"."ca_zip", 1, 2))
+GROUP BY "s_store_name"
+ORDER BY "s_store_name" ASC
+LIMIT 100
+"""
+
+_add("q08", _TEXT_Q08, "TPC-DS q08: store net profit restricted to zip prefixes from a 400-literal IN list INTERSECT preferred-customer zips (vendored: testing/trino-benchmark-queries/.../tpcds/q08.sql).")
+
+
+_TEXT_Q36 = r"""
+SELECT
+  round((CAST("sum"("ss_net_profit") AS DOUBLE) / CAST("sum"("ss_ext_sales_price") AS DOUBLE)), 6) "gross_margin"
+, "i_category"
+, "i_class"
+, (GROUPING ("i_category") + GROUPING ("i_class")) "lochierarchy"
+, "rank"() OVER (PARTITION BY (GROUPING ("i_category") + GROUPING ("i_class")), (CASE WHEN (GROUPING ("i_class") = 0) THEN "i_category" END) ORDER BY round((CAST("sum"("ss_net_profit") AS DOUBLE) / CAST("sum"("ss_ext_sales_price") AS DOUBLE)), 6) ASC) "rank_within_parent"
+FROM
+  store_sales
+, date_dim d1
+, item
+, store
+WHERE ("d1"."d_year" = 2001)
+   AND ("d1"."d_date_sk" = "ss_sold_date_sk")
+   AND ("i_item_sk" = "ss_item_sk")
+   AND ("s_store_sk" = "ss_store_sk")
+   AND ("s_state" IN (
+     'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'
+   , 'TN'))
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY "lochierarchy" DESC, (CASE WHEN ("lochierarchy" = 0) THEN "i_category" END) ASC, "rank_within_parent" ASC, "i_category", "i_class"
+LIMIT 100
+"""
+
+_add("q36", _TEXT_Q36, "TPC-DS q36: gross margin ROLLUP over (category, class) with GROUPING() and rank() within hierarchy level (vendored: testing/trino-benchmark-queries/.../tpcds/q36.sql).")
+
+
+_TEXT_Q42 = r"""
+SELECT
+  "dt"."d_year"
+, "item"."i_category_id"
+, "item"."i_category"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "sum_sales"
+FROM
+  date_dim dt
+, store_sales
+, item
+WHERE ("dt"."d_date_sk" = "store_sales"."ss_sold_date_sk")
+   AND ("store_sales"."ss_item_sk" = "item"."i_item_sk")
+   AND ("item"."i_manager_id" = 1)
+   AND ("dt"."d_moy" = 11)
+   AND ("dt"."d_year" = 2000)
+GROUP BY "dt"."d_year", "item"."i_category_id", "item"."i_category"
+ORDER BY "sum"("ss_ext_sales_price") DESC, "dt"."d_year" ASC, "item"."i_category_id" ASC, "item"."i_category" ASC
+LIMIT 100
+"""
+
+_add("q42", _TEXT_Q42, "TPC-DS q42: category revenue for one manager's items, November 2000 (vendored: testing/trino-benchmark-queries/.../tpcds/q42.sql).")
+
+
+_TEXT_Q51 = r"""
+WITH
+  web_v1 AS (
+   SELECT
+     "ws_item_sk" "item_sk"
+   , "d_date"
+   , CAST("sum"("sum"("ws_sales_price")) OVER (PARTITION BY "ws_item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "cume_sales"
+   FROM
+     web_sales
+   , date_dim
+   WHERE ("ws_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+      AND ("ws_item_sk" IS NOT NULL)
+   GROUP BY "ws_item_sk", "d_date"
+) 
+, store_v1 AS (
+   SELECT
+     "ss_item_sk" "item_sk"
+   , "d_date"
+   , CAST("sum"("sum"("ss_sales_price")) OVER (PARTITION BY "ss_item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "cume_sales"
+   FROM
+     store_sales
+   , date_dim
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+      AND ("ss_item_sk" IS NOT NULL)
+   GROUP BY "ss_item_sk", "d_date"
+) 
+SELECT *
+FROM
+  (
+   SELECT
+     "item_sk"
+   , "d_date"
+   , "web_rev"
+   , "store_rev"
+   , "max"("web_rev") OVER (PARTITION BY "item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "web_cumulative"
+   , "max"("store_rev") OVER (PARTITION BY "item_sk" ORDER BY "d_date" ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "store_cumulative"
+   FROM
+     (
+      SELECT
+        (CASE WHEN ("web"."item_sk" IS NOT NULL) THEN "web"."item_sk" ELSE "store"."item_sk" END) "item_sk"
+      , CAST((CASE WHEN ("web"."d_date" IS NOT NULL) THEN "web"."d_date" ELSE "store"."d_date" END) AS TIMESTAMP) "d_date"
+      , "web"."cume_sales" "web_rev"
+      , "store"."cume_sales" "store_rev"
+      FROM
+        (web_v1 web
+      FULL JOIN store_v1 store ON ("web"."item_sk" = "store"."item_sk")
+         AND ("web"."d_date" = "store"."d_date"))
+   )  x
+)  y
+WHERE ("web_cumulative" > "store_cumulative")
+ORDER BY "item_sk" ASC, "d_date" ASC
+LIMIT 100
+"""
+
+_add("q51", _TEXT_Q51, "TPC-DS q51: cumulative web vs store revenue per item/day: windowed sums over a FULL OUTER JOIN (vendored: testing/trino-benchmark-queries/.../tpcds/q51.sql).")
+
+
+_TEXT_Q52 = r"""
+SELECT
+  "dt"."d_year"
+, "item"."i_brand_id" "brand_id"
+, "item"."i_brand" "brand"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "ext_price"
+FROM
+  date_dim dt
+, store_sales
+, item
+WHERE ("dt"."d_date_sk" = "store_sales"."ss_sold_date_sk")
+   AND ("store_sales"."ss_item_sk" = "item"."i_item_sk")
+   AND ("item"."i_manager_id" = 1)
+   AND ("dt"."d_moy" = 11)
+   AND ("dt"."d_year" = 2000)
+GROUP BY "dt"."d_year", "item"."i_brand", "item"."i_brand_id"
+ORDER BY "dt"."d_year" ASC, "ext_price" DESC, "brand_id" ASC
+LIMIT 100
+"""
+
+_add("q52", _TEXT_Q52, "TPC-DS q52: brand extended price, November 2000 (vendored: testing/trino-benchmark-queries/.../tpcds/q52.sql).")
+
+
+_TEXT_Q55 = r"""
+SELECT
+  "i_brand_id" "brand_id"
+, "i_brand" "brand"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "ext_price"
+FROM
+  date_dim
+, store_sales
+, item
+WHERE ("d_date_sk" = "ss_sold_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("i_manager_id" = 28)
+   AND ("d_moy" = 11)
+   AND ("d_year" = 1999)
+GROUP BY "i_brand", "i_brand_id"
+ORDER BY "ext_price" DESC, "i_brand_id" ASC
+LIMIT 100
+"""
+
+_add("q55", _TEXT_Q55, "TPC-DS q55: brand revenue for one manager, November 1999 (vendored: testing/trino-benchmark-queries/.../tpcds/q55.sql).")
+
+
+_TEXT_Q98 = r"""
+SELECT
+  "i_item_id"
+, "i_item_desc"
+, "i_category"
+, "i_class"
+, CAST("i_current_price" AS DOUBLE) "i_current_price"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "itemrevenue"
+, round(((CAST("sum"("ss_ext_sales_price") AS DOUBLE) * 100) / CAST("sum"("sum"("ss_ext_sales_price")) OVER (PARTITION BY "i_class") AS DOUBLE)), 6) "revenueratio"
+FROM
+  store_sales
+, item
+, date_dim
+WHERE ("ss_item_sk" = "i_item_sk")
+   AND ("i_category" IN ('Sports', 'Books', 'Home'))
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND (CAST("d_date" AS DATE) BETWEEN CAST('1999-02-22' AS DATE) AND (CAST('1999-02-22' AS DATE) + INTERVAL  '30' DAY))
+GROUP BY "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price"
+ORDER BY "i_category" ASC, "i_class" ASC, "i_item_id" ASC, "i_item_desc" ASC, "revenueratio" ASC
+"""
+
+_add("q98", _TEXT_Q98, "TPC-DS q98: item revenue and intra-class revenue ratio (window aggregate over aggregate), 30-day window (vendored: testing/trino-benchmark-queries/.../tpcds/q98.sql).")
+

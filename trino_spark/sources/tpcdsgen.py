@@ -1,0 +1,286 @@
+"""TPC-DS generator source: deterministic synthetic tables for the
+reference's vendored TPC-DS benchmark corpus.
+
+The reference ships TPC-DS twice: as a generator connector
+(plugin/trino-tpcds/.../TpcdsMetadata.java) and as 103 vendored benchmark
+queries (testing/trino-benchmark-queries/src/main/resources/sql/trino/
+tpcds/q01.sql ...). Like sources/tpchgen.py, every table is a
+``spark.range`` with pure deterministic column expressions (xxhash64
+seeded) — embarrassingly parallel, no shuffle, byte-identical per run.
+
+Sizes are FIXED (not sf-scaled): the corpus queries are correctness
+exercises for the dialect engine, and their DuckDB oracles are static SQL
+strings, so the data must be identical regardless of the driver's sf_dir.
+date_dim follows the real TPC-DS calendar contract: 73,049 days from
+1900-01-02, d_date_sk starting at 2,415,022 (the Julian day number dsdgen
+uses), d_month_seq = months since 1900-01 — which is what makes the
+vendored literals (d_month_seq 1200 = Jan 2000, d_year 1998..2002) land
+on generated data.
+
+Money columns are DECIMAL(12,2): decimal aggregation is exact in both
+Spark and DuckDB, so sums hash identically across engines — a raw DOUBLE
+sum would be partial-aggregation-order dependent and can differ in the
+last ulp.
+
+``ensure_materialized`` writes each table once (atomic staging + rename)
+under spark-warehouse/tpcds so the DuckDB oracle can read the very same
+parquet; concurrent runners generate identical bytes, and the first
+rename wins.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# real TPC-DS calendar constants (dsdgen's date_dim contract)
+_CAL_START = _dt.date(1900, 1, 2)
+_SK0 = 2_415_022
+N_DATE = 73_049
+
+N_ITEM = 2_000
+N_STORE = 12
+N_CUSTOMER = 5_000
+N_ADDRESS = 2_500
+N_STORE_SALES = 60_000
+N_STORE_RETURNS = 12_000
+N_WEB_SALES = 30_000
+
+_SALES_START = (_dt.date(1998, 1, 1) - _CAL_START).days
+_SALES_SPAN = (_dt.date(2003, 1, 1) - _dt.date(1998, 1, 1)).days  # 1826
+
+_CATEGORIES = [
+    "Books", "Children", "Electronics", "Home", "Jewelry",
+    "Men", "Music", "Shoes", "Sports", "Women",
+]
+_STATES = ["TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "NC", "FL"]
+# subset of q08's literal zip list — guarantees the INTERSECT overlaps
+_ZIP_POOL = ["24128", "57834", "13354", "15734", "78668"]
+
+TABLES = (
+    "date_dim", "item", "store", "customer", "customer_address",
+    "store_sales", "store_returns", "web_sales",
+)
+
+
+def _u(seed: str, *cols) -> F.Column:
+    h = F.xxhash64(F.lit(seed), *cols)
+    return (F.pmod(h, F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)).cast("double")
+
+
+def _h(seed: str, key, mod: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(mod))
+
+
+def _money(seed: str, key, lo: float, hi: float) -> F.Column:
+    return F.round(F.lit(lo) + _u(seed, key) * F.lit(hi - lo), 2).cast("decimal(12,2)")
+
+
+def _pick(seed: str, key, values: list[str]) -> F.Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (_h(seed, key, len(values)) + 1).cast("int"))
+
+
+def gen_table(spark: SparkSession, name: str, parallelism: int | None = None) -> DataFrame:
+    builders = {
+        "date_dim": _date_dim,
+        "item": _item,
+        "store": _store,
+        "customer": _customer,
+        "customer_address": _customer_address,
+        "store_sales": _store_sales,
+        "store_returns": _store_returns,
+        "web_sales": _web_sales,
+    }
+    if name not in builders:
+        raise ValueError(f"tpcdsgen: unknown table {name}")
+    return builders[name](spark, parallelism)
+
+
+def _range(spark, n, par):
+    return spark.range(0, n, 1, par) if par else spark.range(n)
+
+
+def _date_dim(spark, par):
+    i = F.col("id")
+    d = F.date_add(F.lit(str(_CAL_START)).cast("date"), i.cast("int"))
+    return _range(spark, N_DATE, par).select(
+        (i + _SK0).cast("int").alias("d_date_sk"),
+        d.alias("d_date"),
+        F.year(d).cast("int").alias("d_year"),
+        F.month(d).cast("int").alias("d_moy"),
+        F.dayofmonth(d).cast("int").alias("d_dom"),
+        F.quarter(d).cast("int").alias("d_qoy"),
+        ((F.year(d) - 1900) * 12 + F.month(d) - 1).cast("int").alias("d_month_seq"),
+    )
+
+
+def _item(spark, par):
+    i = F.col("id")
+    cat_id = (_h("i_cat", i, len(_CATEGORIES)) + 1).cast("int")
+    cat = F.element_at(F.array(*[F.lit(c) for c in _CATEGORIES]), cat_id)
+    brand_id = (_h("i_brand", i, 500) + 1).cast("int")
+    class_n = (_h("i_class", i, 5) + 1).cast("int")
+    return _range(spark, N_ITEM, par).select(
+        (i + 1).cast("int").alias("i_item_sk"),
+        F.concat(F.lit("ITEM"), F.lpad((i + 1).cast("string"), 8, "0")).alias("i_item_id"),
+        F.concat(F.lit("desc of item "), (i + 1)).alias("i_item_desc"),
+        brand_id.alias("i_brand_id"),
+        F.concat(F.lit("Brand#"), brand_id).alias("i_brand"),
+        class_n.alias("i_class_id"),
+        F.concat(F.lit("class_"), cat_id, F.lit("_"), class_n).alias("i_class"),
+        cat_id.alias("i_category_id"),
+        cat.alias("i_category"),
+        (_h("i_manu", i, 200) + 1).cast("int").alias("i_manufact_id"),
+        (_h("i_mgr", i, 100) + 1).cast("int").alias("i_manager_id"),
+        _money("i_price", i, 0.5, 100.0).alias("i_current_price"),
+    )
+
+
+def _store(spark, par):
+    i = F.col("id")
+    return _range(spark, N_STORE, par).select(
+        (i + 1).cast("int").alias("s_store_sk"),
+        F.concat(F.lit("S"), F.lpad((i + 1).cast("string"), 4, "0")).alias("s_store_id"),
+        F.concat(F.lit("Store_"), (i + 1)).alias("s_store_name"),
+        # 3 of 4 stores are in TN — q1 / q36 filter s_state = 'TN'
+        F.when(F.pmod(i, F.lit(4)) < 3, F.lit("TN")).otherwise(F.lit("CA")).alias("s_state"),
+        _pick("s_zip", i, _ZIP_POOL).alias("s_zip"),
+    )
+
+
+def _customer(spark, par):
+    i = F.col("id")
+    return _range(spark, N_CUSTOMER, par).select(
+        (i + 1).cast("int").alias("c_customer_sk"),
+        F.concat(F.lit("CUST"), F.lpad((i + 1).cast("string"), 10, "0")).alias("c_customer_id"),
+        (_h("c_addr", i, N_ADDRESS) + 1).cast("int").alias("c_current_addr_sk"),
+        F.when(_h("c_pref", i, 2) == 0, F.lit("Y")).otherwise(F.lit("N")).alias(
+            "c_preferred_cust_flag"
+        ),
+    )
+
+
+def _customer_address(spark, par):
+    i = F.col("id")
+    random_zip = F.lpad((10000 + _h("ca_zr", i, 89999)).cast("string"), 5, "0")
+    return _range(spark, N_ADDRESS, par).select(
+        (i + 1).cast("int").alias("ca_address_sk"),
+        _pick("ca_st", i, _STATES).alias("ca_state"),
+        # 30% of addresses share q08's hot zips; the rest are uniform
+        F.when(_h("ca_zh", i, 10) < 3, _pick("ca_zp", i, _ZIP_POOL)).otherwise(random_zip).alias(
+            "ca_zip"
+        ),
+        F.lit("United States").alias("ca_country"),
+    )
+
+
+def _sold_date_sk(seed: str, key) -> F.Column:
+    return (_h(seed, key, _SALES_SPAN) + _SALES_START + _SK0).cast("int")
+
+
+def _store_sales(spark, par):
+    i = F.col("id")
+    return _range(spark, N_STORE_SALES, par).select(
+        _sold_date_sk("ss_day", i).alias("ss_sold_date_sk"),
+        (_h("ss_item", i, N_ITEM) + 1).cast("int").alias("ss_item_sk"),
+        (_h("ss_cust", i, N_CUSTOMER) + 1).cast("int").alias("ss_customer_sk"),
+        (_h("ss_store", i, N_STORE) + 1).cast("int").alias("ss_store_sk"),
+        (i + 1).alias("ss_ticket_number"),
+        _money("ss_price", i, 1.0, 200.0).alias("ss_sales_price"),
+        _money("ss_ext", i, 1.0, 2000.0).alias("ss_ext_sales_price"),
+        _money("ss_np", i, -100.0, 100.0).alias("ss_net_profit"),
+    )
+
+
+def _store_returns(spark, par):
+    i = F.col("id")
+    return _range(spark, N_STORE_RETURNS, par).select(
+        _sold_date_sk("sr_day", i).alias("sr_returned_date_sk"),
+        (_h("sr_item", i, N_ITEM) + 1).cast("int").alias("sr_item_sk"),
+        (_h("sr_cust", i, N_CUSTOMER) + 1).cast("int").alias("sr_customer_sk"),
+        (_h("sr_store", i, N_STORE) + 1).cast("int").alias("sr_store_sk"),
+        _money("sr_amt", i, 1.0, 500.0).alias("sr_return_amt"),
+    )
+
+
+def _web_sales(spark, par):
+    i = F.col("id")
+    return _range(spark, N_WEB_SALES, par).select(
+        _sold_date_sk("ws_day", i).alias("ws_sold_date_sk"),
+        (_h("ws_item", i, N_ITEM) + 1).cast("int").alias("ws_item_sk"),
+        (_h("ws_cust", i, N_CUSTOMER) + 1).cast("int").alias("ws_bill_customer_sk"),
+        _money("ws_price", i, 1.0, 200.0).alias("ws_sales_price"),
+    )
+
+
+def warehouse_dir() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "spark-warehouse", "tpcds")
+
+
+def ensure_materialized(spark: SparkSession, base: str | None = None) -> str:
+    """Write every table to parquet exactly once (atomic staging+rename;
+    deterministic bytes make concurrent generation benign — first rename
+    wins, losers discard). Returns the base dir. The DuckDB oracle reads
+    these same files via read_parquet()."""
+    base = base or warehouse_dir()
+    os.makedirs(base, exist_ok=True)
+    for name in TABLES:
+        target = os.path.join(base, name)
+        if os.path.isdir(target) and any(
+            f.endswith(".parquet") for f in os.listdir(target)
+        ):
+            continue
+        staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
+        gen_table(spark, name).coalesce(4).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, target)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # another runner won
+    return base
+
+
+#: view-name prefix: the driver's testdata `customer` view would otherwise
+#: shadow (or be shadowed by) the TPC-DS customer table in a shared session
+PREFIX = "tpcds_"
+
+
+def register_tpcds(spark: SparkSession, base: str | None = None) -> str:
+    """Materialize (once) + register every table as a `tpcds_<name>` temp
+    view — the `tpcds.sfN.*` schema surface of the reference connector,
+    backed by write-once parquet. Idempotent and cached per session."""
+    if getattr(spark, "_tpcds_registered", None):
+        return spark._tpcds_registered
+    base = ensure_materialized(spark, base)
+    for name in TABLES:
+        spark.read.parquet(os.path.join(base, name)).createOrReplaceTempView(f"{PREFIX}{name}")
+    spark._tpcds_registered = base
+    return base
+
+
+def qualify(sql: str) -> str:
+    """Rewrite bare TPC-DS table names in query text to the registered
+    `tpcds_<name>` views (longest-first, word-boundary — `customer` inside
+    `customer_address` is untouched because `_` is a word character)."""
+    import re
+
+    for name in sorted(TABLES, key=len, reverse=True):
+        sql = re.sub(rf"\b{name}\b", f"{PREFIX}{name}", sql)
+    return sql
+
+
+def oracle_prelude() -> str:
+    """CTE list aliasing every `tpcds_<name>` to read_parquet over the
+    materialized files — prepended to each vendored query so DuckDB sees
+    the exact same data Spark does."""
+    base = warehouse_dir()
+    return ", ".join(
+        f"{PREFIX}{name} AS (SELECT * FROM read_parquet('{os.path.join(base, name)}/*.parquet'))"
+        for name in TABLES
+    )
