@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, decoded/feature-extracted via Arrow-batched Pandas UDFs.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-`decode_images(impl="stub")` produces deterministic fake features derived
-from the bytes, and `impl="pil"` raises NotImplementedError unless PIL is
-importable. Everything around the stub — schema, batching, partitioning,
-mapInPandas signature — is the real shape a production decoder plugs into.
+Decode implementations, by honesty tier:
+- ``impl="ppm"`` (images) — a REAL pure-python/numpy decoder for the
+  netpbm P6 format: parses the header, reads the pixel matrix, computes
+  BT.601 luma over actual pixels. No external codec libs needed.
+- ``impl="wav"`` (audio) — a REAL decoder for RIFF/WAVE PCM via the
+  stdlib ``wave`` module: real sample rate, real 16-bit samples feeding
+  the (always-real) framing DSP.
+- ``impl="stub"`` — deterministic fake features derived from the raw
+  bytes; kept for plumbing tests on non-media payloads.
+- ``impl="pil"`` / ``impl="soundfile"`` — gate for full codec coverage
+  (JPEG/FLAC/...), NotImplementedError unless the lib is importable
+  (not in this container).
 
 Scale notes: binary payloads ride the scan (parquet binary column); decode
 is mapInPandas so bytes never hit the driver and each task processes Arrow
@@ -34,6 +41,96 @@ def attach_fake_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def attach_synthetic_ppm(
+    df: DataFrame, id_col: str = "doc_id", width: int = 32, height: int = 16
+) -> DataFrame:
+    """Manufacture REAL netpbm P6 image bytes per row: a horizontal
+    gradient where every channel of pixel (x, y) is (id + x) % 256. The
+    bytes are valid PPM files any decoder can open, and the mean luma has
+    the closed form avg_x((id + x) % 256) / 255 — so a SQL oracle can
+    verify that the decoder actually parsed the pixel matrix."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        header = f"P6\n{width} {height}\n255\n".encode()
+        xs = np.arange(width, dtype=np.int64)
+        for b in batches:
+            out = []
+            for did in b[id_col]:
+                row = ((int(did) + xs) % 256).astype(np.uint8)
+                pixels = np.repeat(np.tile(row, height), 3)  # RGB equal
+                out.append((did, header + pixels.tobytes()))
+            yield pd.DataFrame(out, columns=[id_col, "content"])
+
+    return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, content binary")
+
+
+def attach_synthetic_wav(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 4000, rate: int = 8000
+) -> DataFrame:
+    """Manufacture REAL RIFF/WAVE bytes per row (stdlib `wave` writer):
+    mono 16-bit PCM, sample i = a sawtooth ((id*31 + i) % 2048 - 1024) *
+    16. Valid .wav files with a real header carrying the sample rate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        i_arr = np.arange(n_samples, dtype=np.int64)
+        for b in batches:
+            out = []
+            for did in b[id_col]:
+                samples = (((int(did) * 31 + i_arr) % 2048 - 1024) * 16).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(samples.tobytes())
+                out.append((did, buf.getvalue()))
+            yield pd.DataFrame(out, columns=[id_col, "content"])
+
+    return df.select(id_col).mapInPandas(run, schema=f"{id_col} long, content binary")
+
+
+def _decode_ppm(data: bytes):
+    """Parse a netpbm P6 (binary) or P5 (grayscale) file: header tokens
+    (magic, width, height, maxval; '#' comments allowed), then the pixel
+    matrix. Returns (format, width, height, mean_luma in [0,1])."""
+    import numpy as np
+
+    if not data.startswith((b"P6", b"P5")):
+        raise ValueError("not a P5/P6 netpbm payload")
+    # header = 4 whitespace-separated tokens, comments start with '#'
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    channels = 3 if data.startswith(b"P6") else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=width * height * channels, offset=i)
+    if channels == 3:
+        rgb = px.reshape(height, width, 3).astype(np.float64)
+        luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    else:
+        luma = px.reshape(height, width).astype(np.float64)
+    return ("ppm" if channels == 3 else "pgm", width, height, float(luma.mean() / maxval))
+
+
 def _stub_decode(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake decoder: features are pure functions of the bytes,
     so results are reproducible and SQL-checkable."""
@@ -54,18 +151,36 @@ def _stub_decode(batch: pd.DataFrame) -> pd.DataFrame:
 def decode_images(df: DataFrame, impl: str = "stub") -> DataFrame:
     """Binary column -> typed feature rows via mapInPandas (Arrow batches).
 
-    impl='stub' -> deterministic fake features; impl='pil' -> real decode if
-    PIL is available, else NotImplementedError (clearly-marked stub gate).
-    """
+    impl='ppm' -> REAL netpbm decode (header parse + BT.601 luma over the
+    pixel matrix, pure numpy); impl='stub' -> deterministic fake features;
+    impl='pil' -> full codec coverage gate (NotImplementedError without
+    PIL)."""
     if impl == "pil":
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - container has no PIL
             raise NotImplementedError(
-                "real image decode requires PIL, which is not in this "
-                "environment; use impl='stub' (deterministic fake features)"
+                "JPEG/PNG decode requires PIL, which is not in this "
+                "environment; use impl='ppm' (real netpbm decode) or "
+                "impl='stub'"
             ) from exc
         raise NotImplementedError("pil decode path not implemented yet")
+
+    if impl == "ppm":
+
+        def run_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for did, data in zip(b["doc_id"], b["content"]):
+                    data = bytes(data)
+                    fmt, w, h, luma = _decode_ppm(data)
+                    out.append((did, len(data), fmt, w, h, round(luma, 9)))
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "n_bytes", "format", "width", "height", "mean_luma"],
+                )
+
+        return df.mapInPandas(run_ppm, schema=IMAGE_FEATURE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -93,15 +208,36 @@ def resize_images(
     """Resize the binary image column to (width, height).
 
     Same plumbing contract as decode_images: Arrow-batched mapInPandas over
-    (doc_id, data); the stub produces a deterministic fake payload of
-    exactly width*height bytes derived from the source bytes (so tests can
-    assert size/determinism), while a real deployment swaps in a PIL/cv2
-    kernel behind impl= without touching the Spark plan. Narrow transform —
-    no shuffle; bytes never leave the partition."""
+    (doc_id, data). impl='ppm' REALLY resizes: decode the netpbm pixel
+    matrix, nearest-neighbor resample to (width, height), re-encode as P6.
+    impl='stub' produces a deterministic fake payload of exactly
+    width*height bytes derived from the source bytes. A PIL/cv2 kernel for
+    other codecs swaps in behind impl= without touching the Spark plan.
+    Narrow transform — no shuffle; bytes never leave the partition."""
+    if impl == "ppm":
+
+        def run_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for b in batches:
+                out = []
+                for doc_id, data in zip(b["doc_id"], b[data_col]):
+                    data = bytes(data)
+                    _fmt, sw, sh, _ = _decode_ppm(data)
+                    hdr_end = len(data) - sw * sh * 3
+                    px = np.frombuffer(data, dtype=np.uint8, offset=hdr_end).reshape(sh, sw, 3)
+                    ys = (np.arange(height) * sh // height).clip(0, sh - 1)
+                    xs = (np.arange(width) * sw // width).clip(0, sw - 1)
+                    resized = px[ys][:, xs]
+                    payload = f"P6\n{width} {height}\n255\n".encode() + resized.tobytes()
+                    out.append((doc_id, width, height, payload))
+                yield pd.DataFrame(out, columns=["doc_id", "width", "height", "data"])
+
+        return df.select("doc_id", data_col).mapInPandas(run_ppm, schema=RESIZE_SCHEMA)
     if impl != "stub":
         raise NotImplementedError(
-            "real resize requires an image library not present in this "
-            "environment; use impl='stub'"
+            "resize for non-netpbm codecs requires an image library not "
+            "present in this environment; use impl='ppm' or impl='stub'"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,21 +271,42 @@ def extract_audio_features(
     """Binary audio -> framed features via mapInPandas (Arrow batches).
 
     The DSP plumbing is REAL — strided frame windowing, per-frame RMS,
-    zero-crossing rate over a sample vector — only the decode step is the
-    stub: impl='stub' interprets the raw bytes as centered 8-bit PCM;
-    impl='soundfile' raises NotImplementedError unless the codec lib is
-    importable (same gate policy as decode_images). A production decoder
-    swaps one function; partitioning, batch shape, and schema hold."""
+    zero-crossing rate over a sample vector. Decode tiers: impl='wav' is a
+    REAL RIFF/WAVE PCM decoder (stdlib `wave`: real header, real sample
+    rate, 8/16-bit samples); impl='stub' interprets raw bytes as centered
+    8-bit PCM; impl='soundfile' raises NotImplementedError unless the
+    codec lib is importable (FLAC/OGG gate, same policy as decode_images).
+    """
     if impl == "soundfile":
         try:
             import soundfile  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "real audio decode needs the soundfile/libsndfile stack, "
-                "not present in this environment; use impl='stub'"
+                "FLAC/OGG decode needs the soundfile/libsndfile stack, not "
+                "present in this environment; use impl='wav' (real PCM "
+                "decode) or impl='stub'"
             ) from exc
 
     import numpy as np
+
+    def _decode_wav(content: bytes) -> tuple:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 1:
+            s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {sw}")
+        if nch > 1:
+            s = s.reshape(-1, nch).mean(axis=1)  # downmix to mono
+        return s, rate
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,9 +314,13 @@ def extract_audio_features(
                 continue
             recs = []
             for did, content in zip(pdf["doc_id"], pdf["content"]):
-                samples = (
-                    np.frombuffer(content, dtype=np.uint8).astype(np.float64) - 128.0
-                ) / 128.0
+                if impl == "wav":
+                    samples, sr = _decode_wav(content)
+                else:
+                    samples = (
+                        np.frombuffer(content, dtype=np.uint8).astype(np.float64) - 128.0
+                    ) / 128.0
+                    sr = _AUDIO_SR
                 n = len(samples)
                 if n >= frame_len:
                     n_frames = 1 + (n - frame_len) // hop
@@ -174,7 +335,7 @@ def extract_audio_features(
                         did,
                         n,
                         int(n_frames),
-                        round(n / _AUDIO_SR, 6),
+                        round(n / sr, 6),
                         round(float(rms.mean()), 9),
                         round(float(rms.max()), 9),
                         round(float(zc), 9),

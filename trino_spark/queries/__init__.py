@@ -110,6 +110,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q51",
         "tpcds_q08",
         "tpcds_q01",
+        "multimodal_ppm_decode",  # real netpbm decode vs closed-form oracle
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget

@@ -376,6 +376,37 @@ def multimodal_decode_stub_q(spark: SparkSession, sf: str) -> DataFrame:
     return features.orderBy("doc_id")
 
 
+@REG.add(
+    "multimodal_ppm_decode",
+    """
+    SELECT d.doc_id,
+           CAST(13 + 32 * 16 * 3 AS BIGINT) AS n_bytes,
+           'ppm' AS format,
+           32 AS width,
+           16 AS height,
+           round((SELECT avg(0.299 * v + 0.587 * v + 0.114 * v)
+                  FROM (SELECT CAST((d.doc_id + x.i) % 256 AS DOUBLE) AS v
+                        FROM generate_series(0, 31) x(i))) / 255.0, 6) AS mean_luma
+    FROM documents d
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def multimodal_ppm_decode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end (operators/multimodal.py impl='ppm'):
+    synthesize valid netpbm P6 files per row (gradient pixels
+    (doc_id + x) % 256), decode them — header parse + BT.601 luma over the
+    actual pixel matrix — and surface typed features. The oracle computes
+    the gradient's closed-form luma, so a decoder that does not truly read
+    the pixel bytes cannot match. Rounded to 6 digits: numpy's pairwise
+    mean and SQL's sequential avg differ at ~1e-13."""
+    from trino_spark.operators.multimodal import attach_synthetic_ppm
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    feats = decode_images(attach_synthetic_ppm(d), impl="ppm")
+    return feats.withColumn("mean_luma", F.round("mean_luma", 6)).orderBy("doc_id")
+
+
 @REG.add("text_word_stem_topk", None)
 def text_word_stem_topk(spark: SparkSession, sf: str) -> DataFrame:
     """word_stem (WordStemFunction.java:51) over the documents corpus:
