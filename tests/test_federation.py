@@ -32,3 +32,19 @@ def test_federated_join_oracle(spark, sf_dir, duck):
     from trino_spark.testing import assert_same_results
 
     assert_same_results(spec.build(spark, sf_dir), duck.execute(spec.oracle).fetch_df(), spec.name)
+
+
+def test_jdbc_aggregate_pushdown_in_plan(spark, sf_dir):
+    """The DSv2 JDBC catalog pushes the ENTIRE aggregation to the remote
+    database (PushAggregationIntoTableScan.java:65 analog): the scan node
+    carries PushedAggregates + PushedGroupByExpressions."""
+    df = federation_q.jdbc_agg_pushdown(spark, sf_dir)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedAggregates: [COUNT(*)" in plan, plan
+    assert "PushedGroupByExpressions: [n_regionkey]" in plan, plan

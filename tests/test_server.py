@@ -104,3 +104,54 @@ def test_row_filter_through_http(server):
         fetch_all(server.url(), "SET ROLE NONE")
     _, rows = fetch_all(server.url(), "SELECT count(*) AS c FROM region")
     assert rows == [[5]]
+
+
+def test_kill_query_cancels_running_statement(server):
+    """system.runtime.kill_query (KillQueryProcedure.java:62): a second
+    session cancels the first's running jobs via its query id."""
+    import threading
+    import time
+
+    result = {}
+
+    def victim():
+        try:
+            fetch_all(
+                server.url(),
+                "SELECT count(*) AS c FROM lineitem a, lineitem b, lineitem c "
+                "WHERE a.l_orderkey + b.l_orderkey + c.l_orderkey < 0",
+            )
+            result["state"] = "finished"
+        except RuntimeError as exc:
+            result["state"] = f"failed: {exc}"
+
+    th = threading.Thread(target=victim, daemon=True)
+    th.start()
+    sc = server.engine.spark.sparkContext
+    try:
+        # wait until the server registers the query AND its Spark jobs are
+        # actually running (cancelJobGroup only cancels running jobs — a
+        # kill that races ahead of job submission is a no-op, exactly as
+        # in the reference where only a running query can be killed)
+        qid = None
+        for _ in range(200):
+            running = getattr(server.engine, "_running_queries", {})
+            if running and sc.statusTracker().getActiveJobsIds():
+                qid = next(iter(running))
+                break
+            time.sleep(0.1)
+        assert qid, "victim query never started running"
+        _, rows = fetch_all(
+            server.url(), f"CALL system.runtime.kill_query('{qid}', 'test kill')"
+        )
+        assert rows[0][0] == qid
+        th.join(timeout=120)
+        assert not th.is_alive()
+        assert result["state"].startswith("failed"), result
+    finally:
+        sc.cancelAllJobs()  # never leave the cartesian burning the session
+
+
+def test_kill_query_unknown_id_errors(server):
+    with pytest.raises(RuntimeError, match="not found or not running"):
+        fetch_all(server.url(), "CALL system.runtime.kill_query('nope123')")

@@ -84,6 +84,30 @@ class Catalog:
         opts = {"url": url, "dbtable": dbtable, **options}
         self.register(TableSource(name=name, path="", format="jdbc", options=opts))
 
+    def register_jdbc_catalog(self, catalog_name: str, url: str, **options: str) -> None:
+        """Mount a whole remote database as a Spark DSv2 JDBC catalog with
+        aggregate/limit pushdown enabled — the full-connector analog of
+        register_jdbc's single table.
+
+        Trino pushes entire aggregations into JDBC connectors
+        (main/.../PushAggregationIntoTableScan.java:65 +
+        plugin/trino-base-jdbc AggregateFunctionRewriter); Spark's
+        equivalent lives only in the DataSource-V2 JDBC catalog
+        (JDBCTableCatalog), not the V1 reader — so catalog-mounting is
+        what turns `SELECT k, count(*) ... GROUP BY k` into a remote
+        `PushedAggregates: [COUNT(*), ...]` scan. Tables resolve as
+        `<catalog_name>.<schema>.<table>`."""
+        conf = self.spark.conf
+        conf.set(
+            f"spark.sql.catalog.{catalog_name}",
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+        )
+        conf.set(f"spark.sql.catalog.{catalog_name}.url", url)
+        conf.set(f"spark.sql.catalog.{catalog_name}.pushDownAggregate", "true")
+        conf.set(f"spark.sql.catalog.{catalog_name}.pushDownLimit", "true")
+        for k, v in options.items():
+            conf.set(f"spark.sql.catalog.{catalog_name}.{k}", v)
+
     def table(self, name: str) -> DataFrame:
         if name in self._sources:
             return self._sources[name].load(self.spark)

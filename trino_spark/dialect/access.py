@@ -382,6 +382,18 @@ def try_execute_call(engine, sql: str) -> "DataFrame | None":
         st = _state(engine)
         st["row_filters"].pop((str(_lit(args[0])).lower(), str(_lit(args[1])).lower()), None)
         return spark.createDataFrame([(str(_lit(args[1])),)], "table_name: string")
+    if name == "kill_query":
+        # system.runtime.kill_query(query_id, message) — reference:
+        # main/connector/system/KillQueryProcedure.java:62. Cancels the
+        # Spark job group the HTTP server tagged with the query id; the
+        # victim's collect fails and the protocol surfaces FAILED.
+        qid = str(_lit(args[0]))
+        msg = str(_lit(args[1])) if len(args) > 1 else "killed by operator"
+        running = getattr(engine, "_running_queries", {})
+        if qid not in running:
+            raise ValueError(f"query not found or not running: {qid}")
+        engine.spark.sparkContext.cancelJobGroup(qid)
+        return spark.createDataFrame([(qid, msg)], "query_id: string, message: string")
     if name == "drop_column_mask":
         st = _state(engine)
         masks = st["column_masks"].get((str(_lit(args[0])).lower(), str(_lit(args[1])).lower()))

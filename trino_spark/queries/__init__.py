@@ -111,6 +111,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q08",
         "tpcds_q01",
         "multimodal_ppm_decode",  # real netpbm decode vs closed-form oracle
+        "jdbc_agg_pushdown",  # whole-aggregation pushdown into JDBC
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50
     # with TPC-H/relational first). Round-robin interleave so ANY budget

@@ -98,6 +98,45 @@ def jdbc_federated_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @REG.add(
+    "jdbc_agg_pushdown",
+    """
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT)        AS n_nations,
+           CAST(max(n_nationkey) AS BIGINT) AS max_key,
+           CAST(min(n_nationkey) AS BIGINT) AS min_key
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def jdbc_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-aggregation pushdown into the JDBC connector (Trino:
+    main/.../PushAggregationIntoTableScan.java:65 + base-jdbc
+    AggregateFunctionRewriter): the remote Derby database executes
+    `GROUP BY n_regionkey, COUNT(*), MAX, MIN` and ships back 5 rows, not
+    25 — Spark's DSv2 JDBCTableCatalog path (catalog.register_jdbc_catalog)
+    shows PushedAggregates/PushedGroupByExpressions in the scan, pinned in
+    tests/test_federation.py. At 100 TB federation scale this is the
+    difference between moving a table and moving its answer. The oracle
+    re-derives from the parquet nation — same rows by construction."""
+    from trino_spark.catalog import Catalog
+
+    ensure_derby_nation(spark, sf)
+    Catalog(spark).register_jdbc_catalog("fedv2", derby_url())
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               count(*)                    AS n_nations,
+               CAST(max(n_nationkey) AS BIGINT) AS max_key,
+               CAST(min(n_nationkey) AS BIGINT) AS min_key
+        FROM fedv2.APP.NATION
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )
+
+
+@REG.add(
     "multiformat_roundtrip",
     """
     SELECT n_nationkey,

@@ -148,6 +148,15 @@ class TrinoHttpServer:
     # -- protocol ----------------------------------------------------------
     def _submit(self, sql: str) -> dict:
         qid = uuid.uuid4().hex[:16]
+        # Run under a Spark job group named by the query id so
+        # system.runtime.kill_query(qid) can cancel the running jobs from
+        # another request thread (KillQueryProcedure.java semantics).
+        sc = self.engine.spark.sparkContext
+        running = getattr(self.engine, "_running_queries", None)
+        if running is None:
+            running = self.engine._running_queries = {}
+        running[qid] = sql.strip()[:200]
+        sc.setJobGroup(qid, sql.strip()[:80], interruptOnCancel=True)
         try:
             df = self.engine.sql(sql)
             columns = [
@@ -158,6 +167,9 @@ class TrinoHttpServer:
         except Exception as exc:  # surface as a Trino-style error payload
             st = _QueryState(qid, [], [])
             st.error = {"message": str(exc).split("\n")[0][:500], "errorName": type(exc).__name__}
+        finally:
+            running.pop(qid, None)
+            sc.setLocalProperty("spark.jobGroup.id", None)
         with self._lock:
             self._queries[qid] = st
         # QUEUED-style first response: no data yet, client follows nextUri
