@@ -155,3 +155,30 @@ def test_kill_query_cancels_running_statement(server):
 def test_kill_query_unknown_id_errors(server):
     with pytest.raises(RuntimeError, match="not found or not running"):
         fetch_all(server.url(), "CALL system.runtime.kill_query('nope123')")
+
+
+def test_spooled_protocol_roundtrip(server):
+    """Protocol v1 spooled segments (client/trino-client/.../spooling/):
+    results arrive as segment descriptors, bodies fetched separately and
+    deleted once fully drained."""
+    import os
+
+    cols, rows = fetch_all(
+        server.url(),
+        f"SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {PAGE_ROWS + 7}",
+        spooled=True,
+    )
+    assert [c["name"] for c in cols] == ["o_orderkey"]
+    assert len(rows) == PAGE_ROWS + 7
+    assert rows == sorted(rows)
+    # fully drained -> spool dir removed
+    spool_root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              "spark-warehouse", "spool")
+    assert not os.path.isdir(spool_root) or os.listdir(spool_root) == []
+
+
+def test_spooled_matches_inline(server):
+    q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    _, inline_rows = fetch_all(server.url(), q)
+    _, spooled_rows = fetch_all(server.url(), q, spooled=True)
+    assert spooled_rows == inline_rows

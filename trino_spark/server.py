@@ -17,6 +17,15 @@ result into the server's page store; this endpoint is a CONTROL-plane
 surface for interactive clients — bulk data still belongs in
 DataFrame/parquet land, exactly like the reference's protocol, which also
 streams result pages through the coordinator.
+
+Spooled protocol (client/trino-client/.../spooling/, protocol v1 spooled
+segments): a client that submits with the X-Trino-Query-Data-Encoding:
+json+spooled header gets result pages spooled to segment files instead of
+inline rows — each poll returns segment descriptors {uri, rowCount} and
+the client fetches segment bodies separately (GET /v1/spooled/...). This
+is how the reference moves large results off the coordinator's hot path;
+here segments live under spark-warehouse/spool/<qid>/ and are deleted
+when the query is drained or cancelled.
 """
 
 from __future__ import annotations
@@ -68,12 +77,14 @@ def _json_cell(v):
 
 
 class _QueryState:
-    def __init__(self, qid: str, columns: list[dict], rows: list[list]):
+    def __init__(self, qid: str, columns: list[dict], rows: list[list], spooled: bool = False):
         self.qid = qid
         self.columns = columns
         self.rows = rows
         self.offset = 0
         self.error: dict | None = None
+        self.spooled = spooled
+        self.segments: list[dict] = []  # spooled-mode segment descriptors
 
 
 class TrinoHttpServer:
@@ -103,7 +114,8 @@ class TrinoHttpServer:
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode()
-                self._send(200, outer._submit(sql))
+                enc = self.headers.get("X-Trino-Query-Data-Encoding", "")
+                self._send(200, outer._submit(sql, spooled="spooled" in enc))
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
@@ -115,16 +127,29 @@ class TrinoHttpServer:
                     else:
                         self._send(200, page)
                     return
+                # /v1/spooled/<qid>/<segment>: spooled segment body
+                if len(parts) >= 3 and parts[:2] == ["v1", "spooled"]:
+                    body = outer._segment(parts[2], parts[3])
+                    if body is None:
+                        self._send(404, {"error": "unknown segment"})
+                    else:
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    return
                 self._send(404, {"error": "not found"})
 
             def do_DELETE(self):
                 # Cancellation: clients DELETE the nextUri to abandon a
                 # query (Query.java cancel path); remaining pages are
-                # discarded and further polls 404.
+                # discarded, spool segments deleted, further polls 404.
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 4 and parts[:3] == ["v1", "statement", "executing"]:
                     with outer._lock:
                         existed = outer._queries.pop(parts[3], None) is not None
+                    outer._drop_spool(parts[3])
                     self._send(204 if existed else 404, {})
                     return
                 self._send(404, {"error": "not found"})
@@ -145,8 +170,66 @@ class TrinoHttpServer:
     def url(self) -> str:
         return f"http://127.0.0.1:{self.port}"
 
+    # -- spooling ----------------------------------------------------------
+    def _spool_dir(self, qid: str) -> str:
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return os.path.join(repo, "spark-warehouse", "spool", qid)
+
+    def _spool(self, st: _QueryState) -> None:
+        """Write result rows to PAGE_ROWS-sized JSON segment files; the
+        query state keeps only descriptors (protocol v1 spooled segments:
+        the coordinator hands out segment locations, not data)."""
+        import os
+
+        d = self._spool_dir(st.qid)
+        os.makedirs(d, exist_ok=True)
+        for i in range(0, max(len(st.rows), 1), PAGE_ROWS):
+            chunk = st.rows[i : i + PAGE_ROWS]
+            seg = i // PAGE_ROWS
+            with open(os.path.join(d, f"seg{seg}.json"), "w") as fh:
+                json.dump(chunk, fh)
+            st.segments.append(
+                {
+                    "uri": f"{self.url()}/v1/spooled/{st.qid}/{seg}",
+                    "rowCount": len(chunk),
+                }
+            )
+        st.rows = []
+        if not hasattr(self, "_spool_served"):
+            self._spool_served: dict[str, set] = {}
+            self._spool_counts: dict[str, int] = {}
+        self._spool_served[qid_ := st.qid] = set()
+        self._spool_counts[qid_] = len(st.segments)
+
+    def _segment(self, qid: str, seg: str) -> bytes | None:
+        import os
+
+        path = os.path.join(self._spool_dir(qid), f"seg{int(seg)}.json")
+        try:
+            with open(path, "rb") as fh:
+                body = fh.read()
+        except (OSError, ValueError):
+            return None
+        served = getattr(self, "_spool_served", {}).get(qid)
+        if served is not None:
+            served.add(int(seg))
+            if len(served) >= self._spool_counts.get(qid, 0):
+                # fully drained: segments are single-use, like the
+                # reference's spooled segment ack/expiry
+                self._drop_spool(qid)
+                self._spool_served.pop(qid, None)
+                self._spool_counts.pop(qid, None)
+        return body
+
+    def _drop_spool(self, qid: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._spool_dir(qid), ignore_errors=True)
+
     # -- protocol ----------------------------------------------------------
-    def _submit(self, sql: str) -> dict:
+    def _submit(self, sql: str, spooled: bool = False) -> dict:
         qid = uuid.uuid4().hex[:16]
         # Run under a Spark job group named by the query id so
         # system.runtime.kill_query(qid) can cancel the running jobs from
@@ -163,7 +246,9 @@ class TrinoHttpServer:
                 {"name": f.name, "type": _trino_type(f.dataType)} for f in df.schema
             ]
             rows = [[_json_cell(v) for v in row] for row in df.collect()]
-            st = _QueryState(qid, columns, rows)
+            st = _QueryState(qid, columns, rows, spooled=spooled)
+            if spooled:
+                self._spool(st)
         except Exception as exc:  # surface as a Trino-style error payload
             st = _QueryState(qid, [], [])
             st.error = {"message": str(exc).split("\n")[0][:500], "errorName": type(exc).__name__}
@@ -189,6 +274,17 @@ class TrinoHttpServer:
             return None
         if st.error is not None:
             return {"id": qid, "stats": {"state": "FAILED"}, "error": st.error}
+        if st.spooled:
+            # one response carrying every segment descriptor; the client
+            # fetches bodies via the spooled URIs (EncodedQueryData shape)
+            with self._lock:
+                self._queries.pop(qid, None)
+            return {
+                "id": qid,
+                "columns": st.columns,
+                "data": {"encoding": "json", "segments": st.segments},
+                "stats": {"state": "FINISHED"},
+            }
         page = st.rows[st.offset : st.offset + PAGE_ROWS]
         st.offset += len(page)
         resp = {
@@ -205,13 +301,18 @@ class TrinoHttpServer:
         return resp
 
 
-def fetch_all(base_url: str, sql: str) -> tuple[list[dict], list[list]]:
+def fetch_all(
+    base_url: str, sql: str, spooled: bool = False
+) -> tuple[list[dict], list[list]]:
     """Tiny reference client: POST then follow nextUri pages (the loop every
-    Trino client implements)."""
+    Trino client implements). With spooled=True it requests the spooled
+    encoding and fetches segment bodies from their URIs — the
+    client/trino-client spooling flow."""
     import urllib.request
 
+    headers = {"X-Trino-Query-Data-Encoding": "json+spooled"} if spooled else {}
     req = urllib.request.Request(
-        f"{base_url}/v1/statement", data=sql.encode(), method="POST"
+        f"{base_url}/v1/statement", data=sql.encode(), method="POST", headers=headers
     )
     resp = json.loads(urllib.request.urlopen(req).read())
     columns: list[dict] = []
@@ -220,7 +321,12 @@ def fetch_all(base_url: str, sql: str) -> tuple[list[dict], list[list]]:
         if "error" in resp:
             raise RuntimeError(resp["error"]["message"])
         columns = resp.get("columns") or columns
-        rows.extend(resp.get("data") or [])
+        data = resp.get("data")
+        if isinstance(data, dict) and "segments" in data:
+            for seg in data["segments"]:
+                rows.extend(json.loads(urllib.request.urlopen(seg["uri"]).read()))
+        else:
+            rows.extend(data or [])
         nxt = resp.get("nextUri")
         if not nxt:
             return columns, rows
