@@ -13,6 +13,22 @@ from trino_spark.queries.base import QueryRegistry, t
 
 REG = QueryRegistry()
 
+
+def _engine(spark, sf):
+    """One TrinoEngine per (session, sf_dir): engine construction registers
+    testdata views + information_schema (~1 s) — paying it per lifecycle
+    query would be pure harness overhead. The lifecycle queries are
+    self-contained (per-process table names, DROP at the end), so the
+    shared engine carries no cross-query state."""
+    from trino_spark.dialect import TrinoEngine
+
+    key = f"_dml_engine_{sf}"
+    eng = getattr(spark, key, None)
+    if eng is None:
+        eng = TrinoEngine(spark, sf_dir=sf)
+        setattr(spark, key, eng)
+    return eng
+
 # Deterministic change set derived from orders itself:
 #   key % 13 == 0 -> DELETE
 #   key %  7 == 0 -> UPDATE (price +10%, priority tagged)
@@ -114,9 +130,7 @@ def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
     The oracle states the same end state as a pure SELECT CTE chain."""
     import os
 
-    from trino_spark.dialect import TrinoEngine
-
-    eng = TrinoEngine(spark, sf_dir=sf)
+    eng = _engine(spark, sf)
     # Per-process table name: concurrent runners (bench + driver) must not
     # race on one copy-on-write directory.
     tbl = f"dml_life_{os.getpid()}"
@@ -160,9 +174,7 @@ def _dml_partitioned_lifecycle_impl(spark: SparkSession, sf: str) -> DataFrame:
     time travel per SqlBase.g4 queryPeriod / trino-iceberg semantics."""
     import os
 
-    from trino_spark.dialect import TrinoEngine
-
-    eng = TrinoEngine(spark, sf_dir=sf)
+    eng = _engine(spark, sf)
     tbl = f"dml_part_{os.getpid()}"
     eng.sql(f"DROP TABLE IF EXISTS {tbl}")
     eng.sql(
