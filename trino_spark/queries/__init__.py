@@ -110,6 +110,11 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q51",
         "tpcds_q08",
         "tpcds_q01",
+        "tpcds_q07",
+        "tpcds_q13",
+        "tpcds_q19",
+        "tpcds_q96",
+        "tpcds_q97",
         "multimodal_ppm_decode",  # real netpbm decode vs closed-form oracle
         "jdbc_agg_pushdown",  # whole-aggregation pushdown into JDBC
     ]

@@ -4,12 +4,13 @@ The reference vendors 103 TPC-DS benchmark queries
 (testing/trino-benchmark-queries/src/main/resources/sql/trino/tpcds/
 q01.sql ...) and benchmarks them via Benchto
 (testing/trino-benchto-benchmarks/.../tpcds.yaml). This module runs a
-grammar-heavy 10-query subset VERBATIM as Trino SQL text through
-``TrinoEngine.sql`` — CTE chains (q1), INTERSECT (q8), GROUP BY ROLLUP +
-GROUPING() + rank() (q36), windowed aggregates over FULL OUTER JOIN
-(q51), correlated scalar subqueries (q1, q6), quoted identifiers and
-DECIMAL literals throughout — against the deterministic generator tables
-of sources/tpcdsgen.py, with DuckDB running the SAME text over the SAME
+grammar-heavy 15-query subset VERBATIM as Trino SQL text through
+``TrinoEngine.sql`` — CTE chains (q1, q97), INTERSECT (q8), GROUP BY
+ROLLUP + GROUPING() + rank() (q36), windowed aggregates over FULL OUTER
+JOIN (q51, q97), correlated scalar subqueries (q1, q6), disjunctive
+predicate blocks (q13), quoted identifiers and DECIMAL literals
+throughout — against the deterministic generator tables of
+sources/tpcdsgen.py, with DuckDB running the SAME text over the SAME
 materialized parquet as the oracle.
 
 Documented adaptations from the vendored text (each applied identically
@@ -18,13 +19,14 @@ to both engines, so the comparison stays meaningful):
   qualified to the ``tpcds_`` view prefix (tpcdsgen.qualify) so the
   TPC-DS ``customer`` table cannot collide with the driver testdata view
   of the same name.
-- Surfaced DECIMAL aggregates wrapped in CAST(... AS DOUBLE) and ratio
-  expressions in round(..., 6): decimal sums are exact in both engines,
+- Surfaced DECIMAL aggregates wrapped in CAST(... AS DOUBLE) (averages
+  additionally round(..., 3)): decimal sums are exact in both engines,
   but Spark returns Decimal objects where DuckDB's pandas bridge returns
-  float64, and decimal-division scale rules differ — the cast pins one
-  representation.
+  float64, and decimal avg/division scale rules differ — the cast pins
+  one representation.
 - Unaliased aggregate outputs given explicit aliases (the driver's
-  comparator matches columns by name).
+  comparator matches columns by name); q97's integer CASE-sums cast to
+  BIGINT (DuckDB widens sum(INTEGER) to HUGEINT).
 - q51: output d_date cast to TIMESTAMP (pandas dtype parity) and its
   web_sales/store_sales COLUMN aliases renamed web_rev/store_rev (they
   would otherwise be rewritten by the table-name qualifier).
@@ -166,6 +168,37 @@ LIMIT 100
 """
 
 _add("q06", _TEXT_Q06, "TPC-DS q06: state rollup of customers buying items priced 20% above their category average (two nested scalar subqueries) (vendored: testing/trino-benchmark-queries/.../tpcds/q06.sql).")
+
+
+_TEXT_Q07 = r"""
+SELECT
+  "i_item_id"
+, "avg"("ss_quantity") "agg1"
+, round(CAST("avg"("ss_list_price") AS DOUBLE), 3) "agg2"
+, round(CAST("avg"("ss_coupon_amt") AS DOUBLE), 3) "agg3"
+, round(CAST("avg"("ss_sales_price") AS DOUBLE), 3) "agg4"
+FROM
+  store_sales
+, customer_demographics
+, date_dim
+, item
+, promotion
+WHERE ("ss_sold_date_sk" = "d_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("ss_cdemo_sk" = "cd_demo_sk")
+   AND ("ss_promo_sk" = "p_promo_sk")
+   AND ("cd_gender" = 'M')
+   AND ("cd_marital_status" = 'S')
+   AND ("cd_education_status" = 'College')
+   AND (("p_channel_email" = 'N')
+      OR ("p_channel_event" = 'N'))
+   AND ("d_year" = 2000)
+GROUP BY "i_item_id"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+_add("q07", _TEXT_Q07, "TPC-DS q07: demographic-sliced item averages (4-way dim join: demographics, promotion, date, item) (vendored: testing/trino-benchmark-queries/.../tpcds/q07.sql).")
 
 
 _TEXT_Q08 = r"""
@@ -615,6 +648,88 @@ LIMIT 100
 _add("q08", _TEXT_Q08, "TPC-DS q08: store net profit restricted to zip prefixes from a 400-literal IN list INTERSECT preferred-customer zips (vendored: testing/trino-benchmark-queries/.../tpcds/q08.sql).")
 
 
+_TEXT_Q13 = r"""
+SELECT
+  round(CAST("avg"("ss_quantity") AS DOUBLE), 3) "avg_qty"
+, round(CAST("avg"("ss_ext_sales_price") AS DOUBLE), 3) "avg_esp"
+, round(CAST("avg"("ss_ext_wholesale_cost") AS DOUBLE), 3) "avg_wcost"
+, CAST("sum"("ss_ext_wholesale_cost") AS DOUBLE) "sum_wcost"
+FROM
+  store_sales
+, store
+, customer_demographics
+, household_demographics
+, customer_address
+, date_dim
+WHERE ("s_store_sk" = "ss_store_sk")
+   AND ("ss_sold_date_sk" = "d_date_sk")
+   AND ("d_year" = 2001)
+   AND ((("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'M')
+         AND ("cd_education_status" = 'Advanced Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '100.00' AND DECIMAL '150.00')
+         AND ("hd_dep_count" = 3))
+      OR (("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'S')
+         AND ("cd_education_status" = 'College')
+         AND ("ss_sales_price" BETWEEN DECIMAL '50.00' AND DECIMAL '100.00')
+         AND ("hd_dep_count" = 1))
+      OR (("ss_hdemo_sk" = "hd_demo_sk")
+         AND ("cd_demo_sk" = "ss_cdemo_sk")
+         AND ("cd_marital_status" = 'W')
+         AND ("cd_education_status" = '2 yr Degree')
+         AND ("ss_sales_price" BETWEEN DECIMAL '150.00' AND DECIMAL '200.00')
+         AND ("hd_dep_count" = 1)))
+   AND ((("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('TX'      , 'OH'      , 'TX'))
+         AND ("ss_net_profit" BETWEEN 100 AND 200))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('OR'      , 'NM'      , 'KY'))
+         AND ("ss_net_profit" BETWEEN 150 AND 300))
+      OR (("ss_addr_sk" = "ca_address_sk")
+         AND ("ca_country" = 'United States')
+         AND ("ca_state" IN ('VA'      , 'TX'      , 'MS'))
+         AND ("ss_net_profit" BETWEEN 50 AND 250)))
+"""
+
+_add("q13", _TEXT_Q13, "TPC-DS q13: disjunctive demographic x address x price-band triples (heavy OR-of-AND predicate blocks) (vendored: testing/trino-benchmark-queries/.../tpcds/q13.sql).")
+
+
+_TEXT_Q19 = r"""
+SELECT
+  "i_brand_id" "brand_id"
+, "i_brand" "brand"
+, "i_manufact_id"
+, "i_manufact"
+, CAST("sum"("ss_ext_sales_price") AS DOUBLE) "ext_price"
+FROM
+  date_dim
+, store_sales
+, item
+, customer
+, customer_address
+, store
+WHERE ("d_date_sk" = "ss_sold_date_sk")
+   AND ("ss_item_sk" = "i_item_sk")
+   AND ("i_manager_id" = 8)
+   AND ("d_moy" = 11)
+   AND ("d_year" = 1998)
+   AND ("ss_customer_sk" = "c_customer_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND ("substr"("ca_zip", 1, 5) <> "substr"("s_zip", 1, 5))
+   AND ("ss_store_sk" = "s_store_sk")
+GROUP BY "i_brand", "i_brand_id", "i_manufact_id", "i_manufact"
+ORDER BY "ext_price" DESC, "i_brand" ASC, "i_brand_id" ASC, "i_manufact_id" ASC, "i_manufact" ASC
+LIMIT 100
+"""
+
+_add("q19", _TEXT_Q19, "TPC-DS q19: brand/manufacturer revenue where customer and store zip prefixes differ (6-table join) (vendored: testing/trino-benchmark-queries/.../tpcds/q19.sql).")
+
+
 _TEXT_Q36 = r"""
 SELECT
   round((CAST("sum"("ss_net_profit") AS DOUBLE) / CAST("sum"("ss_ext_sales_price") AS DOUBLE)), 6) "gross_margin"
@@ -773,6 +888,68 @@ LIMIT 100
 """
 
 _add("q55", _TEXT_Q55, "TPC-DS q55: brand revenue for one manager, November 1999 (vendored: testing/trino-benchmark-queries/.../tpcds/q55.sql).")
+
+
+_TEXT_Q96 = r"""
+SELECT CAST("count"(*) AS BIGINT) "cnt"
+FROM
+  store_sales
+, household_demographics
+, time_dim
+, store
+WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+   AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+   AND ("ss_store_sk" = "s_store_sk")
+   AND ("time_dim"."t_hour" = 20)
+   AND ("time_dim"."t_minute" >= 30)
+   AND ("household_demographics"."hd_dep_count" = 7)
+   AND ("store"."s_store_name" = 'ese')
+ORDER BY "cnt" ASC
+LIMIT 100
+"""
+
+_add("q96", _TEXT_Q96, "TPC-DS q96: traffic count for one half-hour x dependents-count x store-name slice (vendored: testing/trino-benchmark-queries/.../tpcds/q96.sql).")
+
+
+_TEXT_Q97 = r"""
+WITH
+  ssci AS (
+   SELECT
+     "ss_customer_sk" "customer_sk"
+   , "ss_item_sk" "item_sk"
+   FROM
+     store_sales
+   , date_dim
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   GROUP BY "ss_customer_sk", "ss_item_sk"
+) 
+, csci AS (
+   SELECT
+     "cs_bill_customer_sk" "customer_sk"
+   , "cs_item_sk" "item_sk"
+   FROM
+     catalog_sales
+   , date_dim
+   WHERE ("cs_sold_date_sk" = "d_date_sk")
+      AND ("d_month_seq" BETWEEN 1200 AND (1200 + 11))
+   GROUP BY "cs_bill_customer_sk", "cs_item_sk"
+) 
+SELECT
+  CAST("sum"((CASE WHEN ("ssci"."customer_sk" IS NOT NULL)
+   AND ("csci"."customer_sk" IS NULL) THEN 1 ELSE 0 END)) AS BIGINT) "store_only"
+, CAST("sum"((CASE WHEN ("ssci"."customer_sk" IS NULL)
+   AND ("csci"."customer_sk" IS NOT NULL) THEN 1 ELSE 0 END)) AS BIGINT) "catalog_only"
+, CAST("sum"((CASE WHEN ("ssci"."customer_sk" IS NOT NULL)
+   AND ("csci"."customer_sk" IS NOT NULL) THEN 1 ELSE 0 END)) AS BIGINT) "store_and_catalog"
+FROM
+  (ssci
+FULL JOIN csci ON ("ssci"."customer_sk" = "csci"."customer_sk")
+   AND ("ssci"."item_sk" = "csci"."item_sk"))
+LIMIT 100
+"""
+
+_add("q97", _TEXT_Q97, "TPC-DS q97: store-vs-catalog shopper overlap: grouped channels FULL JOIN + conditional sums (vendored: testing/trino-benchmark-queries/.../tpcds/q97.sql).")
 
 
 _TEXT_Q98 = r"""

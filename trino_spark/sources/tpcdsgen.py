@@ -50,6 +50,15 @@ N_ADDRESS = 2_500
 N_STORE_SALES = 60_000
 N_STORE_RETURNS = 12_000
 N_WEB_SALES = 30_000
+N_CATALOG_SALES = 30_000
+N_HOUSEHOLD_DEMO = 7_200
+N_CUSTOMER_DEMO = 7_200
+N_PROMO = 300
+N_TIME = 86_400
+
+#: bump to force regeneration of previously-materialized parquet when the
+#: schema or distributions change (checked against a _gen_version marker)
+GEN_VERSION = 2
 
 _SALES_START = (_dt.date(1998, 1, 1) - _CAL_START).days
 _SALES_SPAN = (_dt.date(2003, 1, 1) - _dt.date(1998, 1, 1)).days  # 1826
@@ -58,13 +67,23 @@ _CATEGORIES = [
     "Books", "Children", "Electronics", "Home", "Jewelry",
     "Men", "Music", "Shoes", "Sports", "Women",
 ]
-_STATES = ["TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "NC", "FL"]
+# q13's literal states must be reachable
+_STATES = [
+    "TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "NC", "FL",
+    "OR", "NM", "KY", "VA", "MS",
+]
 # subset of q08's literal zip list — guarantees the INTERSECT overlaps
 _ZIP_POOL = ["24128", "57834", "13354", "15734", "78668"]
+# dsdgen's number-word store names; q96 filters s_store_name = 'ese'
+_STORE_NAMES = ["ought", "able", "pri", "ese", "anti", "cally", "ation", "eing"]
+_MARITAL = ["M", "S", "W", "D"]
+_EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree"]
 
 TABLES = (
     "date_dim", "item", "store", "customer", "customer_address",
-    "store_sales", "store_returns", "web_sales",
+    "store_sales", "store_returns", "web_sales", "catalog_sales",
+    "time_dim", "household_demographics", "customer_demographics",
+    "promotion",
 )
 
 
@@ -96,6 +115,11 @@ def gen_table(spark: SparkSession, name: str, parallelism: int | None = None) ->
         "store_sales": _store_sales,
         "store_returns": _store_returns,
         "web_sales": _web_sales,
+        "catalog_sales": _catalog_sales,
+        "time_dim": _time_dim,
+        "household_demographics": _household_demographics,
+        "customer_demographics": _customer_demographics,
+        "promotion": _promotion,
     }
     if name not in builders:
         raise ValueError(f"tpcdsgen: unknown table {name}")
@@ -137,6 +161,7 @@ def _item(spark, par):
         cat_id.alias("i_category_id"),
         cat.alias("i_category"),
         (_h("i_manu", i, 200) + 1).cast("int").alias("i_manufact_id"),
+        F.concat(F.lit("manufact_"), (_h("i_manu", i, 200) + 1)).alias("i_manufact"),
         (_h("i_mgr", i, 100) + 1).cast("int").alias("i_manager_id"),
         _money("i_price", i, 0.5, 100.0).alias("i_current_price"),
     )
@@ -147,7 +172,10 @@ def _store(spark, par):
     return _range(spark, N_STORE, par).select(
         (i + 1).cast("int").alias("s_store_sk"),
         F.concat(F.lit("S"), F.lpad((i + 1).cast("string"), 4, "0")).alias("s_store_id"),
-        F.concat(F.lit("Store_"), (i + 1)).alias("s_store_name"),
+        # dsdgen number-word names (q96 filters s_store_name = 'ese')
+        F.element_at(
+            F.array(*[F.lit(n) for n in _STORE_NAMES]), (F.pmod(i, F.lit(len(_STORE_NAMES))) + 1).cast("int")
+        ).alias("s_store_name"),
         # 3 of 4 stores are in TN — q1 / q36 filter s_state = 'TN'
         F.when(F.pmod(i, F.lit(4)) < 3, F.lit("TN")).otherwise(F.lit("CA")).alias("s_state"),
         _pick("s_zip", i, _ZIP_POOL).alias("s_zip"),
@@ -188,13 +216,23 @@ def _store_sales(spark, par):
     i = F.col("id")
     return _range(spark, N_STORE_SALES, par).select(
         _sold_date_sk("ss_day", i).alias("ss_sold_date_sk"),
+        _h("ss_time", i, N_TIME).cast("int").alias("ss_sold_time_sk"),
         (_h("ss_item", i, N_ITEM) + 1).cast("int").alias("ss_item_sk"),
         (_h("ss_cust", i, N_CUSTOMER) + 1).cast("int").alias("ss_customer_sk"),
+        (_h("ss_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("ss_cdemo_sk"),
+        (_h("ss_hdemo", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ss_hdemo_sk"),
+        (_h("ss_addr", i, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
         (_h("ss_store", i, N_STORE) + 1).cast("int").alias("ss_store_sk"),
+        (_h("ss_promo", i, N_PROMO) + 1).cast("int").alias("ss_promo_sk"),
         (i + 1).alias("ss_ticket_number"),
+        (_h("ss_qty", i, 100) + 1).cast("int").alias("ss_quantity"),
         _money("ss_price", i, 1.0, 200.0).alias("ss_sales_price"),
+        _money("ss_list", i, 1.0, 250.0).alias("ss_list_price"),
+        _money("ss_coupon", i, 0.0, 50.0).alias("ss_coupon_amt"),
         _money("ss_ext", i, 1.0, 2000.0).alias("ss_ext_sales_price"),
-        _money("ss_np", i, -100.0, 100.0).alias("ss_net_profit"),
+        _money("ss_wcost", i, 1.0, 1500.0).alias("ss_ext_wholesale_cost"),
+        # non-negative range keeps q13's net-profit BETWEEN windows hot
+        _money("ss_np", i, 0.0, 300.0).alias("ss_net_profit"),
     )
 
 
@@ -219,6 +257,55 @@ def _web_sales(spark, par):
     )
 
 
+def _catalog_sales(spark, par):
+    i = F.col("id")
+    return _range(spark, N_CATALOG_SALES, par).select(
+        _sold_date_sk("cs_day", i).alias("cs_sold_date_sk"),
+        (_h("cs_item", i, N_ITEM) + 1).cast("int").alias("cs_item_sk"),
+        (_h("cs_cust", i, N_CUSTOMER) + 1).cast("int").alias("cs_bill_customer_sk"),
+        _money("cs_price", i, 1.0, 200.0).alias("cs_sales_price"),
+    )
+
+
+def _time_dim(spark, par):
+    i = F.col("id")
+    return _range(spark, N_TIME, par).select(
+        i.cast("int").alias("t_time_sk"),
+        (i / 3600).cast("int").alias("t_hour"),
+        (F.pmod(i, F.lit(3600)) / 60).cast("int").alias("t_minute"),
+        F.pmod(i, F.lit(60)).cast("int").alias("t_second"),
+    )
+
+
+def _household_demographics(spark, par):
+    i = F.col("id")
+    return _range(spark, N_HOUSEHOLD_DEMO, par).select(
+        (i + 1).cast("int").alias("hd_demo_sk"),
+        _h("hd_dep", i, 10).cast("int").alias("hd_dep_count"),
+        (_h("hd_veh", i, 5) - 1).cast("int").alias("hd_vehicle_count"),
+    )
+
+
+def _customer_demographics(spark, par):
+    i = F.col("id")
+    return _range(spark, N_CUSTOMER_DEMO, par).select(
+        (i + 1).cast("int").alias("cd_demo_sk"),
+        F.when(F.pmod(i, F.lit(2)) == 0, F.lit("M")).otherwise(F.lit("F")).alias("cd_gender"),
+        _pick("cd_mar", i, _MARITAL).alias("cd_marital_status"),
+        _pick("cd_edu", i, _EDUCATION).alias("cd_education_status"),
+    )
+
+
+def _promotion(spark, par):
+    i = F.col("id")
+    return _range(spark, N_PROMO, par).select(
+        (i + 1).cast("int").alias("p_promo_sk"),
+        F.concat(F.lit("promo_"), (i + 1)).alias("p_promo_name"),
+        F.when(_h("p_em", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_email"),
+        F.when(_h("p_ev", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_event"),
+    )
+
+
 def warehouse_dir() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo, "spark-warehouse", "tpcds")
@@ -230,7 +317,18 @@ def ensure_materialized(spark: SparkSession, base: str | None = None) -> str:
     wins, losers discard). Returns the base dir. The DuckDB oracle reads
     these same files via read_parquet()."""
     base = base or warehouse_dir()
+    marker = os.path.join(base, "_gen_version")
+    if os.path.isdir(base):
+        try:
+            current = open(marker).read().strip()
+        except OSError:
+            current = ""
+        if current != str(GEN_VERSION):
+            shutil.rmtree(base, ignore_errors=True)  # stale generation
     os.makedirs(base, exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(str(GEN_VERSION))
     for name in TABLES:
         target = os.path.join(base, name)
         if os.path.isdir(target) and any(
