@@ -279,3 +279,25 @@ class TestMergeRowcount:
         assert n == 5  # 25 matched, only r=1 rows are touched
         assert engine.sql("SELECT count(*) AS c FROM mc_u WHERE name = 'HIT'").collect()[0].c == 5
         engine.sql("DROP TABLE mc_u")
+
+
+def test_partition_scoped_scan_is_partition_pruned(engine):
+    """The affected-rows scan of a partition-scoped mutation must carry a
+    static PartitionFilter — at 100 TB the rewrite reads only the touched
+    partitions, not the table."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    _fresh(engine, "pp_plan")
+    df = dml_mod._read(engine, "pp_plan")
+    pred = F.coalesce(F.expr("r = 2"), F.lit(False))
+    cond, untouched = dml_mod._affected_partitions(engine, "pp_plan", df, pred)
+    assert untouched and cond is not None
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter(cond).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [(r" in plan, plan
+    engine.sql("DROP TABLE pp_plan")
