@@ -301,3 +301,35 @@ def test_partition_scoped_scan_is_partition_pruned(engine):
     plan = buf.getvalue()
     assert "PartitionFilters: [(r" in plan, plan
     engine.sql("DROP TABLE pp_plan")
+
+
+def test_snapshots_metadata_table(engine):
+    """Iceberg-style "t$snapshots" metadata table (SnapshotsTable.java
+    analog): one row per committed version, current flagged."""
+    _fresh(engine, "meta_t")
+    engine.sql("DELETE FROM meta_t WHERE r = 0")
+    engine.sql("INSERT INTO meta_t SELECT 999, 'x', 0")
+    rows = engine.sql(
+        'SELECT version, operation, is_current FROM "meta_t$snapshots" ORDER BY version'
+    ).collect()
+    assert [(r.version, r.operation) for r in rows] == [
+        (1, "ctas"), (2, "delete"), (3, "insert"),
+    ]
+    assert [r.is_current for r in rows] == [False, False, True]
+    engine.sql("DROP TABLE meta_t")
+
+
+def test_analyze_caches_show_stats(engine):
+    """ANALYZE <t> (AnalyzeTask.java) collects statistics once; SHOW STATS
+    serves them without a rescan, and a mutation invalidates the cache."""
+    _fresh(engine, "an_t", partitioned=False)
+    _, n = engine.sql("ANALYZE an_t").collect()[0]
+    assert n == 25
+    assert "an_t" in engine._stats_cache
+    stats = {r.column_name: r for r in engine.sql("SHOW STATS FOR an_t").collect()}
+    assert stats[None].row_count == 25.0
+    engine.sql("DELETE FROM an_t WHERE r = 0")
+    assert "an_t" not in engine._stats_cache  # invalidated by the mutation
+    stats = {r.column_name: r for r in engine.sql("SHOW STATS FOR an_t").collect()}
+    assert stats[None].row_count == 20.0
+    engine.sql("DROP TABLE an_t")

@@ -761,6 +761,43 @@ def _version_dir(engine, name: str, version: int) -> str:
     return os.path.join(_snap_root(name), f"v{version:05d}")
 
 
+_META_RX = re.compile(rf'"?({_IDENT})\$(snapshots|history)"?', re.IGNORECASE)
+
+
+def resolve_metadata_tables(engine, sql: str) -> str:
+    """Iceberg-style metadata tables over the snapshot log:
+    ``SELECT * FROM "t$snapshots"`` / ``"t$history"`` (reference:
+    plugin/trino-iceberg SnapshotsTable.java / HistoryTable.java). Each
+    row is one committed version with its timestamp, operation, and
+    retention state."""
+
+    def repl(m: re.Match) -> str:
+        name = _norm_name(m.group(1))
+        if name not in _managed(engine):
+            return m.group(0)
+        log = _read_log(name)
+        cur = max((e["version"] for e in log), default=0)
+        rows = [
+            (
+                e["version"],
+                e["committed_at_iso"],
+                e.get("operation", "write"),
+                e["version"] == cur,
+                bool(e.get("expired")),
+            )
+            for e in log
+        ]
+        view = f"{name}__snapshots"
+        engine.spark.createDataFrame(
+            rows or [],
+            "version: bigint, committed_at: string, operation: string, "
+            "is_current: boolean, expired: boolean",
+        ).createOrReplaceTempView(view)
+        return view
+
+    return _META_RX.sub(repl, sql)
+
+
 def resolve_time_travel(engine, sql: str) -> str:
     """Rewrite `tbl FOR VERSION AS OF n` / `tbl FOR TIMESTAMP AS OF t`
     table references to temp views over the pinned snapshot directory."""
@@ -1039,6 +1076,13 @@ def refresh_infoschema(engine, changed: str | None = None, dropped: str | None =
     not pay a full catalog schema scan per commit."""
     from trino_spark.infoschema import register_information_schema
 
+    # mutations invalidate ANALYZE-collected statistics for the table
+    stats = getattr(engine, "_stats_cache", None)
+    if stats is not None:
+        if changed is not None:
+            stats.pop(changed, None)
+        if dropped is not None:
+            stats.pop(dropped, None)
     cache = getattr(engine, "_infoschema_cache", None)
     if cache is None or (changed is None and dropped is None):
         cache = {}

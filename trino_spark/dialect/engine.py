@@ -111,6 +111,12 @@ class TrinoEngine:
             from trino_spark.dialect import dml as _dml
 
             trino_sql = _dml.resolve_time_travel(self, trino_sql)
+        if "$snapshots" in trino_sql or "$history" in trino_sql:
+            # Iceberg-style metadata tables over the snapshot log
+            # (SnapshotsTable.java / HistoryTable.java analog).
+            from trino_spark.dialect import dml as _dml
+
+            trino_sql = _dml.resolve_metadata_tables(self, trino_sql)
         if "system.runtime.nodes" in trino_sql:
             # system.runtime.nodes (NodesSystemTable.java): one coordinator
             # row in local mode; on a real cluster this would enumerate
@@ -421,7 +427,27 @@ class TrinoEngine:
         if up[:3] == ["SHOW", "STATS", "FOR"]:
             from trino_spark.infoschema import show_stats
 
-            return show_stats(self.spark, stripped.split()[3].strip('"'))
+            return show_stats(
+                self.spark,
+                stripped.split()[3].strip('"'),
+                cache=getattr(self, "_stats_cache", None),
+            )
+        if up[:1] == ["ANALYZE"] and len(up) >= 2:
+            # ANALYZE <table> (grammar SqlBase.g4; AnalyzeTask.java +
+            # connector collectStatistics): run the one-pass stats
+            # aggregation now and persist it on the engine — subsequent
+            # SHOW STATS serve the collected statistics without a scan.
+            from trino_spark.infoschema import show_stats
+
+            cache = getattr(self, "_stats_cache", None)
+            if cache is None:
+                cache = self._stats_cache = {}
+            tbl = stripped.split()[1].strip('"').split(".")[-1].lower()
+            cache.pop(tbl, None)
+            n = show_stats(self.spark, tbl, cache=cache).where(
+                "column_name IS NULL"
+            ).collect()[0].row_count
+            return self.spark.createDataFrame([(tbl, int(n or 0))], "table_name: string, rows: bigint")
         if up[:2] == ["DESCRIBE", "OUTPUT"] and len(up) == 3:
             name = up[2]
             if name not in self.prepared:

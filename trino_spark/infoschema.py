@@ -56,7 +56,7 @@ def rewrite_show(sql: str) -> str | None:
     return None
 
 
-def show_stats(spark: SparkSession, table: str):
+def show_stats(spark: SparkSession, table: str, cache: dict | None = None):
     """SHOW STATS FOR <table> — Trino's table statistics surface
     (reference: ShowStatsRewrite.java; stats model spi/statistics/).
 
@@ -65,7 +65,12 @@ def show_stats(spark: SparkSession, table: str):
     as varchar) plus a summary row with row_count. Computed on demand in
     ONE aggregation pass over the table (each metric is a column of a
     single agg — no per-column scans); only the 1-row agg result is
-    collected."""
+    collected. When an ANALYZE-populated `cache` holds the table, the
+    cached relation is served without a scan (AnalyzeTask.java: ANALYZE
+    persists statistics, SHOW STATS reads them back)."""
+    if cache is not None and table in cache:
+        rows, schema = cache[table]
+        return spark.createDataFrame(rows, schema)
     from pyspark.sql import functions as F
     from pyspark.sql.types import NumericType, StringType
 
@@ -100,8 +105,10 @@ def show_stats(spark: SparkSession, table: str):
         )
         for f in fields
     ] + [(None, None, None, None, row["__rows"], None, None)]
-    return spark.createDataFrame(
-        out,
+    schema = (
         "column_name string, data_size double, distinct_values_count double, "
-        "nulls_fraction double, row_count double, low_value string, high_value string",
+        "nulls_fraction double, row_count double, low_value string, high_value string"
     )
+    if cache is not None:
+        cache[table] = (out, schema)
+    return spark.createDataFrame(out, schema)
