@@ -333,3 +333,23 @@ def test_analyze_caches_show_stats(engine):
     stats = {r.column_name: r for r in engine.sql("SHOW STATS FOR an_t").collect()}
     assert stats[None].row_count == 20.0
     engine.sql("DROP TABLE an_t")
+
+
+def test_delete_data_column_predicate_across_partitions(engine):
+    """A predicate on a DATA column (not the partition key) still works
+    scoped: only partitions holding matching rows are rewritten; when all
+    partitions match, the scoped path steps aside for the plain rewrite."""
+    path = _fresh(engine, "ps_data")
+    before = _inodes(path)
+    # k % 25 == 3 -> exactly one nation (k=3, r=3): one affected partition
+    n = engine.sql("DELETE FROM ps_data WHERE k % 25 = 3").collect()[0][0]
+    assert n == 1
+    after = _inodes(path)
+    assert {p: i for p, i in after.items() if "r=3" not in p} == {
+        p: i for p, i in before.items() if "r=3" not in p
+    }
+    # now a predicate matching rows in every partition: full-rewrite path
+    n = engine.sql("DELETE FROM ps_data WHERE k % 2 = 0").collect()[0][0]
+    assert n == 13  # evens 0,2,...,24 all survive the first delete (k=3 was odd)
+    assert engine.sql("SELECT count(*) AS c FROM ps_data").collect()[0].c == 25 - 1 - 13
+    engine.sql("DROP TABLE ps_data")

@@ -472,6 +472,11 @@ def _affected_partitions(engine, name: str, df: DataFrame, pred):
     if not touched:
         return (None, [])
     untouched = [d for d in leafs if d not in affected_dirs]
+    if not untouched:
+        # every partition is affected: the scoped machinery would only add
+        # an isin-filter over the full scan — plain full rewrite is the
+        # same work with a simpler plan
+        return None
     cond = None
     for vals in affected_vals:
         piece = None
