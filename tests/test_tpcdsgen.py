@@ -24,8 +24,9 @@ def test_date_dim_calendar_contract(spark):
 
 
 def test_generation_is_deterministic(spark):
-    a = tpcdsgen.gen_table(spark, "store_sales").orderBy("ss_ticket_number").limit(50).collect()
-    b = tpcdsgen.gen_table(spark, "store_sales").orderBy("ss_ticket_number").limit(50).collect()
+    key = ["ss_ticket_number", "ss_item_sk", "ss_sales_price"]
+    a = tpcdsgen.gen_table(spark, "store_sales").orderBy(*key).limit(50).collect()
+    b = tpcdsgen.gen_table(spark, "store_sales").orderBy(*key).limit(50).collect()
     assert a == b
 
 
@@ -57,3 +58,17 @@ def test_materialization_is_write_once(spark, tmp_path):
         for p in os.listdir(os.path.join(base, "item"))
         if p.endswith(".parquet")
     } == stamp
+
+
+def test_tickets_group_lines(spark):
+    """q34/q46 contract: all lines of a ticket share date/store/customer."""
+    ss = tpcdsgen.gen_table(spark, "store_sales")
+    from pyspark.sql import functions as F
+
+    g = ss.groupBy("ss_ticket_number").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("ss_sold_date_sk", "ss_store_sk", "ss_customer_sk").alias("k"),
+    )
+    row = g.agg(F.max("n"), F.min("n"), F.max("k")).collect()[0]
+    assert row[0] == tpcdsgen.TICKET_LINES and row[1] == tpcdsgen.TICKET_LINES
+    assert row[2] == 1

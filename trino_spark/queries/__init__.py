@@ -115,6 +115,14 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q19",
         "tpcds_q96",
         "tpcds_q97",
+        "tpcds_q15",
+        "tpcds_q26",
+        "tpcds_q32",
+        "tpcds_q34",
+        "tpcds_q46",
+        "tpcds_q61",
+        "tpcds_q71",
+        "tpcds_q88",
         "multimodal_ppm_decode",  # real netpbm decode vs closed-form oracle
         "jdbc_agg_pushdown",  # whole-aggregation pushdown into JDBC
     ]

@@ -4,14 +4,15 @@ The reference vendors 103 TPC-DS benchmark queries
 (testing/trino-benchmark-queries/src/main/resources/sql/trino/tpcds/
 q01.sql ...) and benchmarks them via Benchto
 (testing/trino-benchto-benchmarks/.../tpcds.yaml). This module runs a
-grammar-heavy 15-query subset VERBATIM as Trino SQL text through
+grammar-heavy 23-query subset VERBATIM as Trino SQL text through
 ``TrinoEngine.sql`` — CTE chains (q1, q97), INTERSECT (q8), GROUP BY
 ROLLUP + GROUPING() + rank() (q36), windowed aggregates over FULL OUTER
-JOIN (q51, q97), correlated scalar subqueries (q1, q6), disjunctive
-predicate blocks (q13), quoted identifiers and DECIMAL literals
-throughout — against the deterministic generator tables of
-sources/tpcdsgen.py, with DuckDB running the SAME text over the SAME
-materialized parquet as the oracle.
+JOIN (q51, q97), correlated scalar subqueries (q1, q6, q32), disjunctive
+predicate blocks (q13), many-subquery cross joins (q61, q88), 3-channel
+UNION ALL (q71), quoted identifiers (including an alias with spaces,
+q32) and DECIMAL literals throughout — against the deterministic
+generator tables of sources/tpcdsgen.py, with DuckDB running the SAME
+text over the SAME materialized parquet as the oracle.
 
 Documented adaptations from the vendored text (each applied identically
 to both engines, so the comparison stays meaningful):
@@ -20,10 +21,10 @@ to both engines, so the comparison stays meaningful):
   TPC-DS ``customer`` table cannot collide with the driver testdata view
   of the same name.
 - Surfaced DECIMAL aggregates wrapped in CAST(... AS DOUBLE) (averages
-  additionally round(..., 3)): decimal sums are exact in both engines,
-  but Spark returns Decimal objects where DuckDB's pandas bridge returns
-  float64, and decimal avg/division scale rules differ — the cast pins
-  one representation.
+  additionally round(..., 3), ratios round(..., 6)): decimal sums are
+  exact in both engines, but Spark returns Decimal objects where
+  DuckDB's pandas bridge returns float64, and decimal avg/division scale
+  rules differ — the cast pins one representation.
 - Unaliased aggregate outputs given explicit aliases (the driver's
   comparator matches columns by name); q97's integer CASE-sums cast to
   BIGINT (DuckDB widens sum(INTEGER) to HUGEINT).
@@ -699,6 +700,31 @@ WHERE ("s_store_sk" = "ss_store_sk")
 _add("q13", _TEXT_Q13, "TPC-DS q13: disjunctive demographic x address x price-band triples (heavy OR-of-AND predicate blocks) (vendored: testing/trino-benchmark-queries/.../tpcds/q13.sql).")
 
 
+_TEXT_Q15 = r"""
+SELECT
+  "ca_zip"
+, CAST("sum"("cs_sales_price") AS DOUBLE) "sum_price"
+FROM
+  catalog_sales
+, customer
+, customer_address
+, date_dim
+WHERE ("cs_bill_customer_sk" = "c_customer_sk")
+   AND ("c_current_addr_sk" = "ca_address_sk")
+   AND (("substr"("ca_zip", 1, 5) IN ('85669'   , '86197'   , '88274'   , '83405'   , '86475'   , '85392'   , '85460'   , '80348'   , '81792'))
+      OR ("ca_state" IN ('CA'   , 'WA'   , 'GA'))
+      OR ("cs_sales_price" > 500))
+   AND ("cs_sold_date_sk" = "d_date_sk")
+   AND ("d_qoy" = 2)
+   AND ("d_year" = 2001)
+GROUP BY "ca_zip"
+ORDER BY "ca_zip" ASC
+LIMIT 100
+"""
+
+_add("q15", _TEXT_Q15, "TPC-DS q15: catalog revenue by zip with OR of zip-list / state / price-floor reach conditions (vendored: testing/trino-benchmark-queries/.../tpcds/q15.sql).")
+
+
 _TEXT_Q19 = r"""
 SELECT
   "i_brand_id" "brand_id"
@@ -728,6 +754,103 @@ LIMIT 100
 """
 
 _add("q19", _TEXT_Q19, "TPC-DS q19: brand/manufacturer revenue where customer and store zip prefixes differ (6-table join) (vendored: testing/trino-benchmark-queries/.../tpcds/q19.sql).")
+
+
+_TEXT_Q26 = r"""
+SELECT
+  "i_item_id"
+, "avg"("cs_quantity") "agg1"
+, round(CAST("avg"("cs_list_price") AS DOUBLE), 3) "agg2"
+, round(CAST("avg"("cs_coupon_amt") AS DOUBLE), 3) "agg3"
+, round(CAST("avg"("cs_sales_price") AS DOUBLE), 3) "agg4"
+FROM
+  catalog_sales
+, customer_demographics
+, date_dim
+, item
+, promotion
+WHERE ("cs_sold_date_sk" = "d_date_sk")
+   AND ("cs_item_sk" = "i_item_sk")
+   AND ("cs_bill_cdemo_sk" = "cd_demo_sk")
+   AND ("cs_promo_sk" = "p_promo_sk")
+   AND ("cd_gender" = 'M')
+   AND ("cd_marital_status" = 'S')
+   AND ("cd_education_status" = 'College')
+   AND (("p_channel_email" = 'N')
+      OR ("p_channel_event" = 'N'))
+   AND ("d_year" = 2000)
+GROUP BY "i_item_id"
+ORDER BY "i_item_id" ASC
+LIMIT 100
+"""
+
+_add("q26", _TEXT_Q26, "TPC-DS q26: catalog-channel demographic item averages (q7's shape on catalog_sales) (vendored: testing/trino-benchmark-queries/.../tpcds/q26.sql).")
+
+
+_TEXT_Q32 = r"""
+SELECT CAST("sum"("cs_ext_discount_amt") AS DOUBLE) "excess discount amount"
+FROM
+  catalog_sales
+, item
+, date_dim
+WHERE ("i_manufact_id" = 977)
+   AND ("i_item_sk" = "cs_item_sk")
+   AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+   AND ("d_date_sk" = "cs_sold_date_sk")
+   AND ("cs_ext_discount_amt" > (
+      SELECT (DECIMAL '1.3' * "avg"("cs_ext_discount_amt"))
+      FROM
+        catalog_sales
+      , date_dim
+      WHERE ("cs_item_sk" = "i_item_sk")
+         AND ("d_date" BETWEEN CAST('2000-01-27' AS DATE) AND (CAST('2000-01-27' AS DATE) + INTERVAL  '90' DAY))
+         AND ("d_date_sk" = "cs_sold_date_sk")
+   ))
+LIMIT 100
+"""
+
+_add("q32", _TEXT_Q32, "TPC-DS q32: excess discount: sales beating 1.3x the item's average discount (correlated scalar subquery, quoted alias with spaces) (vendored: testing/trino-benchmark-queries/.../tpcds/q32.sql).")
+
+
+_TEXT_Q34 = r"""
+SELECT
+  "c_last_name"
+, "c_first_name"
+, "c_salutation"
+, "c_preferred_cust_flag"
+, "ss_ticket_number"
+, "cnt"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "count"(*) "cnt"
+   FROM
+     store_sales
+   , date_dim
+   , store
+   , household_demographics
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND (("date_dim"."d_dom" BETWEEN 1 AND 3)
+         OR ("date_dim"."d_dom" BETWEEN 25 AND 28))
+      AND (("household_demographics"."hd_buy_potential" = '>10000')
+         OR ("household_demographics"."hd_buy_potential" = 'Unknown'))
+      AND ("household_demographics"."hd_vehicle_count" > 0)
+      AND ((CASE WHEN ("household_demographics"."hd_vehicle_count" > 0) THEN (CAST("household_demographics"."hd_dep_count" AS DECIMAL(7,2)) / "household_demographics"."hd_vehicle_count") ELSE null END) > DECIMAL '1.2')
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_county" IN ('Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'   , 'Williamson County'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk"
+)  dn
+, customer
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("cnt" BETWEEN 15 AND 20)
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "c_salutation" ASC, "c_preferred_cust_flag" DESC, "ss_ticket_number" ASC
+"""
+
+_add("q34", _TEXT_Q34, "TPC-DS q34: ticket-sized customer groups: per-ticket line counts BETWEEN 15 AND 20 with vehicle/dependents ratios (vendored: testing/trino-benchmark-queries/.../tpcds/q34.sql).")
 
 
 _TEXT_Q36 = r"""
@@ -784,6 +907,52 @@ LIMIT 100
 """
 
 _add("q42", _TEXT_Q42, "TPC-DS q42: category revenue for one manager's items, November 2000 (vendored: testing/trino-benchmark-queries/.../tpcds/q42.sql).")
+
+
+_TEXT_Q46 = r"""
+SELECT
+  "c_last_name"
+, "c_first_name"
+, "ca_city"
+, "bought_city"
+, "ss_ticket_number"
+, "amt"
+, "profit"
+FROM
+  (
+   SELECT
+     "ss_ticket_number"
+   , "ss_customer_sk"
+   , "ca_city" "bought_city"
+   , CAST("sum"("ss_coupon_amt") AS DOUBLE) "amt"
+   , CAST("sum"("ss_net_profit") AS DOUBLE) "profit"
+   FROM
+     store_sales
+   , date_dim
+   , store
+   , household_demographics
+   , customer_address
+   WHERE ("store_sales"."ss_sold_date_sk" = "date_dim"."d_date_sk")
+      AND ("store_sales"."ss_store_sk" = "store"."s_store_sk")
+      AND ("store_sales"."ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("store_sales"."ss_addr_sk" = "customer_address"."ca_address_sk")
+      AND (("household_demographics"."hd_dep_count" = 4)
+         OR ("household_demographics"."hd_vehicle_count" = 3))
+      AND ("date_dim"."d_dow" IN (6   , 0))
+      AND ("date_dim"."d_year" IN (1999   , (1999 + 1)   , (1999 + 2)))
+      AND ("store"."s_city" IN ('Fairview'   , 'Midway'   , 'Fairview'   , 'Fairview'   , 'Fairview'))
+   GROUP BY "ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "ca_city"
+)  dn
+, customer
+, customer_address current_addr
+WHERE ("ss_customer_sk" = "c_customer_sk")
+   AND ("customer"."c_current_addr_sk" = "current_addr"."ca_address_sk")
+   AND ("current_addr"."ca_city" <> "bought_city")
+ORDER BY "c_last_name" ASC, "c_first_name" ASC, "ca_city" ASC, "bought_city" ASC, "ss_ticket_number" ASC
+LIMIT 100
+"""
+
+_add("q46", _TEXT_Q46, "TPC-DS q46: weekend city purchases where bought city differs from home city (double customer_address join) (vendored: testing/trino-benchmark-queries/.../tpcds/q46.sql).")
 
 
 _TEXT_Q51 = r"""
@@ -888,6 +1057,291 @@ LIMIT 100
 """
 
 _add("q55", _TEXT_Q55, "TPC-DS q55: brand revenue for one manager, November 1999 (vendored: testing/trino-benchmark-queries/.../tpcds/q55.sql).")
+
+
+_TEXT_Q61 = r"""
+SELECT
+  "promotions"
+, "total"
+, round(((CAST("promotions" AS DOUBLE) / CAST("total" AS DOUBLE)) * 100), 6) "promo_pct"
+FROM
+  (
+   SELECT CAST("sum"("ss_ext_sales_price") AS DOUBLE) "promotions"
+   FROM
+     store_sales
+   , store
+   , promotion
+   , date_dim
+   , customer
+   , customer_address
+   , item
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("ss_promo_sk" = "p_promo_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ca_address_sk" = "c_current_addr_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ca_gmt_offset" = -5)
+      AND ("i_category" = 'Jewelry')
+      AND (("p_channel_dmail" = 'Y')
+         OR ("p_channel_email" = 'Y')
+         OR ("p_channel_tv" = 'Y'))
+      AND ("s_gmt_offset" = -5)
+      AND ("d_year" = 1998)
+      AND ("d_moy" = 11)
+)  promotional_sales
+, (
+   SELECT CAST("sum"("ss_ext_sales_price") AS DOUBLE) "total"
+   FROM
+     store_sales
+   , store
+   , date_dim
+   , customer
+   , customer_address
+   , item
+   WHERE ("ss_sold_date_sk" = "d_date_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("ss_customer_sk" = "c_customer_sk")
+      AND ("ca_address_sk" = "c_current_addr_sk")
+      AND ("ss_item_sk" = "i_item_sk")
+      AND ("ca_gmt_offset" = -5)
+      AND ("i_category" = 'Jewelry')
+      AND ("s_gmt_offset" = -5)
+      AND ("d_year" = 1998)
+      AND ("d_moy" = 11)
+)  all_sales
+ORDER BY "promotions" ASC, "total" ASC
+LIMIT 100
+"""
+
+_add("q61", _TEXT_Q61, "TPC-DS q61: promotional-channel revenue share: two scalar subqueries cross-joined into a ratio (vendored: testing/trino-benchmark-queries/.../tpcds/q61.sql).")
+
+
+_TEXT_Q71 = r"""
+SELECT
+  "i_brand_id" "brand_id"
+, "i_brand" "brand"
+, "t_hour"
+, "t_minute"
+, CAST("sum"("ext_price") AS DOUBLE) "ext_price"
+FROM
+  item
+, (
+   SELECT
+     "ws_ext_sales_price" "ext_price"
+   , "ws_sold_date_sk" "sold_date_sk"
+   , "ws_item_sk" "sold_item_sk"
+   , "ws_sold_time_sk" "time_sk"
+   FROM
+     web_sales
+   , date_dim
+   WHERE ("d_date_sk" = "ws_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+UNION ALL    SELECT
+     "cs_ext_sales_price" "ext_price"
+   , "cs_sold_date_sk" "sold_date_sk"
+   , "cs_item_sk" "sold_item_sk"
+   , "cs_sold_time_sk" "time_sk"
+   FROM
+     catalog_sales
+   , date_dim
+   WHERE ("d_date_sk" = "cs_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+UNION ALL    SELECT
+     "ss_ext_sales_price" "ext_price"
+   , "ss_sold_date_sk" "sold_date_sk"
+   , "ss_item_sk" "sold_item_sk"
+   , "ss_sold_time_sk" "time_sk"
+   FROM
+     store_sales
+   , date_dim
+   WHERE ("d_date_sk" = "ss_sold_date_sk")
+      AND ("d_moy" = 11)
+      AND ("d_year" = 1999)
+)  tmp
+, time_dim
+WHERE ("sold_item_sk" = "i_item_sk")
+   AND ("i_manager_id" = 1)
+   AND ("time_sk" = "t_time_sk")
+   AND (("t_meal_time" = 'breakfast')
+      OR ("t_meal_time" = 'dinner'))
+GROUP BY "i_brand", "i_brand_id", "t_hour", "t_minute"
+ORDER BY "ext_price" DESC, "i_brand_id" ASC,
+   -- additional columns to assure results stability for larger scale factors; this is a deviation from TPC-DS specification
+   "t_hour" ASC, "t_minute" ASC
+"""
+
+_add("q71", _TEXT_Q71, "TPC-DS q71: brand revenue by time-of-day over a 3-channel UNION ALL (web+catalog+store) at breakfast/dinner (vendored: testing/trino-benchmark-queries/.../tpcds/q71.sql).")
+
+
+_TEXT_Q88 = r"""
+SELECT *
+FROM
+  (
+   SELECT "count"(*) "h8_30_to_9"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 8)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s1
+, (
+   SELECT "count"(*) "h9_to_9_30"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 9)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s2
+, (
+   SELECT "count"(*) "h9_30_to_10"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 9)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s3
+, (
+   SELECT "count"(*) "h10_to_10_30"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 10)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s4
+, (
+   SELECT "count"(*) "h10_30_to_11"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 10)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s5
+, (
+   SELECT "count"(*) "h11_to_11_30"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 11)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s6
+, (
+   SELECT "count"(*) "h11_30_to_12"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 11)
+      AND ("time_dim"."t_minute" >= 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s7
+, (
+   SELECT "count"(*) "h12_to_12_30"
+   FROM
+     store_sales
+   , household_demographics
+   , time_dim
+   , store
+   WHERE ("ss_sold_time_sk" = "time_dim"."t_time_sk")
+      AND ("ss_hdemo_sk" = "household_demographics"."hd_demo_sk")
+      AND ("ss_store_sk" = "s_store_sk")
+      AND ("time_dim"."t_hour" = 12)
+      AND ("time_dim"."t_minute" < 30)
+      AND ((("household_demographics"."hd_dep_count" = 4)
+            AND ("household_demographics"."hd_vehicle_count" <= (4 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 2)
+            AND ("household_demographics"."hd_vehicle_count" <= (2 + 2)))
+         OR (("household_demographics"."hd_dep_count" = 0)
+            AND ("household_demographics"."hd_vehicle_count" <= (0 + 2))))
+      AND ("store"."s_store_name" = 'ese')
+)  s8
+"""
+
+_add("q88", _TEXT_Q88, "TPC-DS q88: 8 half-hour traffic-count subqueries cross-joined into one row (vendored: testing/trino-benchmark-queries/.../tpcds/q88.sql).")
 
 
 _TEXT_Q96 = r"""

@@ -58,7 +58,13 @@ N_TIME = 86_400
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 2
+GEN_VERSION = 3
+
+#: store_sales rows per ticket: all rows of a ticket share date/time/
+#: store/customer/demographic keys, like dsdgen's multi-line tickets —
+#: q34/q46 group on (ss_ticket_number, ss_customer_sk) and need per-ticket
+#: line counts
+TICKET_LINES = 20
 
 _SALES_START = (_dt.date(1998, 1, 1) - _CAL_START).days
 _SALES_SPAN = (_dt.date(2003, 1, 1) - _dt.date(1998, 1, 1)).days  # 1826
@@ -78,6 +84,11 @@ _ZIP_POOL = ["24128", "57834", "13354", "15734", "78668"]
 _STORE_NAMES = ["ought", "able", "pri", "ese", "anti", "cally", "ation", "eing"]
 _MARITAL = ["M", "S", "W", "D"]
 _EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree"]
+_BUY_POTENTIAL = [">10000", "Unknown", "1001-5000", "501-1000", "0-500"]
+_CITIES = ["Fairview", "Midway", "Pleasant Hill", "Oak Grove", "Centerville", "Riverside"]
+_FIRST = ["James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael", "Linda"]
+_LAST = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller", "Davis"]
+_SALUTATION = ["Mr.", "Mrs.", "Ms.", "Dr."]
 
 TABLES = (
     "date_dim", "item", "store", "customer", "customer_address",
@@ -141,6 +152,8 @@ def _date_dim(spark, par):
         F.dayofmonth(d).cast("int").alias("d_dom"),
         F.quarter(d).cast("int").alias("d_qoy"),
         ((F.year(d) - 1900) * 12 + F.month(d) - 1).cast("int").alias("d_month_seq"),
+        # 0 = Sunday .. 6 = Saturday (q46 filters weekends via IN (6, 0))
+        (F.dayofweek(d) - 1).cast("int").alias("d_dow"),
     )
 
 
@@ -160,8 +173,16 @@ def _item(spark, par):
         F.concat(F.lit("class_"), cat_id, F.lit("_"), class_n).alias("i_class"),
         cat_id.alias("i_category_id"),
         cat.alias("i_category"),
-        (_h("i_manu", i, 200) + 1).cast("int").alias("i_manufact_id"),
-        F.concat(F.lit("manufact_"), (_h("i_manu", i, 200) + 1)).alias("i_manufact"),
+        # every 100th item carries q32's literal manufacturer id 977 so the
+        # correlated-discount query has data to exceed 1.3x the average
+        F.when(F.pmod(i, F.lit(100)) == 7, F.lit(977))
+        .otherwise((_h("i_manu", i, 200) + 1))
+        .cast("int")
+        .alias("i_manufact_id"),
+        F.concat(
+            F.lit("manufact_"),
+            F.when(F.pmod(i, F.lit(100)) == 7, F.lit(977)).otherwise(_h("i_manu", i, 200) + 1),
+        ).alias("i_manufact"),
         (_h("i_mgr", i, 100) + 1).cast("int").alias("i_manager_id"),
         _money("i_price", i, 0.5, 100.0).alias("i_current_price"),
     )
@@ -178,6 +199,12 @@ def _store(spark, par):
         ).alias("s_store_name"),
         # 3 of 4 stores are in TN — q1 / q36 filter s_state = 'TN'
         F.when(F.pmod(i, F.lit(4)) < 3, F.lit("TN")).otherwise(F.lit("CA")).alias("s_state"),
+        F.lit("Williamson County").alias("s_county"),  # q34's literal
+        _pick("s_city", i, _CITIES[:3]).alias("s_city"),
+        # most stores in the q61 gmt band
+        F.when(F.pmod(i, F.lit(6)) < 5, F.lit(-5.0)).otherwise(F.lit(-6.0))
+        .cast("decimal(5,2)")
+        .alias("s_gmt_offset"),
         _pick("s_zip", i, _ZIP_POOL).alias("s_zip"),
     )
 
@@ -187,6 +214,9 @@ def _customer(spark, par):
     return _range(spark, N_CUSTOMER, par).select(
         (i + 1).cast("int").alias("c_customer_sk"),
         F.concat(F.lit("CUST"), F.lpad((i + 1).cast("string"), 10, "0")).alias("c_customer_id"),
+        _pick("c_sal", i, _SALUTATION).alias("c_salutation"),
+        _pick("c_first", i, _FIRST).alias("c_first_name"),
+        _pick("c_last", i, _LAST).alias("c_last_name"),
         (_h("c_addr", i, N_ADDRESS) + 1).cast("int").alias("c_current_addr_sk"),
         F.when(_h("c_pref", i, 2) == 0, F.lit("Y")).otherwise(F.lit("N")).alias(
             "c_preferred_cust_flag"
@@ -199,12 +229,16 @@ def _customer_address(spark, par):
     random_zip = F.lpad((10000 + _h("ca_zr", i, 89999)).cast("string"), 5, "0")
     return _range(spark, N_ADDRESS, par).select(
         (i + 1).cast("int").alias("ca_address_sk"),
+        _pick("ca_city", i, _CITIES).alias("ca_city"),
         _pick("ca_st", i, _STATES).alias("ca_state"),
         # 30% of addresses share q08's hot zips; the rest are uniform
         F.when(_h("ca_zh", i, 10) < 3, _pick("ca_zp", i, _ZIP_POOL)).otherwise(random_zip).alias(
             "ca_zip"
         ),
         F.lit("United States").alias("ca_country"),
+        F.when(_h("ca_gmt", i, 10) < 7, F.lit(-5.0)).otherwise(F.lit(-6.0))
+        .cast("decimal(5,2)")
+        .alias("ca_gmt_offset"),
     )
 
 
@@ -213,18 +247,22 @@ def _sold_date_sk(seed: str, key) -> F.Column:
 
 
 def _store_sales(spark, par):
+    """Ticket-grouped like dsdgen: every TICKET_LINES rows form one ticket
+    sharing date/time/store/customer/demographic/address keys (q34/q46
+    group on the ticket); item and money columns stay per-line."""
     i = F.col("id")
+    tk = (i / TICKET_LINES).cast("long")  # ticket index
     return _range(spark, N_STORE_SALES, par).select(
-        _sold_date_sk("ss_day", i).alias("ss_sold_date_sk"),
-        _h("ss_time", i, N_TIME).cast("int").alias("ss_sold_time_sk"),
+        _sold_date_sk("ss_day", tk).alias("ss_sold_date_sk"),
+        _h("ss_time", tk, N_TIME).cast("int").alias("ss_sold_time_sk"),
         (_h("ss_item", i, N_ITEM) + 1).cast("int").alias("ss_item_sk"),
-        (_h("ss_cust", i, N_CUSTOMER) + 1).cast("int").alias("ss_customer_sk"),
-        (_h("ss_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("ss_cdemo_sk"),
-        (_h("ss_hdemo", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ss_hdemo_sk"),
-        (_h("ss_addr", i, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
-        (_h("ss_store", i, N_STORE) + 1).cast("int").alias("ss_store_sk"),
+        (_h("ss_cust", tk, N_CUSTOMER) + 1).cast("int").alias("ss_customer_sk"),
+        (_h("ss_cdemo", tk, N_CUSTOMER_DEMO) + 1).cast("int").alias("ss_cdemo_sk"),
+        (_h("ss_hdemo", tk, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ss_hdemo_sk"),
+        (_h("ss_addr", tk, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
+        (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("ss_store_sk"),
         (_h("ss_promo", i, N_PROMO) + 1).cast("int").alias("ss_promo_sk"),
-        (i + 1).alias("ss_ticket_number"),
+        (tk + 1).alias("ss_ticket_number"),
         (_h("ss_qty", i, 100) + 1).cast("int").alias("ss_quantity"),
         _money("ss_price", i, 1.0, 200.0).alias("ss_sales_price"),
         _money("ss_list", i, 1.0, 250.0).alias("ss_list_price"),
@@ -251,9 +289,11 @@ def _web_sales(spark, par):
     i = F.col("id")
     return _range(spark, N_WEB_SALES, par).select(
         _sold_date_sk("ws_day", i).alias("ws_sold_date_sk"),
+        _h("ws_time", i, N_TIME).cast("int").alias("ws_sold_time_sk"),
         (_h("ws_item", i, N_ITEM) + 1).cast("int").alias("ws_item_sk"),
         (_h("ws_cust", i, N_CUSTOMER) + 1).cast("int").alias("ws_bill_customer_sk"),
         _money("ws_price", i, 1.0, 200.0).alias("ws_sales_price"),
+        _money("ws_ext", i, 1.0, 2000.0).alias("ws_ext_sales_price"),
     )
 
 
@@ -261,19 +301,32 @@ def _catalog_sales(spark, par):
     i = F.col("id")
     return _range(spark, N_CATALOG_SALES, par).select(
         _sold_date_sk("cs_day", i).alias("cs_sold_date_sk"),
+        _h("cs_time", i, N_TIME).cast("int").alias("cs_sold_time_sk"),
         (_h("cs_item", i, N_ITEM) + 1).cast("int").alias("cs_item_sk"),
         (_h("cs_cust", i, N_CUSTOMER) + 1).cast("int").alias("cs_bill_customer_sk"),
+        (_h("cs_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("cs_bill_cdemo_sk"),
+        (_h("cs_promo", i, N_PROMO) + 1).cast("int").alias("cs_promo_sk"),
+        (_h("cs_qty", i, 100) + 1).cast("int").alias("cs_quantity"),
         _money("cs_price", i, 1.0, 200.0).alias("cs_sales_price"),
+        _money("cs_list", i, 1.0, 250.0).alias("cs_list_price"),
+        _money("cs_coupon", i, 0.0, 50.0).alias("cs_coupon_amt"),
+        _money("cs_ext", i, 1.0, 2000.0).alias("cs_ext_sales_price"),
+        _money("cs_disc", i, 0.0, 100.0).alias("cs_ext_discount_amt"),
     )
 
 
 def _time_dim(spark, par):
     i = F.col("id")
+    hour = (i / 3600).cast("int")
     return _range(spark, N_TIME, par).select(
         i.cast("int").alias("t_time_sk"),
-        (i / 3600).cast("int").alias("t_hour"),
+        hour.alias("t_hour"),
         (F.pmod(i, F.lit(3600)) / 60).cast("int").alias("t_minute"),
         F.pmod(i, F.lit(60)).cast("int").alias("t_second"),
+        F.when((hour >= 6) & (hour < 9), F.lit("breakfast"))
+        .when((hour >= 17) & (hour < 21), F.lit("dinner"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("t_meal_time"),
     )
 
 
@@ -281,6 +334,7 @@ def _household_demographics(spark, par):
     i = F.col("id")
     return _range(spark, N_HOUSEHOLD_DEMO, par).select(
         (i + 1).cast("int").alias("hd_demo_sk"),
+        _pick("hd_buy", i, _BUY_POTENTIAL).alias("hd_buy_potential"),
         _h("hd_dep", i, 10).cast("int").alias("hd_dep_count"),
         (_h("hd_veh", i, 5) - 1).cast("int").alias("hd_vehicle_count"),
     )
@@ -303,6 +357,8 @@ def _promotion(spark, par):
         F.concat(F.lit("promo_"), (i + 1)).alias("p_promo_name"),
         F.when(_h("p_em", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_email"),
         F.when(_h("p_ev", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_event"),
+        F.when(_h("p_dm", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_dmail"),
+        F.when(_h("p_tv", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_tv"),
     )
 
 
