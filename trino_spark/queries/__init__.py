@@ -123,6 +123,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q61",
         "tpcds_q71",
         "tpcds_q88",
+        "tpcds_q02",
+        "tpcds_q89",
         "multimodal_ppm_decode",  # real netpbm decode vs closed-form oracle
         "jdbc_agg_pushdown",  # whole-aggregation pushdown into JDBC
     ]

@@ -58,7 +58,7 @@ N_TIME = 86_400
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 #: store_sales rows per ticket: all rows of a ticket share date/time/
 #: store/customer/demographic keys, like dsdgen's multi-line tickets —
@@ -73,6 +73,19 @@ _CATEGORIES = [
     "Books", "Children", "Electronics", "Home", "Jewelry",
     "Men", "Music", "Shoes", "Sports", "Women",
 ]
+# dsdgen's real per-category class names (q89 filters on them)
+_CLASSES = {
+    "Books": ["computers", "business", "fiction", "history", "home repair"],
+    "Children": ["toddlers", "infants", "newborn", "school-uniforms", "athletic-shoes"],
+    "Electronics": ["stereo", "camcorders", "televisions", "audio", "karoke"],
+    "Home": ["bathroom", "bedding", "curtains/drapes", "blinds/shades", "flatware"],
+    "Jewelry": ["birdal", "diamonds", "gold", "estate", "custom"],
+    "Men": ["shirts", "pants", "sports-apparel", "accessories", "underwear"],
+    "Music": ["rock", "country", "pop", "classical", "jazz"],
+    "Shoes": ["mens", "womens", "kids", "athletic", "work"],
+    "Sports": ["football", "baseball", "camping", "basketball", "optics"],
+    "Women": ["dresses", "fragrances", "maternity", "swimwear", "accessories"],
+}
 # q13's literal states must be reachable
 _STATES = [
     "TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "NC", "FL",
@@ -154,6 +167,11 @@ def _date_dim(spark, par):
         ((F.year(d) - 1900) * 12 + F.month(d) - 1).cast("int").alias("d_month_seq"),
         # 0 = Sunday .. 6 = Saturday (q46 filters weekends via IN (6, 0))
         (F.dayofweek(d) - 1).cast("int").alias("d_dow"),
+        F.date_format(d, "EEEE").alias("d_day_name"),
+        # Sunday-aligned week counter (q2 pivots by week and joins
+        # year-over-year at a 53-week offset); 1900-01-02 was a Tuesday,
+        # so day index i=5 (1900-01-07) opens week 2
+        ((i + 2) / 7 + 1).cast("int").alias("d_week_seq"),
     )
 
 
@@ -163,6 +181,11 @@ def _item(spark, par):
     cat = F.element_at(F.array(*[F.lit(c) for c in _CATEGORIES]), cat_id)
     brand_id = (_h("i_brand", i, 500) + 1).cast("int")
     class_n = (_h("i_class", i, 5) + 1).cast("int")
+    # 2-D lookup: class name depends on (category, class slot)
+    class_matrix = F.array(
+        *[F.array(*[F.lit(c) for c in _CLASSES[cat_name]]) for cat_name in _CATEGORIES]
+    )
+    class_name = F.element_at(F.element_at(class_matrix, cat_id), class_n)
     return _range(spark, N_ITEM, par).select(
         (i + 1).cast("int").alias("i_item_sk"),
         F.concat(F.lit("ITEM"), F.lpad((i + 1).cast("string"), 8, "0")).alias("i_item_id"),
@@ -170,7 +193,7 @@ def _item(spark, par):
         brand_id.alias("i_brand_id"),
         F.concat(F.lit("Brand#"), brand_id).alias("i_brand"),
         class_n.alias("i_class_id"),
-        F.concat(F.lit("class_"), cat_id, F.lit("_"), class_n).alias("i_class"),
+        class_name.alias("i_class"),
         cat_id.alias("i_category_id"),
         cat.alias("i_category"),
         # every 100th item carries q32's literal manufacturer id 977 so the
@@ -200,6 +223,7 @@ def _store(spark, par):
         # 3 of 4 stores are in TN — q1 / q36 filter s_state = 'TN'
         F.when(F.pmod(i, F.lit(4)) < 3, F.lit("TN")).otherwise(F.lit("CA")).alias("s_state"),
         F.lit("Williamson County").alias("s_county"),  # q34's literal
+        F.lit("Unknown").alias("s_company_name"),  # dsdgen's single company
         _pick("s_city", i, _CITIES[:3]).alias("s_city"),
         # most stores in the q61 gmt band
         F.when(F.pmod(i, F.lit(6)) < 5, F.lit(-5.0)).otherwise(F.lit(-6.0))
