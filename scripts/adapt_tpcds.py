@@ -194,15 +194,11 @@ REG = QueryRegistry()
 
 
 def _engine(spark: SparkSession, sf: str):
-    """One TrinoEngine + tpcds registration per (session, sf_dir)."""
-    from trino_spark.dialect import TrinoEngine
+    """Shared per-(session, sf_dir) engine + tpcds view registration."""
+    from trino_spark.queries.base import engine_for
     from trino_spark.sources import tpcdsgen
 
-    key = f"_tpcds_engine_{{sf}}"
-    eng = getattr(spark, key, None)
-    if eng is None:
-        eng = TrinoEngine(spark, sf_dir=sf)
-        setattr(spark, key, eng)
+    eng = engine_for(spark, sf)
     tpcdsgen.register_tpcds(spark)
     return eng
 

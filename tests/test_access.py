@@ -229,3 +229,31 @@ class TestRowFiltersAndMasks:
         eng.sql("SET ROLE filtered")
         row = eng.sql("SELECT 'nation' AS word").collect()[0]
         assert row.word == "nation"
+
+
+class TestSecurityHardening:
+    """Round-3 review findings: statement-shape bypasses and evaluation
+    order of row filters vs column masks."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("CREATE ROLE hard")
+        engine.sql("GRANT SELECT ON nation TO ROLE hard")
+        yield engine
+        engine.sql("SET ROLE NONE")
+
+    def test_parenthesized_select_cannot_bypass_row_filter(self, eng):
+        eng.sql("CALL system.add_row_filter('hard', 'nation', 'n_regionkey = 0')")
+        eng.sql("SET ROLE hard")
+        assert eng.sql("(SELECT count(*) AS c FROM nation)").collect()[0].c == 5
+        assert eng.sql("/* hi */ SELECT count(*) AS c FROM nation").collect()[0].c == 5
+
+    def test_row_filter_sees_unmasked_values(self, eng):
+        # the reference evaluates getRowFilters on the underlying row and
+        # masks only the survivors — filtering on masked values would
+        # silently return the wrong set
+        eng.sql("CALL system.add_column_mask('hard', 'nation', 'n_name', '''XX''')")
+        eng.sql("CALL system.add_row_filter('hard', 'nation', 'n_name = ''NATION_3''')")
+        eng.sql("SET ROLE hard")
+        rows = eng.sql("SELECT n_name FROM nation").collect()
+        assert len(rows) == 1 and rows[0].n_name == "XX"

@@ -353,3 +353,16 @@ def test_delete_data_column_predicate_across_partitions(engine):
     assert n == 13  # evens 0,2,...,24 all survive the first delete (k=3 was odd)
     assert engine.sql("SELECT count(*) AS c FROM ps_data").collect()[0].c == 25 - 1 - 13
     engine.sql("DROP TABLE ps_data")
+
+
+def test_partition_column_ddl_guards(engine):
+    """Dropping a partition column is rejected (the layout references
+    it); renaming one updates the layout so later commits still work."""
+    _fresh(engine, "pc_ddl")
+    with pytest.raises(ValueError, match="partition column"):
+        engine.sql("ALTER TABLE pc_ddl DROP COLUMN r")
+    engine.sql("ALTER TABLE pc_ddl RENAME COLUMN r TO region_k")
+    assert engine._dml_layouts["pc_ddl"] == ["region_k"]
+    engine.sql("DELETE FROM pc_ddl WHERE region_k = 0")  # layout still valid
+    assert engine.sql("SELECT count(*) AS c FROM pc_ddl").collect()[0].c == 20
+    engine.sql("DROP TABLE pc_ddl")

@@ -182,3 +182,30 @@ def test_spooled_matches_inline(server):
     _, inline_rows = fetch_all(server.url(), q)
     _, spooled_rows = fetch_all(server.url(), q, spooled=True)
     assert spooled_rows == inline_rows
+
+
+def test_spool_path_traversal_rejected(server):
+    """'..' as a query id must never reach rmtree/open (review finding:
+    DELETE /v1/statement/executing/.. would have deleted spark-warehouse)."""
+    import os
+    import urllib.error
+    import urllib.request
+
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+    )
+    before = os.path.isdir(warehouse)
+    req = urllib.request.Request(
+        f"{server.url()}/v1/statement/executing/../x/0", method="DELETE"
+    )
+    try:
+        urllib.request.urlopen(req)
+    except urllib.error.HTTPError:
+        pass
+    assert os.path.isdir(warehouse) == before
+    for bad in ("/v1/spooled/..", "/v1/spooled/../0", "/v1/spooled/abc/xyz"):
+        try:
+            urllib.request.urlopen(f"{server.url()}{bad}")
+            raise AssertionError(f"{bad} should not succeed")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404

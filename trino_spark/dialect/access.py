@@ -286,24 +286,26 @@ def apply_security(engine, sql: str) -> str:
     for tbl in tables:
         if not re.search(rf"\b{re.escape(tbl)}\b", sql, re.IGNORECASE):
             continue
+        from pyspark.sql import functions as F
+
         from trino_spark.dialect.rewrites import translate
 
         df = engine.spark.table(tbl)
+        # Row filter FIRST, against the underlying data — the reference
+        # evaluates getRowFilters on real rows and only then masks the
+        # surviving rows' columns (a filter referencing a masked column
+        # must not see masked values).
+        pred = st["row_filters"].get((role, tbl))
+        if pred:
+            df = df.filter(F.expr(translate(pred)))
         masks = st["column_masks"].get((role, tbl), {})
         if masks:
-            from pyspark.sql import functions as F
-
             df = df.select(
                 *[
                     F.expr(translate(masks[c.lower()])).alias(c) if c.lower() in masks else F.col(c)
                     for c in df.columns
                 ]
             )
-        pred = st["row_filters"].get((role, tbl))
-        if pred:
-            from pyspark.sql import functions as F
-
-            df = df.filter(F.expr(translate(pred)))
         view = f"__sec_{role}_{tbl}"
         df.createOrReplaceTempView(view)
         secured[tbl] = view
@@ -311,16 +313,22 @@ def apply_security(engine, sql: str) -> str:
         return sql
     # word-boundary substitution outside string literals; qualified
     # references (schema.tbl) collapse to the secured view too
-    parts = re.split(r"('(?:[^']|'')*')", sql)
-    out = []
-    for p in parts:
-        if p.startswith("'"):
-            out.append(p)
-            continue
+    def _rewrite(chunk: str) -> str:
         for tbl, view in secured.items():
-            p = re.sub(rf"\b(?:[A-Za-z_][\w$]*\.)*{re.escape(tbl)}\b", view, p, flags=re.IGNORECASE)
-        out.append(p)
-    return "".join(out)
+            chunk = re.sub(
+                rf"\b(?:[A-Za-z_][\w$]*\.)*{re.escape(tbl)}\b", view, chunk, flags=re.IGNORECASE
+            )
+        return chunk
+
+    return map_outside_literals(sql, _rewrite)
+
+
+def map_outside_literals(sql: str, fn) -> str:
+    """Apply `fn` to every chunk of `sql` OUTSIDE single-quoted string
+    literals (shared by the engine's system-table substitution and the
+    security rewrite — one literal-skipping implementation)."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if p.startswith("'") else fn(p) for p in parts)
 
 
 # ---------------------------------------------------------------- CALL

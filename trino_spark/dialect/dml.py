@@ -1036,12 +1036,19 @@ def _alter_table(engine, sql: str) -> DataFrame:
             raise ValueError(f"column not found: {col}")
         if len(df.columns) == 1:
             raise ValueError("cannot drop the only column")
+        if col in (getattr(engine, "_dml_layouts", {}).get(name) or []):
+            # Trino table formats reject this too (the layout references it)
+            raise ValueError(f"cannot drop partition column: {col}")
         out = df.drop(col)
     elif au.startswith("RENAME COLUMN"):
         am = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", action, re.IGNORECASE)
         old, new = _norm_name(am.group(1)), _norm_name(am.group(2))
         if old not in df.columns:
             raise ValueError(f"column not found: {old}")
+        layout = getattr(engine, "_dml_layouts", {}).get(name)
+        if layout and old in layout:
+            # keep the hive layout pointing at the renamed column
+            engine._dml_layouts[name] = [new if c == old else c for c in layout]
         out = df.withColumnRenamed(old, new)
     elif au.startswith("RENAME TO"):
         new = _norm_name(action.split()[2])
@@ -1062,8 +1069,7 @@ def _alter_table(engine, sql: str) -> DataFrame:
             layouts[new] = layouts.pop(name)
         engine.spark.catalog.dropTempView(name)
         engine.spark.read.parquet(newpath).createOrReplaceTempView(new)
-        refresh_infoschema(engine, dropped=name)
-        refresh_infoschema(engine, changed=new)
+        refresh_infoschema(engine, changed=new, dropped=name)
         return engine.spark.createDataFrame([(0,)], "rows: bigint")
     else:
         raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")

@@ -99,8 +99,24 @@ class TrinoEngine:
     def _sub_outside_literals(sql: str, target: str, repl: str) -> str:
         """Replace `target` only OUTSIDE single-quoted string literals —
         a raw str.replace would corrupt e.g. SELECT 'system.runtime.nodes'."""
-        parts = re.split(r"('(?:[^']|'')*')", sql)
-        return "".join(p if p.startswith("'") else p.replace(target, repl) for p in parts)
+        from trino_spark.dialect.access import map_outside_literals
+
+        return map_outside_literals(sql, lambda p: p.replace(target, repl))
+
+    @staticmethod
+    def _first_keyword(sql: str) -> str:
+        """First WORD token of the statement, uppercased — skips leading
+        whitespace, comments, and parentheses, so statement-type dispatch
+        cannot be fooled by '(SELECT ...' or '/* c */ SELECT ...'."""
+        from trino_spark.dialect.tokenizer import tokenize
+
+        for t in tokenize(sql):
+            if t.kind == "WORD":
+                return t.text.upper()
+            if t.kind == "WS" or (t.kind == "SYM" and t.text == "("):
+                continue
+            break
+        return ""
 
     def _sql_inner(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
@@ -222,11 +238,13 @@ class TrinoEngine:
         if acl_out is not None:
             return acl_out
         _access.enforce(self, stripped)
-        if up[:1] in (["SELECT"], ["WITH"], ["VALUES"], ["TABLE"]):
+        if self._first_keyword(stripped) in ("SELECT", "WITH", "VALUES", "TABLE"):
             # Row filters / column masks (ConnectorAccessControl
             # getRowFilters/getColumnMasks): reads under an active role see
             # secured views. DML reads recurse through this dispatch, so
-            # their SELECT halves are covered too.
+            # their SELECT halves are covered too. Detection is token-based
+            # — a leading '(', comment, or whitespace must not let a read
+            # bypass the security rewrite.
             trino_sql = stripped = _access.apply_security(self, stripped)
         if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"], ["ALTER"]) or (
             up[:2]
@@ -444,7 +462,7 @@ class TrinoEngine:
                 cache = self._stats_cache = {}
             tbl = stripped.split()[1].strip('"').split(".")[-1].lower()
             cache.pop(tbl, None)
-            n = show_stats(self.spark, tbl, cache=cache).where(
+            n = show_stats(self.spark, tbl, cache=cache, populate=True).where(
                 "column_name IS NULL"
             ).collect()[0].row_count
             return self.spark.createDataFrame([(tbl, int(n or 0))], "table_name: string, rows: bigint")
@@ -522,6 +540,7 @@ class TrinoEngine:
         df.write.mode("overwrite").parquet(path)
         stored = self.spark.read.parquet(path)
         stored.createOrReplaceTempView(name)
+        getattr(self, "_stats_cache", {}).pop(name, None)  # new data, stale stats
         self._mv_meta[name] = {
             "sources": self._mv_source_fingerprints(self.materialized_views[name]),
             "last_fresh_time": datetime.datetime.now(datetime.timezone.utc).isoformat(),

@@ -1197,18 +1197,32 @@ def _rewrite_table_ptf(toks: list[Tok]) -> list[Tok]:
 
 _SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
 
+# Unquoting "from" etc. would re-keyword an identifier Trino quoted
+# precisely to escape — those keep their quoting (as backticks).
+_RESERVED_WORDS = frozenset(
+    """all and any as asc between by case cast create cross cube current
+    delete desc distinct drop else end escape except exists false fetch
+    following for from full group grouping having in inner insert intersect
+    interval into is join lateral left like limit natural not null offset
+    on or order outer over partition preceding right rollup row rows select
+    set some table then to true union unnest update using values when where
+    window with""".split()
+)
+
 
 def _rewrite_qident(toks):
     """Trino double-quoted identifiers -> Spark form (SqlBase.g4
     quotedIdentifier; the vendored TPC-DS corpus quotes every identifier,
-    including function names like "sum"(...)). Simple identifiers drop the
-    quotes and become WORD tokens — so later passes (function renames,
-    keyword logic) see them; anything else becomes a backtick identifier."""
+    including function names like "sum"(...)). Simple non-reserved
+    identifiers drop the quotes and become WORD tokens — so later passes
+    (function renames, keyword logic) see them; reserved words and
+    non-simple names become backtick identifiers (still quoted, never
+    re-keyworded)."""
     out = []
     for t in toks:
         if t.kind == "QIDENT":
             inner = t.text[1:-1]
-            if _SIMPLE_IDENT.match(inner):
+            if _SIMPLE_IDENT.match(inner) and inner.lower() not in _RESERVED_WORDS:
                 out.append(Tok("WORD", inner))
             else:
                 out.append(Tok("QIDENT", f"`{inner}`"))

@@ -56,7 +56,7 @@ def rewrite_show(sql: str) -> str | None:
     return None
 
 
-def show_stats(spark: SparkSession, table: str, cache: dict | None = None):
+def show_stats(spark: SparkSession, table: str, cache: dict | None = None, populate: bool = False):
     """SHOW STATS FOR <table> — Trino's table statistics surface
     (reference: ShowStatsRewrite.java; stats model spi/statistics/).
 
@@ -67,7 +67,10 @@ def show_stats(spark: SparkSession, table: str, cache: dict | None = None):
     single agg — no per-column scans); only the 1-row agg result is
     collected. When an ANALYZE-populated `cache` holds the table, the
     cached relation is served without a scan (AnalyzeTask.java: ANALYZE
-    persists statistics, SHOW STATS reads them back)."""
+    persists statistics, SHOW STATS reads them back). Only ANALYZE
+    populates the cache (populate=True) — a plain SHOW STATS on a
+    never-analyzed table always computes fresh, so refreshed MVs or
+    re-registered generator views cannot serve stale numbers."""
     if cache is not None and table in cache:
         rows, schema = cache[table]
         return spark.createDataFrame(rows, schema)
@@ -109,6 +112,6 @@ def show_stats(spark: SparkSession, table: str, cache: dict | None = None):
         "column_name string, data_size double, distinct_values_count double, "
         "nulls_fraction double, row_count double, low_value string, high_value string"
     )
-    if cache is not None:
+    if cache is not None and populate:
         cache[table] = (out, schema)
     return spark.createDataFrame(out, schema)

@@ -69,3 +69,17 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for spark.sql-based builders."""
     for name in names:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def engine_for(spark: SparkSession, sf_dir: str):
+    """One shared TrinoEngine per (session, sf_dir) — engine construction
+    registers testdata views + information_schema (~1 s), so query
+    builders that dispatch SQL text must not each build their own."""
+    from trino_spark.dialect import TrinoEngine
+
+    key = f"_shared_engine_{sf_dir}"
+    eng = getattr(spark, key, None)
+    if eng is None:
+        eng = TrinoEngine(spark, sf_dir=sf_dir)
+        setattr(spark, key, eng)
+    return eng

@@ -15,19 +15,12 @@ REG = QueryRegistry()
 
 
 def _engine(spark, sf):
-    """One TrinoEngine per (session, sf_dir): engine construction registers
-    testdata views + information_schema (~1 s) — paying it per lifecycle
-    query would be pure harness overhead. The lifecycle queries are
-    self-contained (per-process table names, DROP at the end), so the
-    shared engine carries no cross-query state."""
-    from trino_spark.dialect import TrinoEngine
+    """Shared per-(session, sf_dir) engine (queries/base.py): the
+    lifecycle queries are self-contained (per-process table names, DROP
+    at the end), so sharing carries no cross-query state."""
+    from trino_spark.queries.base import engine_for
 
-    key = f"_dml_engine_{sf}"
-    eng = getattr(spark, key, None)
-    if eng is None:
-        eng = TrinoEngine(spark, sf_dir=sf)
-        setattr(spark, key, eng)
-    return eng
+    return engine_for(spark, sf)
 
 # Deterministic change set derived from orders itself:
 #   key % 13 == 0 -> DELETE

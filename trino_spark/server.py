@@ -31,6 +31,7 @@ when the query is drained or cancelled.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -128,7 +129,7 @@ class TrinoHttpServer:
                         self._send(200, page)
                     return
                 # /v1/spooled/<qid>/<segment>: spooled segment body
-                if len(parts) >= 3 and parts[:2] == ["v1", "spooled"]:
+                if len(parts) >= 4 and parts[:2] == ["v1", "spooled"]:
                     body = outer._segment(parts[2], parts[3])
                     if body is None:
                         self._send(404, {"error": "unknown segment"})
@@ -171,9 +172,15 @@ class TrinoHttpServer:
         return f"http://127.0.0.1:{self.port}"
 
     # -- spooling ----------------------------------------------------------
+    _QID_RX = re.compile(r"^[0-9a-f]{16}$")
+
     def _spool_dir(self, qid: str) -> str:
         import os
 
+        # query ids are uuid hex; anything else (e.g. '..') is a path
+        # traversal attempt — rmtree/open must never leave the spool root
+        if not self._QID_RX.match(qid):
+            raise ValueError(f"invalid query id: {qid!r}")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         return os.path.join(repo, "spark-warehouse", "spool", qid)
 
@@ -206,8 +213,8 @@ class TrinoHttpServer:
     def _segment(self, qid: str, seg: str) -> bytes | None:
         import os
 
-        path = os.path.join(self._spool_dir(qid), f"seg{int(seg)}.json")
         try:
+            path = os.path.join(self._spool_dir(qid), f"seg{int(seg)}.json")
             with open(path, "rb") as fh:
                 body = fh.read()
         except (OSError, ValueError):
@@ -226,7 +233,11 @@ class TrinoHttpServer:
     def _drop_spool(self, qid: str) -> None:
         import shutil
 
-        shutil.rmtree(self._spool_dir(qid), ignore_errors=True)
+        try:
+            d = self._spool_dir(qid)
+        except ValueError:
+            return
+        shutil.rmtree(d, ignore_errors=True)
 
     # -- protocol ----------------------------------------------------------
     def _submit(self, sql: str, spooled: bool = False) -> dict:
