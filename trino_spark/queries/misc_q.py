@@ -33,7 +33,13 @@ REG = QueryRegistry()
 def agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered-statistic aggregates: exact median, mode, skewness, kurtosis
     (kurtosis rounded to 3 — engines differ in the sample-correction term
-    beyond that)."""
+    beyond that).
+
+    Scale note: Spark's exact median/mode buffer per-group values
+    (ObjectHashAggregate). At 100 TB route median through
+    approx_percentile(x, 0.5) — a mergeable sketch, no buffering — and
+    mode through approx_most_frequent (operators/spacesaving.py); the
+    exact forms here are the ORACLE-comparable correctness surface."""
     li = t(spark, sf, "lineitem")
     # median/mode are ObjectHashAggregate (buffering); keeping them out of
     # the codegen'd moments pass avoids forcing the whole agg into the
