@@ -1,13 +1,14 @@
 """Driver-mimic: run every registry query at sf0.01 with its DuckDB oracle,
 time both sides, and report failures + per-query cost in registry order.
 
-Usage: python scripts/driver_mimic.py [sf_dir] [--limit N] [--strict]
+Usage: python scripts/driver_mimic.py [sf_dir] [--limit N] [--tolerant]
 
---strict additionally requires each (name-sorted) output column to have the
-same pandas dtype KIND on both sides (int vs float vs bool vs object). The
+STRICT by default: each (name-sorted) output column must have the same
+pandas dtype KIND on both sides (int vs float vs bool vs object). The
 driver's canonicalizer hashes values, so Spark BIGINT 19 vs DuckDB DOUBLE
 19.0 is a hash FAIL even when the tolerant value compare passes — exactly
-the `func_math_ops` r1/r2 failure mode. Run strict before every round end.
+the `func_math_ops` r1/r2 failure mode. --tolerant drops the dtype check
+(debugging only; a tolerant-green query can still hash-fail the driver).
 
 Writes a JSON report to /tmp/driver_mimic.json.
 """
@@ -76,7 +77,7 @@ def main() -> None:
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
-    strict = "--strict" in sys.argv
+    strict = "--tolerant" not in sys.argv
 
     spark = get_spark()
     con = duckdb_connection(sf_dir)
