@@ -20,9 +20,9 @@ from pathlib import Path
 
 D = "/root/reference/testing/trino-benchmark-queries/src/main/resources/sql/trino/tpcds"
 NAMES = [
-    "q01", "q02", "q03", "q06", "q07", "q08", "q13", "q15", "q19", "q26",
-    "q32", "q34", "q36", "q42", "q46", "q51", "q52", "q55", "q61", "q71",
-    "q88", "q89", "q96", "q97", "q98",
+    "q01", "q02", "q03", "q06", "q07", "q08", "q09", "q12", "q13", "q15",
+    "q19", "q20", "q26", "q32", "q34", "q36", "q42", "q46", "q51", "q52",
+    "q55", "q61", "q71", "q88", "q89", "q96", "q97", "q98",
 ]
 
 DESCRIPTIONS = {
@@ -32,9 +32,12 @@ DESCRIPTIONS = {
     "q06": "state rollup of customers buying items priced 20% above their category average (two nested scalar subqueries)",
     "q07": "demographic-sliced item averages (4-way dim join: demographics, promotion, date, item)",
     "q08": "store net profit restricted to zip prefixes from a 400-literal IN list INTERSECT preferred-customer zips",
+    "q09": "five quantity-bucket averages, each chosen by a threshold CASE over its own COUNT subquery (15 scalar subqueries)",
+    "q12": "web-channel item revenue + intra-class ratio (q98's shape on web_sales)",
     "q13": "disjunctive demographic x address x price-band triples (heavy OR-of-AND predicate blocks)",
     "q15": "catalog revenue by zip with OR of zip-list / state / price-floor reach conditions",
     "q19": "brand/manufacturer revenue where customer and store zip prefixes differ (6-table join)",
+    "q20": "catalog-channel item revenue + intra-class ratio (q98's shape on catalog_sales)",
     "q26": "catalog-channel demographic item averages (q7's shape on catalog_sales)",
     "q32": "excess discount: sales beating 1.3x the item's average discount (correlated scalar subquery, quoted alias with spaces)",
     "q34": "ticket-sized customer groups: per-ticket line counts BETWEEN 15 AND 20 with vehicle/dependents ratios",
@@ -151,6 +154,22 @@ def adapt() -> dict[str, str]:
     sub1("q89",
          ', "avg"("sum"("ss_sales_price")) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name") "avg_monthly_sales"',
          ', (floor((2 * CAST(("sum"("sum"("ss_sales_price")) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name")) * 1000 AS BIGINT) + ("count"(*) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name"))) / (2e0 * ("count"(*) OVER (PARTITION BY "i_category", "i_brand", "s_store_name", "s_company_name")))) / 1e3) "avg_monthly_sales"')
+
+    # q09: each CASE branch's avg over decimals -> exact-integer rounding
+    # (six avg subqueries; the COUNT threshold branches stay verbatim)
+    for col in ("ss_ext_discount_amt", "ss_net_paid"):
+        out["q09"] = out["q09"].replace(
+            f'SELECT "avg"("{col}")',
+            f'SELECT floor((2 * CAST("sum"("{col}") * 1000 AS BIGINT) + "count"(*)) / (2e0 * "count"(*))) / 1e3',
+        )
+    # q12 / q20: q98's adaptations on the web / catalog channel
+    for q, pfx in (("q12", "ws"), ("q20", "cs")):
+        sub1(q, ', "i_current_price"\n', ', CAST("i_current_price" AS DOUBLE) "i_current_price"\n')
+        sub1(q, f', "sum"("{pfx}_ext_sales_price") "itemrevenue"',
+                f', CAST("sum"("{pfx}_ext_sales_price") AS DOUBLE) "itemrevenue"')
+        rr2 = f'(("sum"("{pfx}_ext_sales_price") * 100) / "sum"("sum"("{pfx}_ext_sales_price")) OVER (PARTITION BY "i_class"))'
+        newrr2 = f'(floor((((CAST("sum"("{pfx}_ext_sales_price") AS DOUBLE) * 100) / CAST("sum"("sum"("{pfx}_ext_sales_price")) OVER (PARTITION BY "i_class") AS DOUBLE))) * 1000000 + 0.5) / 1e6)'
+        sub1(q, rr2, newrr2)
     return out
 
 

@@ -44,6 +44,10 @@ def all_specs() -> dict[str, QuerySpec]:
         "func_try_cast",
         "tpcds_q07",
         "tpcds_q13",
+        # late additions, slotted by their ~0.3 s measured cost
+        "tpcds_q12",
+        "tpcds_q20",
+        "tpcds_q09",
         "func_url_ops",
         "func_hash_ops",
         "tpcds_q36",

@@ -58,7 +58,7 @@ N_TIME = 86_400
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 4
+GEN_VERSION = 5
 
 #: store_sales rows per ticket: all rows of a ticket share date/time/
 #: store/customer/demographic keys, like dsdgen's multi-line tickets —
@@ -107,8 +107,9 @@ TABLES = (
     "date_dim", "item", "store", "customer", "customer_address",
     "store_sales", "store_returns", "web_sales", "catalog_sales",
     "time_dim", "household_demographics", "customer_demographics",
-    "promotion",
+    "promotion", "reason",
 )
+N_REASON = 35
 
 
 def _u(seed: str, *cols) -> F.Column:
@@ -144,6 +145,7 @@ def gen_table(spark: SparkSession, name: str, parallelism: int | None = None) ->
         "household_demographics": _household_demographics,
         "customer_demographics": _customer_demographics,
         "promotion": _promotion,
+        "reason": _reason,
     }
     if name not in builders:
         raise ValueError(f"tpcdsgen: unknown table {name}")
@@ -292,6 +294,8 @@ def _store_sales(spark, par):
         _money("ss_list", i, 1.0, 250.0).alias("ss_list_price"),
         _money("ss_coupon", i, 0.0, 50.0).alias("ss_coupon_amt"),
         _money("ss_ext", i, 1.0, 2000.0).alias("ss_ext_sales_price"),
+        _money("ss_paid", i, 1.0, 2000.0).alias("ss_net_paid"),
+        _money("ss_disc", i, 0.0, 100.0).alias("ss_ext_discount_amt"),
         _money("ss_wcost", i, 1.0, 1500.0).alias("ss_ext_wholesale_cost"),
         # non-negative range keeps q13's net-profit BETWEEN windows hot
         _money("ss_np", i, 0.0, 300.0).alias("ss_net_profit"),
@@ -383,6 +387,14 @@ def _promotion(spark, par):
         F.when(_h("p_ev", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_event"),
         F.when(_h("p_dm", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_dmail"),
         F.when(_h("p_tv", i, 4) == 0, F.lit("Y")).otherwise(F.lit("N")).alias("p_channel_tv"),
+    )
+
+
+def _reason(spark, par):
+    i = F.col("id")
+    return _range(spark, N_REASON, par).select(
+        (i + 1).cast("int").alias("r_reason_sk"),
+        F.concat(F.lit("reason_"), (i + 1)).alias("r_reason_desc"),
     )
 
 
