@@ -23,6 +23,11 @@ NAMES = [
     "q01", "q02", "q03", "q06", "q07", "q08", "q09", "q12", "q13", "q15",
     "q19", "q20", "q26", "q32", "q34", "q36", "q42", "q46", "q51", "q52",
     "q55", "q61", "q71", "q88", "q89", "q96", "q97", "q98",
+    # round 4: multi-CTE monsters + the breadth the generator tables support
+    "q04", "q11", "q14a", "q17", "q18", "q23a", "q23b", "q25", "q27", "q28",
+    "q31", "q33", "q38", "q43", "q47", "q48", "q50", "q53", "q56", "q59",
+    "q60", "q63", "q64", "q65", "q68", "q73", "q74", "q78", "q79", "q86",
+    "q87", "q92", "q93",
 ]
 
 DESCRIPTIONS = {
@@ -54,6 +59,39 @@ DESCRIPTIONS = {
     "q96": "traffic count for one half-hour x dependents-count x store-name slice",
     "q97": "store-vs-catalog shopper overlap: grouped channels FULL JOIN + conditional sums",
     "q98": "item revenue and intra-class revenue ratio (window aggregate over aggregate), 30-day window",
+    "q04": "3-channel year-over-year customer growth: 6 self-joins of a UNION-ALL year_total CTE",
+    "q11": "store-vs-web customer growth ratio: 4 self-joins of a 2-channel year_total CTE",
+    "q14a": "cross-channel frequent items (3-way INTERSECT CTE) + average-sales threshold + channel ROLLUP",
+    "q17": "sale->return->catalog-repurchase chain with per-channel quantity statistics (stddev/cov)",
+    "q18": "catalog demographics averages over a 4-level ROLLUP (two demographics joins)",
+    "q23a": "frequent-items x best-customers cross-channel February sales (3-CTE chain, scalar subquery threshold)",
+    "q23b": "q23a's chain with per-customer attribution and grouped output",
+    "q25": "sale->return->catalog-repurchase profit/loss rollup (3 fact tables, 3 date roles)",
+    "q27": "store demographic item averages over a (item, state) ROLLUP with GROUPING()",
+    "q28": "six quantity-bucket (avg, count, distinct-count) cells cross-joined into one row",
+    "q31": "county-level store-vs-web quarter-over-quarter growth: 6 self-joins of 2 CTEs",
+    "q33": "per-manufacturer Electronics revenue across 3 channels (UNION ALL of 3 CTEs)",
+    "q38": "customers active in ALL 3 channels in one year: 3-way INTERSECT of (name, date) sets",
+    "q43": "per-store day-of-week sales pivot",
+    "q47": "store-brand monthly sales vs yearly average with lag/lead neighbors (v1 referenced 3x)",
+    "q48": "store quantity total under disjunctive demographic x address x price-band blocks",
+    "q50": "store-returns latency buckets (30/60/90/120-day) per store, sale-to-return date deltas",
+    "q53": "quarterly manufacturer sales vs manufacturer average (window over grouped sums)",
+    "q56": "per-item colored-item revenue across 3 channels (UNION ALL of 3 CTEs)",
+    "q59": "week-over-week per-store day-of-week sales ratios: wss CTE self-joined at a 52-week offset",
+    "q60": "per-item Music-category revenue across 3 channels",
+    "q63": "monthly manager sales vs manager average (window over grouped sums)",
+    "q64": "the 18-relation monster: returned store sales x catalog-return-filtered items x two demographic/address/income-band role pairs, self-joined across years",
+    "q65": "store-item revenue at most 10% of the store average (two derived aggregates joined)",
+    "q68": "per-ticket extended price/tax/list aggregates for 1st-2nd-of-month city buyers",
+    "q73": "ticket line-count 1-5 buyer groups (county + buy-potential + vehicle ratio filters)",
+    "q74": "store-vs-web net-paid customer growth: 4 self-joins of a 2-channel year_total CTE",
+    "q78": "never-returned sales per (year, item, customer) across 3 channels: LEFT JOIN returns IS NULL, 2 more LEFT JOINs",
+    "q79": "per-ticket coupon/profit for high-dependency or multi-vehicle weekday shoppers",
+    "q86": "web net-paid ROLLUP hierarchy with GROUPING() rank (q36's shape on web_sales)",
+    "q87": "store-minus-catalog-minus-web customer-date EXCEPT chain",
+    "q92": "web excess discount: discounts beating 1.3x the item average (correlated scalar subquery)",
+    "q93": "store sales net of returned quantity for one return reason",
 }
 
 

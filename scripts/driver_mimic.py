@@ -58,6 +58,24 @@ def _compare(pdf, opdf, name, strict=False):
     a_cols, o_cols = sorted(pdf.columns), sorted(opdf.columns)
     assert a_cols == o_cols, f"{name}: column mismatch spark={a_cols} oracle={o_cols}"
     if strict:
+        # The driver's canonicalizer sorts cell values with pandas — a
+        # list/dict/ndarray cell raises `unhashable type` there (the
+        # func_array_hof r3 red). Reject them here so mimic-green always
+        # implies gate-canonicalizable.
+        import numpy as _np
+
+        for frame, side in ((pdf, "spark"), (opdf, "oracle")):
+            for c in a_cols:
+                for v in frame[c]:
+                    if v is None:
+                        continue
+                    assert not isinstance(v, (list, dict, set, _np.ndarray)), (
+                        f"{name}: column {c!r} ({side}) holds non-scalar cells "
+                        f"({type(v).__name__}) — the driver canonicalizer cannot "
+                        f"sort these; serialize with array_join/array_to_string"
+                    )
+                    break  # first non-null is enough
+    if strict:
         for c in a_cols:
             ka, ko = _dtype_kind(pdf[c]), _dtype_kind(opdf[c])
             assert ka == ko, (

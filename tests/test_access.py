@@ -257,3 +257,170 @@ class TestSecurityHardening:
         eng.sql("SET ROLE hard")
         rows = eng.sql("SELECT n_name FROM nation").collect()
         assert len(rows) == 1 and rows[0].n_name == "XX"
+
+
+class TestDmlTargetSecurity:
+    """Round-4: row filters / column masks bind to DML TARGETS too
+    (ConnectorAccessControl getRowFilters applies to the target scan of
+    UPDATE/DELETE/MERGE in the reference; masked targets reject mutation)."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("DROP TABLE IF EXISTS sec_t")
+        engine.sql(
+            "CREATE TABLE sec_t AS SELECT n_nationkey AS id, n_regionkey AS rk, "
+            "n_name AS name FROM nation"
+        )
+        engine.sql("CREATE ROLE dmlr")
+        engine.sql("GRANT ALL ON sec_t TO ROLE dmlr")
+        yield engine
+        engine.sql("SET ROLE NONE")
+        engine.sql("DROP TABLE IF EXISTS sec_t")
+
+    def test_filtered_delete_touches_only_visible_rows(self, eng):
+        eng.sql("CALL system.add_row_filter('dmlr', 'sec_t', 'rk = 0')")
+        eng.sql("SET ROLE dmlr")
+        # unconditional DELETE under a row filter: only the 5 visible rows go
+        n = eng.sql("DELETE FROM sec_t").collect()[0][0]
+        assert n == 5
+        eng.sql("SET ROLE NONE")
+        assert eng.sql("SELECT count(*) AS c FROM sec_t").collect()[0].c == 20
+        assert eng.sql("SELECT count(*) AS c FROM sec_t WHERE rk = 0").collect()[0].c == 0
+
+    def test_filtered_conditional_delete(self, eng):
+        eng.sql("CALL system.add_row_filter('dmlr', 'sec_t', 'rk = 1')")
+        eng.sql("SET ROLE dmlr")
+        # predicate matches all 25 rows, but only rk=1 rows are visible
+        n = eng.sql("DELETE FROM sec_t WHERE id >= 0").collect()[0][0]
+        assert n == 5
+        eng.sql("SET ROLE NONE")
+        assert eng.sql("SELECT count(*) AS c FROM sec_t").collect()[0].c == 20
+
+    def test_filtered_update_leaves_invisible_rows(self, eng):
+        eng.sql("CALL system.add_row_filter('dmlr', 'sec_t', 'rk = 2')")
+        eng.sql("SET ROLE dmlr")
+        n = eng.sql("UPDATE sec_t SET name = 'TOUCHED' WHERE id >= 0").collect()[0][0]
+        assert n == 5
+        eng.sql("SET ROLE NONE")
+        rows = eng.sql(
+            "SELECT rk, count(*) AS c FROM sec_t WHERE name = 'TOUCHED' GROUP BY rk"
+        ).collect()
+        assert [(r.rk, r.c) for r in rows] == [(2, 5)]
+
+    def test_update_on_masked_table_denied(self, eng):
+        # Reference parity: "Updating a table with column masks is not
+        # supported" — `SET other = masked_col` must not exfiltrate.
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        with pytest.raises(AccessDenied, match="column-masked"):
+            eng.sql("UPDATE sec_t SET rk = length(name) WHERE id = 1")
+        eng.sql("SET ROLE NONE")
+        # unmasked owner session still updates freely
+        eng.sql("UPDATE sec_t SET rk = rk WHERE id = 1")
+
+    def test_merge_on_masked_table_denied(self, eng):
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        with pytest.raises(AccessDenied, match="column-masked"):
+            eng.sql(
+                "MERGE INTO sec_t t USING (SELECT 1 AS id, 9 AS rk, 'x' AS name) s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET rk = s.rk"
+            )
+
+    def test_merge_on_filtered_target(self, eng):
+        eng.sql("CALL system.add_row_filter('dmlr', 'sec_t', 'rk = 0')")
+        eng.sql("SET ROLE dmlr")
+        # id=1 has rk=1 (invisible): MERGE must treat it as NOT MATCHED and
+        # leave the hidden row untouched; the insert lands alongside it.
+        n = eng.sql(
+            "MERGE INTO sec_t t USING (SELECT 1 AS id, 0 AS rk, 'NEW' AS name) s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET name = s.name "
+            "WHEN NOT MATCHED THEN INSERT (id, rk, name) VALUES (s.id, s.rk, s.name)"
+        ).collect()[0][0]
+        assert n == 1
+        eng.sql("SET ROLE NONE")
+        rows = eng.sql("SELECT rk, name FROM sec_t WHERE id = 1 ORDER BY rk").collect()
+        assert [(r.rk, r.name) for r in rows] == [(0, "NEW"), (1, "NATION_1")]
+
+    def test_delete_where_on_masked_column_sees_masked_values(self, eng):
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        # The role reads name as 'MASKED'; a predicate on the raw value
+        # must not match (probing raw data via DELETE would leak it).
+        n = eng.sql("DELETE FROM sec_t WHERE name = 'NATION_1'").collect()[0][0]
+        assert n == 0
+        n = eng.sql("DELETE FROM sec_t WHERE name = 'MASKED' AND id = 1").collect()[0][0]
+        assert n == 1
+
+
+class TestTableRefRewriteScope:
+    """Round-4 (review finding): the security rewrite must substitute only
+    relation positions — columns, aliases, and CTE names sharing a secured
+    table's name keep their own bindings."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("CREATE ROLE scoped")
+        engine.sql("GRANT SELECT ON nation TO ROLE scoped")
+        engine.sql("CALL system.add_row_filter('scoped', 'nation', 'n_regionkey = 0')")
+        yield engine
+        engine.sql("SET ROLE NONE")
+
+    def test_alias_sharing_table_name_not_rewritten(self, eng):
+        eng.sql("SET ROLE scoped")
+        rows = eng.sql(
+            "SELECT n_name AS nation FROM nation ORDER BY nation LIMIT 2"
+        ).collect()
+        assert len(rows) == 2 and all(r.nation for r in rows)
+
+    def test_cte_sharing_table_name_shadows_secured_table(self, eng):
+        eng.sql("SET ROLE scoped")
+        # CTE `nation` shadows the real table, exactly as the analyzer
+        # scopes names — the filter applies where the real table is read
+        # (inside the CTE body), not to the CTE reference.
+        row = eng.sql(
+            "WITH nation AS (SELECT count(*) AS c FROM nation) SELECT c FROM nation"
+        ).collect()[0]
+        assert row.c == 5
+
+    def test_column_named_like_table_in_predicate(self, eng):
+        eng.sql("SET ROLE scoped")
+        rows = eng.sql(
+            "SELECT n_name FROM nation WHERE n_name <> 'nation' ORDER BY n_name"
+        ).collect()
+        assert len(rows) == 5
+
+
+class TestTimeTravelUnderRole:
+    """Round-4 (review finding): FOR VERSION AS OF under an active role —
+    a SELECT grant on the base table must satisfy snapshot reads, and row
+    filters must follow the table into its snapshots."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("DROP TABLE IF EXISTS tt_sec")
+        engine.sql("CREATE TABLE tt_sec AS SELECT n_nationkey AS id, n_regionkey AS rk FROM nation")
+        engine.sql("INSERT INTO tt_sec SELECT 99, 0")
+        engine.sql("CREATE ROLE traveler")
+        engine.sql("GRANT SELECT ON tt_sec TO ROLE traveler")
+        yield engine
+        engine.sql("SET ROLE NONE")
+        engine.sql("DROP TABLE IF EXISTS tt_sec")
+
+    def test_grant_on_base_table_covers_snapshots(self, eng):
+        eng.sql("SET ROLE traveler")
+        assert eng.sql("SELECT count(*) AS c FROM tt_sec").collect()[0].c == 26
+        assert (
+            eng.sql("SELECT count(*) AS c FROM tt_sec FOR VERSION AS OF 1").collect()[0].c
+            == 25
+        )
+
+    def test_row_filter_applies_to_snapshots(self, eng):
+        eng.sql("CALL system.add_row_filter('traveler', 'tt_sec', 'rk = 0')")
+        eng.sql("SET ROLE traveler")
+        assert eng.sql("SELECT count(*) AS c FROM tt_sec").collect()[0].c == 6
+        assert (
+            eng.sql("SELECT count(*) AS c FROM tt_sec FOR VERSION AS OF 1").collect()[0].c
+            == 5
+        )

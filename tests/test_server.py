@@ -129,14 +129,16 @@ def test_kill_query_cancels_running_statement(server):
     th.start()
     sc = server.engine.spark.sparkContext
     try:
-        # wait until the server registers the query AND its Spark jobs are
-        # actually running (cancelJobGroup only cancels running jobs — a
-        # kill that races ahead of job submission is a no-op, exactly as
-        # in the reference where only a running query can be killed)
+        # wait until the server registers the query — registration alone is
+        # enough now: kill_query records the qid in the engine's killed-set
+        # (checked around the server's collect) and cancels future jobs, so
+        # a kill landing while the victim is still planning terminates it
+        # too. (The old wait-for-ANY-active-job condition was flaky under a
+        # full-suite run: another test's job could satisfy it early.)
         qid = None
         for _ in range(200):
             running = getattr(server.engine, "_running_queries", {})
-            if running and sc.statusTracker().getActiveJobsIds():
+            if running:
                 qid = next(iter(running))
                 break
             time.sleep(0.1)
@@ -209,3 +211,53 @@ def test_spool_path_traversal_rejected(server):
             raise AssertionError(f"{bad} should not succeed")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_spooled_compressed_roundtrip(server):
+    """Round-4: spooled segment encoding negotiation + compressed bodies.
+    The reference negotiates json / json+zstd the same way; json+zlib is
+    the engine's stdlib-only extension so the compressed path is testable
+    in containers without the zstandard module."""
+    q = f"SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT {PAGE_ROWS + 5}"
+    _, inline_rows = fetch_all(server.url(), q)
+    cols, rows = fetch_all(server.url(), q, spooled=True, encoding="json+zlib")
+    assert rows == inline_rows and len(rows) == PAGE_ROWS + 5
+
+
+def test_spooled_segment_size_metadata(server):
+    """Segment descriptors carry segmentSize/uncompressedSize (the spooled
+    DataAttributes the client sizes its decode buffer from); a compressed
+    text-bearing segment is genuinely smaller than its JSON."""
+    import json as _json
+    import urllib.request
+    import zlib
+
+    req = urllib.request.Request(
+        f"{server.url()}/v1/statement",
+        data=b"SELECT o_orderpriority FROM orders LIMIT 500",
+        method="POST",
+        headers={"X-Trino-Query-Data-Encoding": "json+zlib,json+spooled"},
+    )
+    resp = _json.loads(urllib.request.urlopen(req).read())
+    while "nextUri" in resp:
+        resp = _json.loads(urllib.request.urlopen(resp["nextUri"]).read())
+    data = resp["data"]
+    assert data["encoding"] == "json+zlib"
+    seg = data["segments"][0]
+    assert seg["segmentSize"] < seg["uncompressedSize"]
+    body = urllib.request.urlopen(seg["uri"]).read()
+    assert len(body) == seg["segmentSize"]
+    decoded = _json.loads(zlib.decompress(body))
+    assert len(decoded) == seg["rowCount"] == 500
+
+
+def test_encoding_negotiation_falls_back_to_json(server):
+    """An unsupported preferred encoding (json+zstd without the zstandard
+    module, or garbage) falls back to plain json; data is unaffected."""
+    q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+    _, rows = fetch_all(server.url(), q, spooled=True, encoding="json+zstd")
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+    srv_codecs = server.segment_codecs()
+    assert server._negotiate_encoding("json+unknown,json+spooled") == "json"
+    if "json+zstd" not in srv_codecs:
+        assert server._negotiate_encoding("json+zstd,json") == "json"

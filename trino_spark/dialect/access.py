@@ -220,6 +220,14 @@ def enforce(engine, sql: str) -> None:
         name = m.group(1).split(".")[-1].lower()
         if name in _KEYWORD_RELS or name.startswith("__"):
             continue
+        # Time-travel / metadata temp views substituted BEFORE enforcement
+        # (dml.resolve_time_travel turns `t FOR VERSION AS OF 1` into
+        # `t__v1`): check the grant against the BASE table, not the derived
+        # view name — a SELECT grant on t must satisfy reads of t's
+        # snapshots (previously this always failed as 'SELECT on t__v1').
+        tt = re.match(r"(.+?)__(?:v\d+|snapshots)$", name)
+        if tt and tt.group(1) in getattr(engine, "dml_tables", {}):
+            name = tt.group(1)
         if name.startswith(("information_schema", "_system", "system")):
             # information_schema / system tables stay readable under any
             # role (the reference's access control does the same).
@@ -284,43 +292,162 @@ def apply_security(engine, sql: str) -> str:
         t for (r, t) in st["column_masks"] if r == role
     }
     for tbl in tables:
-        if not re.search(rf"\b{re.escape(tbl)}\b", sql, re.IGNORECASE):
-            continue
-        from pyspark.sql import functions as F
+        # Secure the base table AND any of its time-travel snapshot views
+        # (dml.resolve_time_travel substitutes `tbl__vN` before this runs —
+        # an old snapshot of a filtered table is still the filtered table).
+        refs = {tbl} | {
+            m.group(0).lower()
+            for m in re.finditer(rf"\b{re.escape(tbl)}__v\d+\b", sql, re.IGNORECASE)
+        }
+        for ref in refs:
+            if not re.search(rf"\b{re.escape(ref)}\b", sql, re.IGNORECASE):
+                continue
+            from pyspark.sql import functions as F
 
-        from trino_spark.dialect.rewrites import translate
+            from trino_spark.dialect.rewrites import translate
 
-        df = engine.spark.table(tbl)
-        # Row filter FIRST, against the underlying data — the reference
-        # evaluates getRowFilters on real rows and only then masks the
-        # surviving rows' columns (a filter referencing a masked column
-        # must not see masked values).
-        pred = st["row_filters"].get((role, tbl))
-        if pred:
-            df = df.filter(F.expr(translate(pred)))
-        masks = st["column_masks"].get((role, tbl), {})
-        if masks:
-            df = df.select(
-                *[
-                    F.expr(translate(masks[c.lower()])).alias(c) if c.lower() in masks else F.col(c)
-                    for c in df.columns
-                ]
-            )
-        view = f"__sec_{role}_{tbl}"
-        df.createOrReplaceTempView(view)
-        secured[tbl] = view
+            df = engine.spark.table(ref)
+            # Row filter FIRST, against the underlying data — the reference
+            # evaluates getRowFilters on real rows and only then masks the
+            # surviving rows' columns (a filter referencing a masked column
+            # must not see masked values).
+            pred = st["row_filters"].get((role, tbl))
+            if pred:
+                df = df.filter(F.expr(translate(pred)))
+            masks = st["column_masks"].get((role, tbl), {})
+            if masks:
+                df = df.select(
+                    *[
+                        F.expr(translate(masks[c.lower()])).alias(c) if c.lower() in masks else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            view = f"__sec_{role}_{ref}"
+            df.createOrReplaceTempView(view)
+            secured[ref] = view
     if not secured:
         return sql
-    # word-boundary substitution outside string literals; qualified
-    # references (schema.tbl) collapse to the secured view too
-    def _rewrite(chunk: str) -> str:
-        for tbl, view in secured.items():
+    return rewrite_table_refs(sql, secured)
+
+
+_REL_TRIGGERS = {"FROM", "JOIN", "INTO", "UPDATE", "TABLE", "USING"}
+_REL_CLAUSE_END = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "WINDOW",
+    "UNION", "INTERSECT", "EXCEPT", "ON", "SET", "WHEN", "FETCH",
+    "QUALIFY", "SELECT", "LATERAL", "UNNEST", "TABLESAMPLE",
+}
+
+
+def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Replace table names with secured-view names ONLY in relation
+    positions — after FROM / JOIN / INTO / UPDATE / TABLE / USING and after
+    a comma inside an open FROM list — so columns, AS-aliases, and CTE
+    names that happen to share a secured table's name keep their own
+    bindings (a bare word-boundary regex rewrote those too). CTE names
+    declared in the statement shadow same-named tables, as in the
+    reference's analyzer."""
+    from trino_spark.dialect.tokenizer import tokenize
+
+    toks = tokenize(sql)
+    sig = [(i, t) for i, t in enumerate(toks) if t.kind != "WS"]
+
+    # CTE / inline-view names: `ident AS (` — these shadow secured tables.
+    shadowed: set[str] = set()
+    for k in range(len(sig) - 2):
+        a, b, c = sig[k][1], sig[k + 1][1], sig[k + 2][1]
+        if a.kind in ("WORD", "QIDENT") and b.is_word("AS") and c.is_sym("("):
+            shadowed.add(a.text.strip('"').lower())
+
+    out: list[str] = []
+    depth = 0
+    expecting = False
+    expect_kw = ""  # which keyword armed `expecting`
+    from_depths: set[int] = set()
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "SYM":
+            if t.text == "(":
+                # `USING (a, b)` is a join column list, never a relation;
+                # `FROM (`/`JOIN (` opens a derived table or join tree —
+                # stay armed so `FROM (t1 JOIN t2 …)` still secures t1.
+                if expecting and expect_kw == "USING":
+                    expecting = False
+                depth += 1
+            elif t.text == ")":
+                from_depths.discard(depth)
+                depth -= 1
+            elif t.text == ",":
+                if depth in from_depths:
+                    expecting, expect_kw = True, "FROM"
+        elif t.kind in ("WORD", "QIDENT"):
+            up = t.text.upper() if t.kind == "WORD" else ""
+            if up in _REL_TRIGGERS:
+                expecting, expect_kw = True, up
+                if up == "FROM":
+                    from_depths.add(depth)
+            elif up in _REL_CLAUSE_END:
+                if up != "SELECT":  # SELECT after FROM( starts a subquery
+                    from_depths.discard(depth)
+                expecting = False
+            elif expecting:
+                # Identifier chain word(.word)* — map on its LAST part so
+                # qualified refs (schema.tbl) collapse to the secured view.
+                j = i
+                last = t
+                while (
+                    j + 2 < len(toks)
+                    and toks[j + 1].is_sym(".")
+                    and toks[j + 2].kind in ("WORD", "QIDENT")
+                ):
+                    j += 2
+                    last = toks[j]
+                key = last.text.strip('"').lower()
+                qualified = j > i
+                expecting = False
+                if key in mapping and (qualified or key not in shadowed):
+                    out.append(mapping[key])
+                    i = j + 1
+                    continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
+def dml_target_security(engine, table: str) -> tuple[str | None, dict[str, str]]:
+    """(row_filter_sql, column_masks) the active role carries on a DML
+    TARGET table. The reference applies ConnectorAccessControl row filters
+    to the target scan of UPDATE/DELETE/MERGE too (ViewExpressions bind
+    during analysis regardless of statement kind), so a filtered role's DML
+    must leave invisible rows untouched — dml.py ANDs this predicate into
+    the statement predicate and routes fragments through `mask_fragment`."""
+    st = _state(engine)
+    role = st["current"]
+    if role is None:
+        return None, {}
+    t = table.lower().split(".")[-1]
+    return st["row_filters"].get((role, t)), dict(st["column_masks"].get((role, t), {}))
+
+
+def mask_fragment(masks: dict[str, str], fragment: str) -> str:
+    """Substitute masked column references in a user-supplied DML fragment
+    (WHERE predicate / SET expression) with their mask expression, so
+    `UPDATE t SET other = secret_col` writes the MASKED value — the same
+    data the role would see through a read. Row filters, by contrast,
+    evaluate on real rows (the reference filters real rows, then masks the
+    survivors). Single-pass substitution outside string literals; the mask
+    expression's own self-reference is left intact on purpose."""
+    if not masks:
+        return fragment
+
+    def _sub(chunk: str) -> str:
+        for col, mexpr in masks.items():
             chunk = re.sub(
-                rf"\b(?:[A-Za-z_][\w$]*\.)*{re.escape(tbl)}\b", view, chunk, flags=re.IGNORECASE
+                rf"\b{re.escape(col)}\b", f"({mexpr})", chunk, flags=re.IGNORECASE
             )
         return chunk
 
-    return map_outside_literals(sql, _rewrite)
+    return map_outside_literals(fragment, _sub)
 
 
 def map_outside_literals(sql: str, fn) -> str:
@@ -400,7 +527,21 @@ def try_execute_call(engine, sql: str) -> "DataFrame | None":
         running = getattr(engine, "_running_queries", {})
         if qid not in running:
             raise ValueError(f"query not found or not running: {qid}")
-        engine.spark.sparkContext.cancelJobGroup(qid)
+        # cancelJobGroup only reaches jobs ACTIVE at this instant — a victim
+        # still planning (or between jobs) would survive it. Record the kill
+        # in a set the server consults around its collect, and cancel future
+        # jobs too where the Spark version supports it, so a kill issued at
+        # any point after submission terminates the query.
+        killed = getattr(engine, "_killed_queries", None)
+        if killed is None:
+            killed = engine._killed_queries = set()
+        killed.add(qid)
+        sc = engine.spark.sparkContext
+        cancel_future = getattr(sc, "cancelJobGroupAndFutureJobs", None)
+        if callable(cancel_future):
+            cancel_future(qid)
+        else:
+            sc.cancelJobGroup(qid)
         return spark.createDataFrame([(qid, msg)], "query_id: string, message: string")
     if name == "drop_column_mask":
         st = _state(engine)

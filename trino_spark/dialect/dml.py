@@ -496,14 +496,31 @@ def _delete(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse DELETE: {sql[:120]}")
     name = _norm_name(m.group(1))
+    from trino_spark.dialect import access as _access
+
+    rf_sql, masks = _access.dml_target_security(engine, name)
     df = _read(engine, name)
-    if m.group(2) is None:
+    # Row filter on the DML target (ConnectorAccessControl.getRowFilters
+    # binds to the target scan too): rows the role cannot see are
+    # untouchable. Evaluated on REAL rows; the user's WHERE sees MASKED
+    # values (mask_fragment), matching read-side semantics.
+    visible = (
+        F.coalesce(F.expr(_translate_fragment(engine, rf_sql)), F.lit(False))
+        if rf_sql
+        else None
+    )
+    if m.group(2) is None and visible is None and not masks:
         # Unconditional DELETE == TRUNCATE shape; count from footers.
         before = _written_rows(_require_managed(engine, name))
         _commit(engine, name, df.limit(0), operation="delete")
         return engine.spark.createDataFrame([(before,)], "rows: bigint")
     # DELETE removes rows where pred is TRUE; NULL predicate keeps.
-    pred = F.coalesce(F.expr(_translate_fragment(engine, m.group(2))), F.lit(False))
+    where = m.group(2) if m.group(2) is not None else "true"
+    pred = F.coalesce(
+        F.expr(_translate_fragment(engine, _access.mask_fragment(masks, where))), F.lit(False)
+    )
+    if visible is not None:
+        pred = pred & visible
     # Deleted-row count = footer-metadata delta (before/after) — rows only
     # ever leave, so no counting scan or observation is needed.
     before = _written_rows(_require_managed(engine, name))
@@ -532,10 +549,25 @@ def _update(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse UPDATE: {sql[:120]}")
     name = _norm_name(m.group(1))
+    from trino_spark.dialect import access as _access
+
+    rf_sql, masks = _access.dml_target_security(engine, name)
+    if masks:
+        # Reference parity (StatementAnalyzer): "Updating a table with
+        # column masks is not supported" — a SET expression could read a
+        # masked column's raw value (exfiltration) or, masked, silently
+        # destroy data via `SET c = c`. Fail closed.
+        raise _access.AccessDenied(
+            f"Access Denied: updating column-masked table {name} is not allowed"
+        )
     df = _read(engine, name)
     assigns = _split_top_level(m.group(2), ",")
     pred = F.expr(_translate_fragment(engine, m.group(3))) if m.group(3) else F.lit(True)
     pred = F.coalesce(pred, F.lit(False))
+    if rf_sql:
+        # Target row filter (getRowFilters binds to the UPDATE scan too):
+        # rows the role cannot see are untouchable.
+        pred = pred & F.coalesce(F.expr(_translate_fragment(engine, rf_sql)), F.lit(False))
     updated_cols = {}
     for a in assigns:
         col, _, expr = a.partition("=")
@@ -632,7 +664,26 @@ def _merge(engine, sql: str) -> DataFrame:
     t_alias = (m.group(2) or tgt_name).strip('"')
     src_rel, s_alias = m.group(3), (m.group(4) or "src").strip('"')
     on_cond = m.group(5)
+    from trino_spark.dialect import access as _access
+
+    rf_sql, masks = _access.dml_target_security(engine, tgt_name)
+    if masks:
+        # Fail closed: MERGE clause expressions could route a masked
+        # column's raw value through the join rewrite; the reference
+        # likewise denies table mutation when masks bind to the target.
+        raise _access.AccessDenied(
+            f"Access Denied: MERGE into column-masked table {tgt_name} is not allowed"
+        )
     target = _read(engine, tgt_name)
+    hidden = None
+    if rf_sql:
+        # Row-filtered MERGE target: only visible rows participate in the
+        # join (an invisible matched row is NOT MATCHED, exactly as if the
+        # filtered scan fed the merge); invisible rows are carried through
+        # untouched and unioned back into the committed version.
+        vis = F.coalesce(F.expr(_translate_fragment(engine, rf_sql)), F.lit(False))
+        hidden = target.filter(~vis)
+        target = target.filter(vis)
     if src_rel.startswith("("):
         source = engine.sql(src_rel[1:-1])
     else:
@@ -721,6 +772,8 @@ def _merge(engine, sql: str) -> DataFrame:
         count_into=obs,
         update_touch_condition=update_touch,
     )
+    if hidden is not None:
+        out = out.unionByName(hidden)
     _commit(engine, tgt_name, out, operation="merge")
     m_ = obs.get
     return engine.spark.createDataFrame(

@@ -21,116 +21,72 @@ def all_specs() -> dict[str, QuerySpec]:
     """
     import importlib
 
-    # Round-3 head: every query with NO green CORRECTNESS row in r1 ∪ r2
-    # (including all round-3-new queries, which cannot have one), sorted
-    # cheapest-first by measured runtime (min of the strict-mimic and
-    # steady-state bench timings) so ANY driver budget converts the
-    # maximum number of never-verified entries into green rows.
-    # Already-green entries re-verify last via the module rotation below.
+    # Round-4 head, recomputed from CORRECTNESS_r01∪r02∪r03: the 43
+    # oracle-bearing queries with NO green row ever (cheapest-first by
+    # BENCH_FULL.json sf0.1 timings; the two r3 reds — func_array_hof
+    # array-serialization fix and collision-proof per-process Derby — ride
+    # up front, with jdbc_agg_pushdown NOT in slot 1 per ADVICE so a Derby
+    # surprise cannot burn the most visible position). New round-4 queries
+    # are spliced in before the 13 rows-only never-verified entries, which
+    # close the head. Cumulative cost of the oracle block: ~29 s at sf0.1 —
+    # any plausible driver budget converts all 43.
     head = [
-        "jdbc_agg_pushdown",
-        # r2's green was vacuous (0 rows); de-vacuated this round and must
-        # earn a non-trivial row, so it rides at the front despite being
-        # technically "green"
-        "text_ngram_jaccard_pairs",
-        "tpcds_q96",
-        "tpcds_q55",
-        "tpcds_q42",
-        "tpcds_q52",
-        "tpcds_q03",
-        "agg_top_frequent",
-        "tpcds_q19",
-        "geo_sphere_distance",
-        "func_try_cast",
-        "tpcds_q07",
-        "tpcds_q13",
-        # late additions, slotted by their ~0.3 s measured cost
-        "tpcds_q12",
-        "tpcds_q20",
-        "tpcds_q09",
-        "func_url_ops",
-        "func_hash_ops",
-        "tpcds_q36",
-        "interval_arithmetic",
-        "variant_get_path",
         "func_array_hof",
-        "text_fingerprint",
-        "text_stats",
-        "tpcds_q01",
-        "agg_numeric_histogram",
-        "func_datetime_ops",
-        "func_geo_distance",
-        "func_luhn_check",
-        "corpus_rebalance_langs",
-        "tpcds_q15",
-        "tpcds_q06",
-        "tpcds_q97",
-        "tpcds_q26",
-        "agg_reduce_product",
-        "ts_ohlc",
-        "tpcds_q61",
-        "tpcds_q98",
-        "tpcds_q46",
-        "ts_gap_fill",
-        "skew_salted_join",
-        "agg_histogram_map",
-        "agg_map_union",
-        "func_time_of_day",
-        "func_math_ops",
-        "func_stats_cdf",
-        "tpcds_q32",
-        "tpcds_q08",
-        "agg_listagg",
-        "func_ip_ops",
-        "json_table_flatten",
-        "func_vector_math",
         "tpcds_q89",
+        "tpcds_q34",
+        "tpcds_q71",
+        "jdbc_agg_pushdown",
         "window_groups_frame",
         "tpcds_q88",
-        "tpcds_q34",
-        "tpcds_q51",
-        "func_json_ops",
+        "json_table_flatten",
+        "func_vector_math",
         "corpus_pack_sequences",
+        "recursive_cte_walk",
+        "variant_shred",
+        "tpcds_q51",
+        "text_lang_id",
+        "multimodal_decode_stub",
+        "func_json_ops",
+        "similarity_bruteforce_topk",
+        "multimodal_audio_stub",
         "ai_sentiment_stub",
         "multimodal_ppm_decode",
-        "variant_shred",
-        "multimodal_audio_stub",
-        "multimodal_decode_stub",
-        "tpcds_q71",
-        "recursive_cte_walk",
-        "text_lang_id",
-        "ctas_insert_roundtrip",
-        "similarity_bruteforce_topk",
+        "tpcds_q02",
+        "agg_entropy",
         "func_format_family",
         "text_pii_mask",
         "sketch_most_frequent",
-        "sketch_setdigest_jaccard",
-        "agg_entropy",
-        "partition_overwrite_roundtrip",
+        "ctas_insert_roundtrip",
         "text_decontaminate",
-        "text_word_stem_topk",
+        "geo_polygon_holes",
         "dialect_sql_json",
         "dialect_ptf_sequence",
-        "geo_polygon_holes",
-        "tpcds_q02",
+        "partition_overwrite_roundtrip",
+        "dialect_array_combinatorics",
+        "dialect_at_time_zone",
+        "dialect_ptf_udtf",
+        "dialect_routine_control",
+        "similarity_embedding_neardup",
+        "geo_bing_tiles",
+        "dialect_sql_routine",
+        "dml_partitioned_lifecycle",
+        "dialect_match_recognize",
+        "zorder_write_roundtrip",
+        "bucketed_join_roundtrip",
+        "dedup_connected_components",
+        # rows-only (no oracle) never-verified — weak rows, checked last
+        "corpus_rebalance_langs",
+        "sketch_setdigest_jaccard",
+        "sketch_hll_union",
+        "text_word_stem_topk",
         "similarity_pq_topk",
         "similarity_ivf_topk",
-        "dialect_sql_routine",
         "sketch_quantile_union",
-        "dialect_ptf_udtf",
-        "agg_approx_family",
-        "dialect_routine_control",
-        "dialect_at_time_zone",
         "similarity_lsh_topk",
-        "similarity_embedding_neardup",
-        "dialect_array_combinatorics",
-        "zorder_write_roundtrip",
-        "geo_bing_tiles",
-        "dml_partitioned_lifecycle",
-        "bucketed_join_roundtrip",
+        "agg_approx_family",
+        "dedup_minhash_pairs",
         "sketch_tdigest_quantiles",
-        "dialect_match_recognize",
-        "dedup_connected_components",
+        "dedup_minhash_keep",
         "dedup_simhash_pairs",
     ]
     # Modules whose queries were never driver-verified (r1 stopped at 50

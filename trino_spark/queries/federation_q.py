@@ -21,21 +21,45 @@ from trino_spark.queries.base import QueryRegistry, t
 
 REG = QueryRegistry()
 
-_DERBY_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "derby_fed")
+# Embedded Derby is single-JVM: a concurrent runner (bench vs verify) or a
+# killed JVM's stale db.lck makes boot fail at a shared path, no matter how
+# long we retry. Per-PROCESS database directory sidesteps the lock entirely
+# (the DML layer does per-process table names for the same reason); seeding
+# is 25 rows, so the per-process cost is negligible.
+_DERBY_BASE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+)
+_DERBY_DIR = os.path.join(_DERBY_BASE, f"derby_fed_{os.getpid()}")
 
 
 def derby_url(create: bool = False) -> str:
     return f"jdbc:derby:{_DERBY_DIR}" + (";create=true" if create else "")
 
 
+def _sweep_stale_derby_dirs() -> None:
+    """Remove derby_fed_* dirs left by dead processes (best-effort)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(_DERBY_BASE, "derby_fed*")):
+        if d == _DERBY_DIR:
+            continue
+        pid_part = os.path.basename(d).rpartition("_")[2]
+        if pid_part.isdigit() and os.path.exists(f"/proc/{pid_part}"):
+            continue  # owner still alive
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def ensure_derby_nation(spark: SparkSession, sf: str) -> None:
-    """Seed the embedded-Derby `nation` table once (idempotent).
+    """Seed the embedded-Derby `nation` table once per process (idempotent).
 
     nation is SF-invariant (25 rows at every scale factor), so any sf_dir
     seeds the same content. Seeding is the one side effect here — it stands
     in for the external OLTP database a real federation query talks to."""
+    import shutil
     import time
 
+    _sweep_stale_derby_dirs()
     last: Exception | None = None
     for attempt in range(4):
         try:
@@ -50,9 +74,10 @@ def ensure_derby_nation(spark: SparkSession, sf: str) -> None:
                 "url", derby_url(create=True)
             ).option("dbtable", "nation").mode("overwrite").save()
             return
-        except Exception as exc:  # embedded Derby single-JVM lock: another
-            last = exc  # process (bench vs verify) may hold it briefly
-            time.sleep(1.5 * (attempt + 1))
+        except Exception as exc:
+            last = exc  # half-created db: wipe and recreate from scratch
+            shutil.rmtree(_DERBY_DIR, ignore_errors=True)
+            time.sleep(0.5 * (attempt + 1))
     raise last
 
 

@@ -255,7 +255,7 @@ def func_try_cast(spark: SparkSession, sf: str) -> DataFrame:
            round(list_max(embedding::DOUBLE[]), 9)                          AS max_v,
            round(list_min(embedding::DOUBLE[]), 9)                          AS min_v,
            round(list_sum(list_filter(embedding::DOUBLE[], x -> x > 0)), 9) AS pos_sum,
-           list_sort(list_transform(embedding[1:4]::DOUBLE[], x -> round(x, 3))) AS head_sorted
+           array_to_string(list_transform(list_sort(list_transform(embedding[1:4]::DOUBLE[], x -> round(x, 3) + 0.0)), x -> printf('%.3f', x)), ',') AS head_sorted
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -276,7 +276,16 @@ def func_array_hof(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.aggregate(F.filter(vd, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 9
         ).alias("pos_sum"),
-        F.array_sort(F.transform(F.slice(vd, 1, 4), lambda x: F.round(x, 3))).alias("head_sorted"),
+        # Serialized (not list-typed): the driver's pandas canonicalizer
+        # cannot sort list cells, so array output columns must be strings.
+        # `+ 0.0` normalizes IEEE -0.0 to +0.0 on both engines before %.3f.
+        F.array_join(
+            F.transform(
+                F.array_sort(F.transform(F.slice(vd, 1, 4), lambda x: F.round(x, 3) + F.lit(0.0))),
+                lambda x: F.format_string("%.3f", x),
+            ),
+            ",",
+        ).alias("head_sorted"),
     ).orderBy("vec_id")
 
 

@@ -78,13 +78,21 @@ def _json_cell(v):
 
 
 class _QueryState:
-    def __init__(self, qid: str, columns: list[dict], rows: list[list], spooled: bool = False):
+    def __init__(
+        self,
+        qid: str,
+        columns: list[dict],
+        rows: list[list],
+        spooled: bool = False,
+        encoding: str = "json",
+    ):
         self.qid = qid
         self.columns = columns
         self.rows = rows
         self.offset = 0
         self.error: dict | None = None
         self.spooled = spooled
+        self.encoding = encoding  # negotiated spooled-segment encoding
         self.segments: list[dict] = []  # spooled-mode segment descriptors
 
 
@@ -116,7 +124,14 @@ class TrinoHttpServer:
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode()
                 enc = self.headers.get("X-Trino-Query-Data-Encoding", "")
-                self._send(200, outer._submit(sql, spooled="spooled" in enc))
+                self._send(
+                    200,
+                    outer._submit(
+                        sql,
+                        spooled="spooled" in enc,
+                        encoding=outer._negotiate_encoding(enc),
+                    ),
+                )
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
@@ -174,6 +189,42 @@ class TrinoHttpServer:
     # -- spooling ----------------------------------------------------------
     _QID_RX = re.compile(r"^[0-9a-f]{16}$")
 
+    @staticmethod
+    def segment_codecs() -> dict:
+        """Supported spooled-segment encodings → (compress, decompress).
+
+        Reference parity (client/trino-client/.../spooling/encoding/):
+        `json` and `json+zstd`. zstd needs the `zstandard` module — absent
+        in this container, so it is an honest import gate (negotiation
+        falls back to plain json). `json+zlib` is an ENGINE EXTENSION
+        (stdlib-only) so compressed round-trips stay testable anywhere.
+        """
+        import zlib
+
+        codecs: dict = {"json": (lambda b: b, lambda b: b)}
+        try:  # pragma: no cover - zstandard not installed here
+            import zstandard
+
+            codecs["json+zstd"] = (
+                lambda b: zstandard.ZstdCompressor().compress(b),
+                lambda b: zstandard.ZstdDecompressor().decompress(b),
+            )
+        except ImportError:
+            pass
+        codecs["json+zlib"] = (zlib.compress, zlib.decompress)
+        return codecs
+
+    def _negotiate_encoding(self, header: str) -> str:
+        """First client-preferred encoding the server supports (the
+        reference negotiates the spooling encoding the same way: client
+        sends an ordered list, server picks). Plain `json` on no match."""
+        codecs = self.segment_codecs()
+        for token in header.split(","):
+            token = token.strip().lower().replace("+spooled", "")
+            if token in codecs:
+                return token
+        return "json"
+
     def _spool_dir(self, qid: str) -> str:
         import os
 
@@ -192,15 +243,22 @@ class TrinoHttpServer:
 
         d = self._spool_dir(st.qid)
         os.makedirs(d, exist_ok=True)
+        compress = self.segment_codecs()[st.encoding][0]
         for i in range(0, max(len(st.rows), 1), PAGE_ROWS):
             chunk = st.rows[i : i + PAGE_ROWS]
             seg = i // PAGE_ROWS
-            with open(os.path.join(d, f"seg{seg}.json"), "w") as fh:
-                json.dump(chunk, fh)
+            raw = json.dumps(chunk).encode()
+            body = compress(raw)
+            with open(os.path.join(d, f"seg{seg}.json"), "wb") as fh:
+                fh.write(body)
             st.segments.append(
                 {
                     "uri": f"{self.url()}/v1/spooled/{st.qid}/{seg}",
                     "rowCount": len(chunk),
+                    # DataAttributes of the reference's spooled metadata:
+                    # the client needs both to size its decode buffer
+                    "segmentSize": len(body),
+                    "uncompressedSize": len(raw),
                 }
             )
         st.rows = []
@@ -240,7 +298,7 @@ class TrinoHttpServer:
         shutil.rmtree(d, ignore_errors=True)
 
     # -- protocol ----------------------------------------------------------
-    def _submit(self, sql: str, spooled: bool = False) -> dict:
+    def _submit(self, sql: str, spooled: bool = False, encoding: str = "json") -> dict:
         qid = uuid.uuid4().hex[:16]
         # Run under a Spark job group named by the query id so
         # system.runtime.kill_query(qid) can cancel the running jobs from
@@ -251,13 +309,23 @@ class TrinoHttpServer:
             running = self.engine._running_queries = {}
         running[qid] = sql.strip()[:200]
         sc.setJobGroup(qid, sql.strip()[:80], interruptOnCancel=True)
+        def _check_killed() -> None:
+            # kill_query records qids here so a kill that landed while the
+            # query was still planning (no active Spark job to cancel)
+            # still terminates it at the next checkpoint.
+            if qid in getattr(self.engine, "_killed_queries", ()):
+                raise RuntimeError("Query killed by operator via kill_query")
+
         try:
+            _check_killed()
             df = self.engine.sql(sql)
+            _check_killed()
             columns = [
                 {"name": f.name, "type": _trino_type(f.dataType)} for f in df.schema
             ]
             rows = [[_json_cell(v) for v in row] for row in df.collect()]
-            st = _QueryState(qid, columns, rows, spooled=spooled)
+            _check_killed()
+            st = _QueryState(qid, columns, rows, spooled=spooled, encoding=encoding)
             if spooled:
                 self._spool(st)
         except Exception as exc:  # surface as a Trino-style error payload
@@ -265,6 +333,9 @@ class TrinoHttpServer:
             st.error = {"message": str(exc).split("\n")[0][:500], "errorName": type(exc).__name__}
         finally:
             running.pop(qid, None)
+            killed = getattr(self.engine, "_killed_queries", None)
+            if killed is not None:
+                killed.discard(qid)
             sc.setLocalProperty("spark.jobGroup.id", None)
         with self._lock:
             self._queries[qid] = st
@@ -293,7 +364,7 @@ class TrinoHttpServer:
             return {
                 "id": qid,
                 "columns": st.columns,
-                "data": {"encoding": "json", "segments": st.segments},
+                "data": {"encoding": st.encoding, "segments": st.segments},
                 "stats": {"state": "FINISHED"},
             }
         page = st.rows[st.offset : st.offset + PAGE_ROWS]
@@ -313,15 +384,20 @@ class TrinoHttpServer:
 
 
 def fetch_all(
-    base_url: str, sql: str, spooled: bool = False
+    base_url: str, sql: str, spooled: bool = False, encoding: str | None = None
 ) -> tuple[list[dict], list[list]]:
     """Tiny reference client: POST then follow nextUri pages (the loop every
     Trino client implements). With spooled=True it requests the spooled
     encoding and fetches segment bodies from their URIs — the
-    client/trino-client spooling flow."""
+    client/trino-client spooling flow. `encoding` prepends a preferred
+    segment encoding (e.g. 'json+zstd') to the negotiation header; the
+    client decodes whatever the server's response says it picked."""
     import urllib.request
 
-    headers = {"X-Trino-Query-Data-Encoding": "json+spooled"} if spooled else {}
+    headers = {}
+    if spooled or encoding:
+        prefs = ([encoding] if encoding else []) + ["json+spooled" if spooled else "json"]
+        headers["X-Trino-Query-Data-Encoding"] = ",".join(prefs)
     req = urllib.request.Request(
         f"{base_url}/v1/statement", data=sql.encode(), method="POST", headers=headers
     )
@@ -334,8 +410,10 @@ def fetch_all(
         columns = resp.get("columns") or columns
         data = resp.get("data")
         if isinstance(data, dict) and "segments" in data:
+            decode = TrinoHttpServer.segment_codecs()[data.get("encoding", "json")][1]
             for seg in data["segments"]:
-                rows.extend(json.loads(urllib.request.urlopen(seg["uri"]).read()))
+                body = decode(urllib.request.urlopen(seg["uri"]).read())
+                rows.extend(json.loads(body))
         else:
             rows.extend(data or [])
         nxt = resp.get("nextUri")

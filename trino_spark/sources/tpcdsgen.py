@@ -55,10 +55,15 @@ N_HOUSEHOLD_DEMO = 7_200
 N_CUSTOMER_DEMO = 7_200
 N_PROMO = 300
 N_TIME = 86_400
+N_INCOME_BAND = 20
+#: every RETURN_EVERY-th sales row is returned — return rows recompute the
+#: SAME hash formulas at the underlying sales index, so returns join back
+#: to their sales on (item, ticket/order) without any shuffle or data read
+RETURN_EVERY = 5
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 5
+GEN_VERSION = 7
 
 #: store_sales rows per ticket: all rows of a ticket share date/time/
 #: store/customer/demographic keys, like dsdgen's multi-line tickets —
@@ -74,18 +79,38 @@ _CATEGORIES = [
     "Men", "Music", "Shoes", "Sports", "Women",
 ]
 # dsdgen's real per-category class names (q89 filters on them)
-_CLASSES = {
-    "Books": ["computers", "business", "fiction", "history", "home repair"],
-    "Children": ["toddlers", "infants", "newborn", "school-uniforms", "athletic-shoes"],
-    "Electronics": ["stereo", "camcorders", "televisions", "audio", "karoke"],
-    "Home": ["bathroom", "bedding", "curtains/drapes", "blinds/shades", "flatware"],
-    "Jewelry": ["birdal", "diamonds", "gold", "estate", "custom"],
-    "Men": ["shirts", "pants", "sports-apparel", "accessories", "underwear"],
-    "Music": ["rock", "country", "pop", "classical", "jazz"],
-    "Shoes": ["mens", "womens", "kids", "athletic", "work"],
-    "Sports": ["football", "baseball", "camping", "basketball", "optics"],
-    "Women": ["dresses", "fragrances", "maternity", "swimwear", "accessories"],
+_CLASSES = {  # first five per category are dsdgen names (q89 filters);
+    # slots 6-9 add the q53/q63 class literals under Books/Children/
+    # Electronics (their filters AND on those categories) + fillers
+    "Books": ["computers", "business", "fiction", "history", "home repair",
+              "personal", "portable", "reference", "self-help"],
+    "Children": ["toddlers", "infants", "newborn", "school-uniforms", "athletic-shoes",
+                 "personal", "portable", "refernece", "self-help"],
+    "Electronics": ["stereo", "camcorders", "televisions", "audio", "karoke",
+                    "personal", "portable", "reference", "self-help"],
+    "Home": ["bathroom", "bedding", "curtains/drapes", "blinds/shades", "flatware",
+             "decor", "lighting", "mattresses", "paint"],
+    "Jewelry": ["birdal", "diamonds", "gold", "estate", "custom",
+                "pendants", "rings", "semi-precious", "womens watch"],
+    "Men": ["shirts", "pants", "sports-apparel", "accessories", "underwear",
+            "shoes", "socks", "belts", "outerwear"],
+    "Music": ["rock", "country", "pop", "classical", "jazz",
+              "accessories", "fragrances", "pants", "karoke"],
+    "Shoes": ["mens", "womens", "kids", "athletic", "work",
+              "slippers", "boots", "sandals", "dress"],
+    "Sports": ["football", "baseball", "camping", "basketball", "optics",
+               "fishing", "golf", "hockey", "tennis"],
+    "Women": ["dresses", "fragrances", "maternity", "swimwear", "accessories",
+              "classical", "pants", "personal", "portable"],
 }
+# dsdgen-style brand names; the first eight are q53/q63 filter literals
+_BRANDS = [
+    "scholaramalgamalg #14", "scholaramalgamalg #7", "exportiunivamalg #9",
+    "scholaramalgamalg #9", "amalgimporto #1", "edu packscholar #1",
+    "exportiimporto #1", "importoamalg #1", "edu packunivamalg #5",
+    "amalgamalg #2", "univmaxi #6", "importoscholar #2", "corpnameless #4",
+    "maxinameless #8", "brandbrand #3", "exportischolar #2",
+]
 # q13's literal states must be reachable
 _STATES = [
     "TN", "CA", "TX", "NY", "OH", "GA", "WA", "IL", "NC", "FL",
@@ -96,16 +121,28 @@ _ZIP_POOL = ["24128", "57834", "13354", "15734", "78668"]
 # dsdgen's number-word store names; q96 filters s_store_name = 'ese'
 _STORE_NAMES = ["ought", "able", "pri", "ese", "anti", "cally", "ation", "eing"]
 _MARITAL = ["M", "S", "W", "D"]
-_EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree"]
+_EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree", "Unknown"]
 _BUY_POTENTIAL = [">10000", "Unknown", "1001-5000", "501-1000", "0-500"]
 _CITIES = ["Fairview", "Midway", "Pleasant Hill", "Oak Grove", "Centerville", "Riverside"]
 _FIRST = ["James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael", "Linda"]
 _LAST = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller", "Davis"]
 _SALUTATION = ["Mr.", "Mrs.", "Ms.", "Dr."]
+# q64 / q56 filter literal colors — the pool must include them
+_COLORS = [
+    "purple", "burlywood", "indian", "spring", "floral", "medium",  # q64 pass 1
+    "orange", "lace", "lawn", "misty", "blush", "pink",             # q64 pass 2
+    "slate", "blanched", "burnished",                               # q56
+    "azure", "gainsboro", "rosy", "lavender", "honeydew",
+]
+_COUNTIES = ["Williamson County", "Walker County", "Ziebach County", "Daviess County"]
+_STREET_NAMES = ["Main", "Oak", "Elm", "Maple", "Cedar", "Pine"]
+_STREET_TYPES = ["St", "Ave", "Blvd", "Ct", "Ln"]
+_COUNTRIES = ["United States", "Canada", "Mexico", "Germany", "Japan"]
 
 TABLES = (
     "date_dim", "item", "store", "customer", "customer_address",
     "store_sales", "store_returns", "web_sales", "catalog_sales",
+    "web_returns", "catalog_returns", "income_band",
     "time_dim", "household_demographics", "customer_demographics",
     "promotion", "reason",
 )
@@ -141,6 +178,9 @@ def gen_table(spark: SparkSession, name: str, parallelism: int | None = None) ->
         "store_returns": _store_returns,
         "web_sales": _web_sales,
         "catalog_sales": _catalog_sales,
+        "web_returns": _web_returns,
+        "catalog_returns": _catalog_returns,
+        "income_band": _income_band,
         "time_dim": _time_dim,
         "household_demographics": _household_demographics,
         "customer_demographics": _customer_demographics,
@@ -174,6 +214,7 @@ def _date_dim(spark, par):
         # year-over-year at a 53-week offset); 1900-01-02 was a Tuesday,
         # so day index i=5 (1900-01-07) opens week 2
         ((i + 2) / 7 + 1).cast("int").alias("d_week_seq"),
+        F.concat(F.year(d), F.lit("Q"), F.quarter(d)).alias("d_quarter_name"),
     )
 
 
@@ -182,7 +223,7 @@ def _item(spark, par):
     cat_id = (_h("i_cat", i, len(_CATEGORIES)) + 1).cast("int")
     cat = F.element_at(F.array(*[F.lit(c) for c in _CATEGORIES]), cat_id)
     brand_id = (_h("i_brand", i, 500) + 1).cast("int")
-    class_n = (_h("i_class", i, 5) + 1).cast("int")
+    class_n = (_h("i_class", i, 9) + 1).cast("int")
     # 2-D lookup: class name depends on (category, class slot)
     class_matrix = F.array(
         *[F.array(*[F.lit(c) for c in _CLASSES[cat_name]]) for cat_name in _CATEGORIES]
@@ -193,7 +234,7 @@ def _item(spark, par):
         F.concat(F.lit("ITEM"), F.lpad((i + 1).cast("string"), 8, "0")).alias("i_item_id"),
         F.concat(F.lit("desc of item "), (i + 1)).alias("i_item_desc"),
         brand_id.alias("i_brand_id"),
-        F.concat(F.lit("Brand#"), brand_id).alias("i_brand"),
+        _pick("i_brandname", i, _BRANDS).alias("i_brand"),
         class_n.alias("i_class_id"),
         class_name.alias("i_class"),
         cat_id.alias("i_category_id"),
@@ -210,6 +251,9 @@ def _item(spark, par):
         ).alias("i_manufact"),
         (_h("i_mgr", i, 100) + 1).cast("int").alias("i_manager_id"),
         _money("i_price", i, 0.5, 100.0).alias("i_current_price"),
+        _pick("i_color", i, _COLORS).alias("i_color"),
+        F.concat(F.lit("product_"), (i + 1)).alias("i_product_name"),
+        _money("i_wcost", i, 1.0, 80.0).alias("i_wholesale_cost"),
     )
 
 
@@ -232,6 +276,13 @@ def _store(spark, par):
         .cast("decimal(5,2)")
         .alias("s_gmt_offset"),
         _pick("s_zip", i, _ZIP_POOL).alias("s_zip"),
+        F.lit(1).cast("int").alias("s_company_id"),
+        # q79 filters s_number_employees BETWEEN 200 AND 295
+        (200 + _h("s_emp", i, 100)).cast("int").alias("s_number_employees"),
+        (100 + _h("s_stn", i, 899)).cast("string").alias("s_street_number"),
+        _pick("s_stna", i, _STREET_NAMES).alias("s_street_name"),
+        _pick("s_stty", i, _STREET_TYPES).alias("s_street_type"),
+        F.concat(F.lit("Suite "), (_h("s_suite", i, 90) + 10)).alias("s_suite_number"),
     )
 
 
@@ -246,6 +297,21 @@ def _customer(spark, par):
         (_h("c_addr", i, N_ADDRESS) + 1).cast("int").alias("c_current_addr_sk"),
         F.when(_h("c_pref", i, 2) == 0, F.lit("Y")).otherwise(F.lit("N")).alias(
             "c_preferred_cust_flag"
+        ),
+        (_h("c_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("c_current_cdemo_sk"),
+        (_h("c_hdemo", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("c_current_hdemo_sk"),
+        (1924 + _h("c_by", i, 70)).cast("int").alias("c_birth_year"),
+        (_h("c_bm", i, 12) + 1).cast("int").alias("c_birth_month"),
+        _pick("c_bc", i, _COUNTRIES).alias("c_birth_country"),
+        F.concat(F.lit("cust"), (i + 1), F.lit("@example.com")).alias("c_email_address"),
+        F.lit(None).cast("string").alias("c_login"),  # dsdgen leaves it NULL
+        # first purchase precedes the sales window (q64 joins these to
+        # date_dim and compares d_year against the sale year)
+        (_h("c_fsd", i, 730) + (_SALES_START - 730) + _SK0).cast("int").alias(
+            "c_first_sales_date_sk"
+        ),
+        (_h("c_fsd", i, 730) + (_SALES_START - 700) + _SK0).cast("int").alias(
+            "c_first_shipto_date_sk"
         ),
     )
 
@@ -265,11 +331,82 @@ def _customer_address(spark, par):
         F.when(_h("ca_gmt", i, 10) < 7, F.lit(-5.0)).otherwise(F.lit(-6.0))
         .cast("decimal(5,2)")
         .alias("ca_gmt_offset"),
+        _pick("ca_cnty", i, _COUNTIES).alias("ca_county"),
+        (100 + _h("ca_stn", i, 899)).cast("string").alias("ca_street_number"),
+        _pick("ca_stna", i, _STREET_NAMES).alias("ca_street_name"),
     )
 
 
 def _sold_date_sk(seed: str, key) -> F.Column:
     return (_h(seed, key, _SALES_SPAN) + _SALES_START + _SK0).cast("int")
+
+
+
+# ---- hot-entity alignment -------------------------------------------------
+# q23's CTE chain (frequent (item,date) pairs -> best customers -> their
+# cross-channel February-2000 purchases) and q17/q25's sale->return->
+# repurchase chains need engineered coincidences that uniform hashing
+# cannot produce at this scale: every 25th store ticket is a BULK ticket
+# (all 20 lines the same hot item, owned by one of 4 hot customers), and
+# every 25th catalog/web row buys a hot item as a hot customer on a date
+# drawn from Feb-2000 / year-2001 windows. The SAME functions compute the
+# overridden keys in the *_returns builders, so returns still join back.
+N_HOT_ITEMS = 3
+N_HOT_CUSTOMERS = 4
+_FEB2000 = (_dt.date(2000, 2, 1) - _CAL_START).days
+_Y2001 = (_dt.date(2001, 1, 1) - _CAL_START).days
+
+
+def _bulk_ticket(tk) -> F.Column:
+    return F.pmod(tk, F.lit(25)) == 3
+
+
+def _ss_item_sk(i, tk) -> F.Column:
+    return (
+        F.when(_bulk_ticket(tk), F.pmod(tk, F.lit(N_HOT_ITEMS)) + 1)
+        .otherwise(_h("ss_item", i, N_ITEM) + 1)
+        .cast("int")
+    )
+
+
+def _ss_customer_sk(tk) -> F.Column:
+    return (
+        F.when(_bulk_ticket(tk), F.pmod(tk, F.lit(N_HOT_CUSTOMERS)) + 1)
+        .otherwise(_h("ss_cust", tk, N_CUSTOMER) + 1)
+        .cast("int")
+    )
+
+
+def _bulk_row(i) -> F.Column:
+    return F.pmod(i, F.lit(25)) == 3
+
+
+def _chan_item_sk(seed: str, i) -> F.Column:
+    return (
+        F.when(_bulk_row(i), F.pmod(i, F.lit(N_HOT_ITEMS)) + 1)
+        .otherwise(_h(seed, i, N_ITEM) + 1)
+        .cast("int")
+    )
+
+
+def _chan_customer_sk(seed: str, i) -> F.Column:
+    return (
+        F.when(_bulk_row(i), F.pmod(i, F.lit(N_HOT_CUSTOMERS)) + 1)
+        .otherwise(_h(seed, i, N_CUSTOMER) + 1)
+        .cast("int")
+    )
+
+
+def _chan_date_sk(seed: str, i) -> F.Column:
+    # bulk rows split between q23's Feb-2000 window and 2001 (q17/q25)
+    bulk_date = F.when(
+        _h(seed + "_w", i, 2) == 0, _FEB2000 + _h(seed + "_f", i, 29)
+    ).otherwise(_Y2001 + _h(seed + "_y", i, 365))
+    return (
+        F.when(_bulk_row(i), bulk_date + _SK0)
+        .otherwise(_sold_date_sk(seed, i))
+        .cast("int")
+    )
 
 
 def _store_sales(spark, par):
@@ -281,8 +418,8 @@ def _store_sales(spark, par):
     return _range(spark, N_STORE_SALES, par).select(
         _sold_date_sk("ss_day", tk).alias("ss_sold_date_sk"),
         _h("ss_time", tk, N_TIME).cast("int").alias("ss_sold_time_sk"),
-        (_h("ss_item", i, N_ITEM) + 1).cast("int").alias("ss_item_sk"),
-        (_h("ss_cust", tk, N_CUSTOMER) + 1).cast("int").alias("ss_customer_sk"),
+        _ss_item_sk(i, tk).alias("ss_item_sk"),
+        _ss_customer_sk(tk).alias("ss_customer_sk"),
         (_h("ss_cdemo", tk, N_CUSTOMER_DEMO) + 1).cast("int").alias("ss_cdemo_sk"),
         (_h("ss_hdemo", tk, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ss_hdemo_sk"),
         (_h("ss_addr", tk, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
@@ -299,47 +436,127 @@ def _store_sales(spark, par):
         _money("ss_wcost", i, 1.0, 1500.0).alias("ss_ext_wholesale_cost"),
         # non-negative range keeps q13's net-profit BETWEEN windows hot
         _money("ss_np", i, 0.0, 300.0).alias("ss_net_profit"),
+        _money("ss_wc", i, 1.0, 100.0).alias("ss_wholesale_cost"),
+        _money("ss_elp", i, 1.0, 2500.0).alias("ss_ext_list_price"),
+        _money("ss_tax", i, 0.0, 180.0).alias("ss_ext_tax"),
     )
 
 
 def _store_returns(spark, par):
-    i = F.col("id")
-    return _range(spark, N_STORE_RETURNS, par).select(
-        _sold_date_sk("sr_day", i).alias("sr_returned_date_sk"),
-        (_h("sr_item", i, N_ITEM) + 1).cast("int").alias("sr_item_sk"),
-        (_h("sr_cust", i, N_CUSTOMER) + 1).cast("int").alias("sr_customer_sk"),
-        (_h("sr_store", i, N_STORE) + 1).cast("int").alias("sr_store_sk"),
-        _money("sr_amt", i, 1.0, 500.0).alias("sr_return_amt"),
+    """Return row j is the return of store_sales row i = j*RETURN_EVERY:
+    the key columns recompute store_sales' OWN hash formulas at i, so
+    sr joins back to ss on (ss_ticket_number, ss_item_sk) — q17/q25/q64
+    chain sale->return->repurchase, and q78's LEFT JOIN ... IS NULL
+    isolates never-returned lines. Money columns are fresh draws."""
+    j = F.col("id")
+    i = j * RETURN_EVERY
+    tk = (i / TICKET_LINES).cast("long")
+    return _range(spark, N_STORE_SALES // RETURN_EVERY, par).select(
+        # returned within ~60 days of the (deterministic) sale date
+        (_sold_date_sk("ss_day", tk) + (_h("sr_delay", j, 60) + 1).cast("int"))
+        .cast("int")
+        .alias("sr_returned_date_sk"),
+        _ss_item_sk(i, tk).alias("sr_item_sk"),
+        _ss_customer_sk(tk).alias("sr_customer_sk"),
+        (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("sr_store_sk"),
+        (tk + 1).alias("sr_ticket_number"),
+        (_h("sr_qty", j, 10) + 1).cast("int").alias("sr_return_quantity"),
+        (_h("sr_reason", j, N_REASON) + 1).cast("int").alias("sr_reason_sk"),
+        _money("sr_amt", j, 1.0, 500.0).alias("sr_return_amt"),
+        _money("sr_loss", j, 0.0, 200.0).alias("sr_net_loss"),
     )
 
 
 def _web_sales(spark, par):
     i = F.col("id")
     return _range(spark, N_WEB_SALES, par).select(
-        _sold_date_sk("ws_day", i).alias("ws_sold_date_sk"),
+        _chan_date_sk("ws_day", i).alias("ws_sold_date_sk"),
         _h("ws_time", i, N_TIME).cast("int").alias("ws_sold_time_sk"),
-        (_h("ws_item", i, N_ITEM) + 1).cast("int").alias("ws_item_sk"),
-        (_h("ws_cust", i, N_CUSTOMER) + 1).cast("int").alias("ws_bill_customer_sk"),
+        _chan_item_sk("ws_item", i).alias("ws_item_sk"),
+        _chan_customer_sk("ws_cust", i).alias("ws_bill_customer_sk"),
+        (_h("ws_addr", i, N_ADDRESS) + 1).cast("int").alias("ws_bill_addr_sk"),
+        (i + 1).alias("ws_order_number"),  # one line per order; returns
+        # recompute the same index so (order, item) joins resolve
+        (_h("ws_qty", i, 100) + 1).cast("int").alias("ws_quantity"),
         _money("ws_price", i, 1.0, 200.0).alias("ws_sales_price"),
+        _money("ws_list", i, 1.0, 250.0).alias("ws_list_price"),
         _money("ws_ext", i, 1.0, 2000.0).alias("ws_ext_sales_price"),
+        _money("ws_disc", i, 0.0, 100.0).alias("ws_ext_discount_amt"),
+        _money("ws_elp", i, 1.0, 2500.0).alias("ws_ext_list_price"),
+        _money("ws_ewc", i, 1.0, 1500.0).alias("ws_ext_wholesale_cost"),
+        _money("ws_paid", i, 1.0, 2000.0).alias("ws_net_paid"),
+        _money("ws_wc", i, 1.0, 100.0).alias("ws_wholesale_cost"),
+        _money("ws_np", i, 0.0, 300.0).alias("ws_net_profit"),
     )
 
 
 def _catalog_sales(spark, par):
     i = F.col("id")
     return _range(spark, N_CATALOG_SALES, par).select(
-        _sold_date_sk("cs_day", i).alias("cs_sold_date_sk"),
+        _chan_date_sk("cs_day", i).alias("cs_sold_date_sk"),
         _h("cs_time", i, N_TIME).cast("int").alias("cs_sold_time_sk"),
-        (_h("cs_item", i, N_ITEM) + 1).cast("int").alias("cs_item_sk"),
-        (_h("cs_cust", i, N_CUSTOMER) + 1).cast("int").alias("cs_bill_customer_sk"),
+        _chan_item_sk("cs_item", i).alias("cs_item_sk"),
+        _chan_customer_sk("cs_cust", i).alias("cs_bill_customer_sk"),
         (_h("cs_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("cs_bill_cdemo_sk"),
         (_h("cs_promo", i, N_PROMO) + 1).cast("int").alias("cs_promo_sk"),
+        (_h("cs_addr", i, N_ADDRESS) + 1).cast("int").alias("cs_bill_addr_sk"),
+        (i + 1).alias("cs_order_number"),
         (_h("cs_qty", i, 100) + 1).cast("int").alias("cs_quantity"),
         _money("cs_price", i, 1.0, 200.0).alias("cs_sales_price"),
         _money("cs_list", i, 1.0, 250.0).alias("cs_list_price"),
         _money("cs_coupon", i, 0.0, 50.0).alias("cs_coupon_amt"),
         _money("cs_ext", i, 1.0, 2000.0).alias("cs_ext_sales_price"),
         _money("cs_disc", i, 0.0, 100.0).alias("cs_ext_discount_amt"),
+        _money("cs_elp", i, 1.0, 2500.0).alias("cs_ext_list_price"),
+        _money("cs_ewc", i, 1.0, 1500.0).alias("cs_ext_wholesale_cost"),
+        _money("cs_wc", i, 1.0, 100.0).alias("cs_wholesale_cost"),
+        _money("cs_np", i, 0.0, 300.0).alias("cs_net_profit"),
+    )
+
+
+def _web_returns(spark, par):
+    """Return row j is the return of web_sales row i = j*RETURN_EVERY —
+    same derivation as _store_returns (q78's LEFT JOIN ... IS NULL)."""
+    j = F.col("id")
+    i = j * RETURN_EVERY
+    return _range(spark, N_WEB_SALES // RETURN_EVERY, par).select(
+        (_chan_date_sk("ws_day", i) + (_h("wr_delay", j, 60) + 1).cast("int"))
+        .cast("int")
+        .alias("wr_returned_date_sk"),
+        _chan_item_sk("ws_item", i).alias("wr_item_sk"),
+        (i + 1).alias("wr_order_number"),
+        _chan_customer_sk("ws_cust", i).alias("wr_returning_customer_sk"),
+        (_h("wr_qty", j, 10) + 1).cast("int").alias("wr_return_quantity"),
+        _money("wr_amt", j, 1.0, 500.0).alias("wr_return_amt"),
+    )
+
+
+def _catalog_returns(spark, par):
+    """Return row j is the return of catalog_sales row i = j*RETURN_EVERY
+    (q64's cs_ui joins cs to cr on item + order_number)."""
+    j = F.col("id")
+    i = j * RETURN_EVERY
+    return _range(spark, N_CATALOG_SALES // RETURN_EVERY, par).select(
+        (_chan_date_sk("cs_day", i) + (_h("cr_delay", j, 60) + 1).cast("int"))
+        .cast("int")
+        .alias("cr_returned_date_sk"),
+        _chan_item_sk("cs_item", i).alias("cr_item_sk"),
+        (i + 1).alias("cr_order_number"),
+        _chan_customer_sk("cs_cust", i).alias("cr_returning_customer_sk"),
+        (_h("cr_qty", j, 10) + 1).cast("int").alias("cr_return_quantity"),
+        _money("cr_amt", j, 1.0, 500.0).alias("cr_return_amount"),
+        _money("cr_cash", j, 0.0, 100.0).alias("cr_refunded_cash"),
+        _money("cr_rev", j, 0.0, 50.0).alias("cr_reversed_charge"),
+        _money("cr_credit", j, 0.0, 50.0).alias("cr_store_credit"),
+    )
+
+
+def _income_band(spark, par):
+    i = F.col("id")
+    return _range(spark, N_INCOME_BAND, par).select(
+        (i + 1).cast("int").alias("ib_income_band_sk"),
+        (i * 10_000).cast("int").alias("ib_lower_bound"),
+        ((i + 1) * 10_000 - 1).cast("int").alias("ib_upper_bound"),
     )
 
 
@@ -365,6 +582,7 @@ def _household_demographics(spark, par):
         _pick("hd_buy", i, _BUY_POTENTIAL).alias("hd_buy_potential"),
         _h("hd_dep", i, 10).cast("int").alias("hd_dep_count"),
         (_h("hd_veh", i, 5) - 1).cast("int").alias("hd_vehicle_count"),
+        (_h("hd_ib", i, N_INCOME_BAND) + 1).cast("int").alias("hd_income_band_sk"),
     )
 
 
@@ -375,6 +593,7 @@ def _customer_demographics(spark, par):
         F.when(F.pmod(i, F.lit(2)) == 0, F.lit("M")).otherwise(F.lit("F")).alias("cd_gender"),
         _pick("cd_mar", i, _MARITAL).alias("cd_marital_status"),
         _pick("cd_edu", i, _EDUCATION).alias("cd_education_status"),
+        _h("cd_dep", i, 10).cast("int").alias("cd_dep_count"),
     )
 
 
@@ -394,7 +613,7 @@ def _reason(spark, par):
     i = F.col("id")
     return _range(spark, N_REASON, par).select(
         (i + 1).cast("int").alias("r_reason_sk"),
-        F.concat(F.lit("reason_"), (i + 1)).alias("r_reason_desc"),
+        F.concat(F.lit("reason "), (i + 1)).alias("r_reason_desc"),  # q93 literal 'reason 28'
     )
 
 
