@@ -208,7 +208,207 @@ def adapt() -> dict[str, str]:
         rr2 = f'(("sum"("{pfx}_ext_sales_price") * 100) / "sum"("sum"("{pfx}_ext_sales_price")) OVER (PARTITION BY "i_class"))'
         newrr2 = f'(floor((((CAST("sum"("{pfx}_ext_sales_price") AS DOUBLE) * 100) / CAST("sum"("sum"("{pfx}_ext_sales_price")) OVER (PARTITION BY "i_class") AS DOUBLE))) * 1000000 + 0.5) / 1e6)'
         sub1(q, rr2, newrr2)
+
+    # ---------------- round 4 ----------------
+    # q04/q11/q74: cast the per-channel year_total sums to DOUBLE so the
+    # growth-ratio comparisons run in IEEE doubles on both engines
+    # (decimal division scale rules differ between them)
+    out["q04"], n = re.subn(
+        r'("sum"\(\(\(\(\("\w+_ext_list_price".*?\) / 2\)\)) "year_total"',
+        r'CAST(\1 AS DOUBLE) "year_total"', out["q04"])
+    assert n == 3, f"q04 year_total casts: {n}"
+    out["q11"], n = re.subn(
+        r'("sum"\(\("\w+_ext_list_price" - "\w+_ext_discount_amt"\)\)) "year_total"',
+        r'CAST(\1 AS DOUBLE) "year_total"', out["q11"])
+    assert n == 2, f"q11 year_total casts: {n}"
+    out["q74"], n = re.subn(
+        r'("sum"\("\w+_net_paid"\)) "year_total"',
+        r'CAST(\1 AS DOUBLE) "year_total"', out["q74"])
+    assert n == 2, f"q74 year_total casts: {n}"
+
+    # q14a: average-sales threshold from the exact decimal sum; surfaced
+    # rollup sums cast + aliased
+    sub1("q14a", '"avg"(("quantity" * "list_price")) "average_sales"',
+         '(CAST("sum"(("quantity" * "list_price")) AS DOUBLE) / "count"(*)) "average_sales"')
+    sub1("q14a", ', "sum"("sales")\n, "sum"("number_sales")',
+         ', CAST("sum"("sales") AS DOUBLE) "sum_sales"\n, CAST("sum"("number_sales") AS BIGINT) "number_sales"')
+
+    # q23a/q23b: surfaced decimal sums
+    sub1("q23a", 'SELECT "sum"("sales")', 'SELECT CAST("sum"("sales") AS DOUBLE) "sum_sales"')
+    out["q23b"], n = re.subn(
+        r'("sum"\(\("\w+_quantity" \* "\w+_list_price"\)\)) "sales"',
+        r'CAST(\1 AS DOUBLE) "sales"', out["q23b"])
+    assert n == 2, f"q23b sales casts: {n}"
+
+    # q17: stddev and coefficient-of-variation outputs floor-rounded (the
+    # engines' partial-aggregation order differs in the last ulp); the
+    # int avgs are exact-sum/count doubles on both sides already
+    for col in ("ss_quantity", "sr_return_quantity", "cs_quantity"):
+        out["q17"], n = re.subn(
+            r'\("stddev_samp"\("%s"\) / "avg"\("%s"\)\) "(\w+)"' % (col, col),
+            r'(floor(("stddev_samp"("%s") / "avg"("%s")) * 10000 + 0.5) / 1e4) "\1"' % (col, col),
+            out["q17"])
+        assert n == 1, f"q17 cov {col}: {n}"
+        out["q17"], n = re.subn(
+            r'"stddev_samp"\("%s"\) "(\w+)"' % col,
+            r'(floor("stddev_samp"("%s") * 10000 + 0.5) / 1e4) "\1"' % col,
+            out["q17"])
+        assert n == 1, f"q17 stdev {col}: {n}"
+        out["q17"], n = re.subn(
+            r'"avg"\("%s"\) "(\w+)"' % col,
+            r'(floor("avg"("%s") * 10000 + 0.5) / 1e4) "\1"' % col,
+            out["q17"])
+        assert n == 1, f"q17 avg {col}: {n}"
+
+    # q18: decimal averages via the exact-integer-sum rounding identity
+    out["q18"], n = re.subn(
+        r'"avg"\(CAST\(("[\w"\.]+") AS DECIMAL\(12,2\)\)\) "(agg\d)"',
+        r'(floor((2 * CAST("sum"(CAST(\1 AS DECIMAL(12,2))) * 1000 AS BIGINT) + "count"(\1)) / (2e0 * "count"(\1))) / 1e3) "\2"',
+        out["q18"])
+    assert n == 7, f"q18 avg rewrites: {n}"
+
+    # q25: surfaced decimal sums
+    out["q25"], n = re.subn(
+        r'("sum"\("\w+_net_(?:profit|loss)"\)) "(\w+)"',
+        r'CAST(\1 AS DOUBLE) "\2"', out["q25"])
+    assert n == 3, f"q25 casts: {n}"
+
+    # q27: q07's four averages on the rollup shape
+    sub1("q27", '"avg"("ss_quantity") "agg1"',
+         '(floor((2 * CAST(("sum"("ss_quantity")) * 1000 AS BIGINT) + ("count"(*))) / (2e0 * ("count"(*)))) / 1e3) "agg1"')
+    for k, col in (("agg2", "ss_list_price"), ("agg3", "ss_coupon_amt"), ("agg4", "ss_sales_price")):
+        sub1("q27", f'"avg"("{col}") "{k}"',
+             f'(floor((2 * CAST(("sum"("{col}")) * 1000 AS BIGINT) + ("count"(*))) / (2e0 * ("count"(*)))) / 1e3) "{k}"')
+
+    # q28: six bucket averages, count(col)-weighted exact rounding
+    out["q28"], n = re.subn(
+        r'"avg"\("ss_list_price"\) "(b\d_lp)"',
+        r'(floor((2 * CAST("sum"("ss_list_price") * 1000 AS BIGINT) + "count"("ss_list_price")) / (2e0 * "count"("ss_list_price"))) / 1e3) "\1"',
+        out["q28"])
+    assert n == 6, f"q28 avgs: {n}"
+
+    # q31: CTE sums to DOUBLE; DECIMAL(38,3) threshold casts dropped (the
+    # operands are doubles after the sum casts)
+    sub1("q31", '"sum"("ss_ext_sales_price") "store_sales"',
+         'CAST("sum"("ss_ext_sales_price") AS DOUBLE) "store_sales"')
+    sub1("q31", '"sum"("ws_ext_sales_price") "web_sales"',
+         'CAST("sum"("ws_ext_sales_price") AS DOUBLE) "web_sales"')
+    out["q31"], n = re.subn(
+        r'CAST\(("\w+"\."(?:web|store)_sales") AS DECIMAL\(38,3\)\)', r'\1', out["q31"])
+    assert n == 4, f"q31 decimal-cast strips: {n}"
+
+    # q33/q56/q60: per-channel sums stay decimal inside the CTEs; only the
+    # cross-channel total is surfaced, cast once
+    for q in ("q33", "q56", "q60"):
+        out[q], n = re.subn(
+            r'"sum"\("total_sales"\) "total_sales"',
+            r'CAST("sum"("total_sales") AS DOUBLE) "total_sales"', out[q])
+        assert n == 1, f"{q} total cast: {n}"
+
+    # q38/q87: bare count outputs get BIGINT + alias (q96's pattern)
+    for q in ("q38", "q87"):
+        sub1(q, 'SELECT "count"(*)\n', 'SELECT CAST("count"(*) AS BIGINT) "cnt"\n')
+
+    # q43/q59: day-of-week pivot sums to DOUBLE; q59's ratio outputs aliased
+    out["q43"], n = re.subn(
+        r'("sum"\(\(CASE WHEN \("d_day_name" = \'\w+\'\) THEN "ss_sales_price" ELSE null END\)\)) "(\w+_sales)"',
+        r'CAST(\1 AS DOUBLE) "\2"', out["q43"])
+    assert n == 7, f"q43 day sums: {n}"
+    out["q59"], n = re.subn(
+        r'("sum"\(\(CASE WHEN \("d_day_name" = \'\w+\'\) THEN "ss_sales_price" ELSE null END\)\)) "(\w+_sales)"',
+        r'CAST(\1 AS DOUBLE) "\2"', out["q59"])
+    assert n == 7, f"q59 day sums: {n}"
+    for day in ("sun", "mon", "tue", "wed", "thu", "fri", "sat"):
+        sub1("q59", f'("{day}_sales1" / "{day}_sales2")',
+             f'("{day}_sales1" / "{day}_sales2") "{day}_ratio"')
+
+    # q47/q53/q63: grouped sum cast; window average from the exact decimal
+    # window sum (q89's identity), threshold casts dropped
+    for q, part in (
+        ("q47", '"i_category", "i_brand", "s_store_name", "s_company_name", "d_year"'),
+        ("q53", '"i_manufact_id"'),
+        ("q63", '"i_manager_id"'),
+    ):
+        alias = "avg_monthly_sales" if q != "q53" else "avg_quarterly_sales"
+        sub1(q, f'"avg"("sum"("ss_sales_price")) OVER (PARTITION BY {part}) "{alias}"',
+             f'(floor((2 * CAST(("sum"("sum"("ss_sales_price")) OVER (PARTITION BY {part})) * 1000 AS BIGINT) + ("count"(*) OVER (PARTITION BY {part}))) / (2e0 * ("count"(*) OVER (PARTITION BY {part})))) / 1e3) "{alias}"')
+        sub1(q, '"sum"("ss_sales_price") "sum_sales"',
+             'CAST("sum"("ss_sales_price") AS DOUBLE) "sum_sales"')
+    sub1("q53", 'CAST("sum_sales" AS DECIMAL(38,4))', '"sum_sales"')
+
+    # q48: int sum output
+    sub1("q48", 'SELECT "sum"("ss_quantity")\n', 'SELECT CAST("sum"("ss_quantity") AS BIGINT) "sum_qty"\n')
+
+    # q50: latency-bucket counts (int CASE sums)
+    out["q50"], n = re.subn(
+        r'("sum"\(\(CASE WHEN (?:.|\n)*?END\)\)) ("\S[^"]*")',
+        r'CAST(\1 AS BIGINT) \2', out["q50"])
+    assert n == 5, f"q50 bucket sums: {n}"
+
+    # q64: surfaced decimal sums; the duplicate output names get suffixes
+    # (the driver matches columns BY NAME)
+    for c in ("s1", "s2", "s3"):
+        col = {"s1": "ss_wholesale_cost", "s2": "ss_list_price", "s3": "ss_coupon_amt"}[c]
+        sub1("q64", f'"sum"("{col}") "{c}"', f'CAST("sum"("{col}") AS DOUBLE) "{c}"')
+    sub1("q64", ', "cs1"."syear"\n', ', "cs1"."syear" "syear1"\n')
+    sub1("q64", ', "cs1"."cnt"\n', ', "cs1"."cnt" "cnt1"\n')
+    sub1("q64", ', "cs2"."syear"\n', ', "cs2"."syear" "syear2"\n')
+    sub1("q64", ', "cs2"."cnt"\n', ', "cs2"."cnt" "cnt2"\n')
+
+    # q65: derived-average from the exact sum; surfaced decimals cast
+    sub1("q65", '"avg"("revenue") "ave"', '(CAST("sum"("revenue") AS DOUBLE) / "count"(*)) "ave"')
+    sub1("q65", ', "sc"."revenue"\n', ', CAST("sc"."revenue" AS DOUBLE) "revenue"\n')
+    sub1("q65", ', "i_current_price"\n', ', CAST("i_current_price" AS DOUBLE) "i_current_price"\n')
+    sub1("q65", ', "i_wholesale_cost"\n', ', CAST("i_wholesale_cost" AS DOUBLE) "i_wholesale_cost"\n')
+
+    # q68/q79: surfaced decimal sums; q79's unaliased substr aliased
+    sub1("q68", '"sum"("ss_ext_sales_price") "extended_price"',
+         'CAST("sum"("ss_ext_sales_price") AS DOUBLE) "extended_price"')
+    sub1("q68", '"sum"("ss_ext_list_price") "list_price"',
+         'CAST("sum"("ss_ext_list_price") AS DOUBLE) "list_price"')
+    sub1("q68", '"sum"("ss_ext_tax") "extended_tax"',
+         'CAST("sum"("ss_ext_tax") AS DOUBLE) "extended_tax"')
+    sub1("q79", '"sum"("ss_coupon_amt") "amt"', 'CAST("sum"("ss_coupon_amt") AS DOUBLE) "amt"')
+    sub1("q79", '"sum"("ss_net_profit") "profit"', 'CAST("sum"("ss_net_profit") AS DOUBLE) "profit"')
+    sub1("q79", ', "substr"("s_city", 1, 30)\n', ', "substr"("s_city", 1, 30) "s_city_30"\n')
+
+    # q78: int quantity sums to BIGINT, money sums to DOUBLE, the decimal
+    # ratio via tie-free floor rounding (both occurrences: select + order)
+    out["q78"], n = re.subn(
+        r'("sum"\("\w+_quantity"\)) ("\w+_qty")', r'CAST(\1 AS BIGINT) \2', out["q78"])
+    assert n == 3, f"q78 qty sums: {n}"
+    out["q78"], n = re.subn(
+        r'("sum"\("\w+_(?:wholesale_cost|sales_price)"\)) ("\w+_(?:wc|sp)")',
+        r'CAST(\1 AS DOUBLE) \2', out["q78"])
+    assert n == 6, f"q78 money sums: {n}"
+    ratio_old = '"round"((CAST("ss_qty" AS DECIMAL(10,2)) / (COALESCE("ws_qty", 0) + COALESCE("cs_qty", 0))), 2)'
+    ratio_new = '(floor((CAST("ss_qty" AS DOUBLE) / (COALESCE("ws_qty", 0) + COALESCE("cs_qty", 0))) * 100 + 0.5) / 1e2)'
+    assert out["q78"].count(ratio_old) == 2
+    out["q78"] = out["q78"].replace(ratio_old, ratio_new)
+
+    # q86: q36's shape on web_sales — surfaced sum cast (the rank's
+    # internal sum stays decimal: exact, order-insensitive)
+    sub1("q86", '"sum"("ws_net_paid") "total_sum"', 'CAST("sum"("ws_net_paid") AS DOUBLE) "total_sum"')
+
+    # q92: q32's shape on web discounts
+    sub1("q92", 'SELECT "sum"("ws_ext_discount_amt") "Excess Discount Amount"',
+         'SELECT CAST("sum"("ws_ext_discount_amt") AS DOUBLE) "Excess Discount Amount"')
+
+    # q93: quantity-weighted decimal sum
+    sub1("q93", '"sum"("act_sales") "sumsales"', 'CAST("sum"("act_sales") AS DOUBLE) "sumsales"')
+
+    # ROLLUP outputs ordered under LIMIT: Spark sorts ASC nulls-first,
+    # DuckDB nulls-last — pin the null order explicitly so both engines
+    # pick the same 100 rows
+    sub1("q14a", 'ORDER BY "channel" ASC, "i_brand_id" ASC, "i_class_id" ASC, "i_category_id" ASC',
+         'ORDER BY "channel" ASC NULLS FIRST, "i_brand_id" ASC NULLS FIRST, "i_class_id" ASC NULLS FIRST, "i_category_id" ASC NULLS FIRST')
+    sub1("q18", 'ORDER BY "ca_country" ASC, "ca_state" ASC, "ca_county" ASC, "i_item_id" ASC',
+         'ORDER BY "ca_country" ASC NULLS FIRST, "ca_state" ASC NULLS FIRST, "ca_county" ASC NULLS FIRST, "i_item_id" ASC NULLS FIRST')
+    sub1("q27", 'ORDER BY "i_item_id" ASC, "s_state" ASC',
+         'ORDER BY "i_item_id" ASC NULLS FIRST, "s_state" ASC NULLS FIRST')
+
     return out
+
 
 
 _MODULE_HEADER = '''"""TPC-DS corpus through the dialect engine.

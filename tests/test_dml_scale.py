@@ -366,3 +366,48 @@ def test_partition_column_ddl_guards(engine):
     engine.sql("DELETE FROM pc_ddl WHERE region_k = 0")  # layout still valid
     assert engine.sql("SELECT count(*) AS c FROM pc_ddl").collect()[0].c == 20
     engine.sql("DROP TABLE pc_ddl")
+
+
+class TestFilesPartitionsMetadata:
+    """Round-4: ``$files`` / ``$partitions`` metadata tables (FilesTable /
+    PartitionsTable analogs) — footer-derived counts reconcile with the
+    data, partitions surface as relative Hive directories."""
+
+    def test_files_reconcile_with_data(self, engine):
+        _fresh(engine, "meta_t", partitioned=True)
+        files = engine.sql('SELECT * FROM "meta_t$files"').collect()
+        assert files and all(f.file_format == "PARQUET" for f in files)
+        assert all(f.partition and f.partition.startswith("r=") for f in files)
+        total = sum(f.record_count for f in files)
+        assert total == engine.sql("SELECT count(*) AS c FROM meta_t").collect()[0].c
+        assert all(f.file_size_in_bytes > 0 for f in files)
+        engine.sql("DROP TABLE meta_t")
+
+    def test_partitions_rollup(self, engine):
+        _fresh(engine, "meta_p", partitioned=True)
+        parts = {r.partition: r for r in engine.sql('SELECT * FROM "meta_p$partitions"').collect()}
+        per = {
+            f"r={row.r}": row.c
+            for row in engine.sql("SELECT r, count(*) AS c FROM meta_p GROUP BY r").collect()
+        }
+        assert {p: parts[p].record_count for p in parts} == per
+        assert all(p.file_count >= 1 and p.total_size > 0 for p in parts.values())
+        engine.sql("DROP TABLE meta_p")
+
+    def test_unpartitioned_files_have_null_partition(self, engine):
+        _fresh(engine, "meta_u", partitioned=False)
+        files = engine.sql('SELECT * FROM "meta_u$files"').collect()
+        assert files and all(f.partition is None for f in files)
+        engine.sql("DROP TABLE meta_u")
+
+    def test_files_track_dml(self, engine):
+        _fresh(engine, "meta_d", partitioned=True)
+        engine.sql("DELETE FROM meta_d WHERE r = 0")
+        parts = {r.partition for r in engine.sql('SELECT * FROM "meta_d$partitions"').collect()}
+        assert "r=0" not in parts or not any(
+            f.record_count for f in engine.sql('SELECT * FROM "meta_d$files"').collect()
+            if f.partition == "r=0"
+        )
+        total = sum(r.record_count for r in engine.sql('SELECT * FROM "meta_d$partitions"').collect())
+        assert total == engine.sql("SELECT count(*) AS c FROM meta_d").collect()[0].c
+        engine.sql("DROP TABLE meta_d")

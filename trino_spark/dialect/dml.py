@@ -819,20 +819,72 @@ def _version_dir(engine, name: str, version: int) -> str:
     return os.path.join(_snap_root(name), f"v{version:05d}")
 
 
-_META_RX = re.compile(rf'"?({_IDENT})\$(snapshots|history)"?', re.IGNORECASE)
+_META_RX = re.compile(rf'"?({_IDENT})\$(snapshots|history|files|partitions)"?', re.IGNORECASE)
+
+
+def _file_rows(path: str) -> list[tuple]:
+    """(file_path, file_format, partition, record_count, file_size_in_bytes)
+    per data file of a table directory — counts from parquet FOOTERS, no
+    data scan (exactly how FilesTable reads manifest entries, not files).
+    file_path is relative to the table root; partition is the relative
+    directory of a Hive-partitioned file (NULL for unpartitioned)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel_dir = os.path.relpath(root, path)
+            rows.append(
+                (
+                    os.path.relpath(full, path),
+                    "PARQUET",
+                    None if rel_dir == "." else rel_dir,
+                    pq.ParquetFile(full).metadata.num_rows,
+                    os.path.getsize(full),
+                )
+            )
+    return rows
 
 
 def resolve_metadata_tables(engine, sql: str) -> str:
-    """Iceberg-style metadata tables over the snapshot log:
-    ``SELECT * FROM "t$snapshots"`` / ``"t$history"`` (reference:
-    plugin/trino-iceberg SnapshotsTable.java / HistoryTable.java). Each
-    row is one committed version with its timestamp, operation, and
-    retention state."""
+    """Iceberg-style metadata tables over the snapshot log and the current
+    table directory: ``"t$snapshots"`` / ``"t$history"`` (SnapshotsTable /
+    HistoryTable), ``"t$files"`` (FilesTable.java: per-file path, format,
+    partition, record_count, file_size_in_bytes — straight from parquet
+    footers), and ``"t$partitions"`` (PartitionsTable.java: per-partition
+    row/file/byte totals). At scale these are metadata-only reads — the
+    file listing and footers, never the data pages."""
 
     def repl(m: re.Match) -> str:
         name = _norm_name(m.group(1))
         if name not in _managed(engine):
             return m.group(0)
+        kind = m.group(2).lower()
+        if kind == "files":
+            view = f"{name}__files"
+            engine.spark.createDataFrame(
+                _file_rows(_require_managed(engine, name)) or [],
+                "file_path: string, file_format: string, partition: string, "
+                "record_count: bigint, file_size_in_bytes: bigint",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "partitions":
+            agg: dict = {}
+            for _fp, _fmt, part, nrec, nbytes in _file_rows(_require_managed(engine, name)):
+                c = agg.setdefault(part, [0, 0, 0])
+                c[0] += nrec
+                c[1] += 1
+                c[2] += nbytes
+            view = f"{name}__partitions"
+            engine.spark.createDataFrame(
+                [(p, c[0], c[1], c[2]) for p, c in sorted(agg.items(), key=lambda kv: str(kv[0]))] or [],
+                "partition: string, record_count: bigint, file_count: bigint, "
+                "total_size: bigint",
+            ).createOrReplaceTempView(view)
+            return view
         log = _read_log(name)
         cur = max((e["version"] for e in log), default=0)
         rows = [

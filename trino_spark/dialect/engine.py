@@ -127,9 +127,10 @@ class TrinoEngine:
             from trino_spark.dialect import dml as _dml
 
             trino_sql = _dml.resolve_time_travel(self, trino_sql)
-        if "$snapshots" in trino_sql or "$history" in trino_sql:
-            # Iceberg-style metadata tables over the snapshot log
-            # (SnapshotsTable.java / HistoryTable.java analog).
+        if any(k in trino_sql for k in ("$snapshots", "$history", "$files", "$partitions")):
+            # Iceberg-style metadata tables over the snapshot log / current
+            # table directory (SnapshotsTable / HistoryTable / FilesTable /
+            # PartitionsTable analogs).
             from trino_spark.dialect import dml as _dml
 
             trino_sql = _dml.resolve_metadata_tables(self, trino_sql)

@@ -74,6 +74,42 @@ def all_specs() -> dict[str, QuerySpec]:
         "zorder_write_roundtrip",
         "bucketed_join_roundtrip",
         "dedup_connected_components",
+        # round-4 NEW tpcds queries (cannot have a green row yet),
+        # cheapest-first by measured sf0.01 cost
+        "tpcds_q93",
+        "tpcds_q48",
+        "tpcds_q92",
+        "tpcds_q73",
+        "tpcds_q79",
+        "tpcds_q43",
+        "tpcds_q50",
+        "tpcds_q63",
+        "tpcds_q25",
+        "tpcds_q68",
+        "tpcds_q33",
+        "tpcds_q56",
+        "tpcds_q60",
+        "tpcds_q53",
+        "tpcds_q38",
+        "tpcds_q87",
+        "tpcds_q86",
+        "tpcds_q65",
+        "tpcds_q17",
+        "tpcds_q27",
+        "tpcds_q31",
+        "tpcds_q59",
+        "tpcds_q28",
+        "tpcds_q18",
+        "tpcds_q74",
+        "tpcds_q11",
+        "tpcds_q23a",
+        "tpcds_q23b",
+        "tpcds_q47",
+        "tpcds_q78",
+        "tpcds_q64",
+        "tpcds_q14a",
+        "tpcds_q04",
+        "meta_files_partitions",
         # rows-only (no oracle) never-verified — weak rows, checked last
         "corpus_rebalance_langs",
         "sketch_setdigest_jaccard",

@@ -217,3 +217,51 @@ REG.add(
     ORDER BY r
     """,
 )(_dml_partitioned_lifecycle_impl)
+
+
+def _meta_files_partitions_impl(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg-style ``$files`` / ``$partitions`` metadata tables over a
+    partitioned managed table (reference: plugin/trino-iceberg
+    FilesTable.java / PartitionsTable.java). Counts come from parquet
+    FOOTERS (dialect/dml.py:_file_rows) — the oracle reconciles them
+    against true per-partition group counts of the source data, proving
+    footer metadata == data without a data scan."""
+    import os
+
+    eng = _engine(spark, sf)
+    tbl = f"meta_ft_{os.getpid()}"
+    eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+    eng.sql(
+        f"CREATE TABLE {tbl} WITH (partitioned_by = ARRAY['r']) AS "
+        "SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+    )
+    out = eng.sql(
+        f"""
+        SELECT p.partition AS part,
+               CAST(p.record_count AS BIGINT) AS record_count,
+               p.file_count >= 1 AS has_files,
+               p.total_size > 0 AS has_bytes,
+               CAST(t.total_rows AS BIGINT) AS table_rows
+        FROM "{tbl}$partitions" p
+        CROSS JOIN (SELECT sum(record_count) AS total_rows FROM "{tbl}$files") t
+        ORDER BY part
+        """
+    )
+    pdf = out.toPandas()
+    eng.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(pdf, out.schema)
+
+
+REG.add(
+    "meta_files_partitions",
+    """
+    SELECT concat('r=', CAST(r AS VARCHAR)) AS part,
+           CAST(count(*) AS BIGINT)         AS record_count,
+           true                             AS has_files,
+           true                             AS has_bytes,
+           CAST(25 AS BIGINT)               AS table_rows
+    FROM nation
+    GROUP BY r
+    ORDER BY part
+    """.replace("FROM nation", "FROM (SELECT n_regionkey AS r FROM nation) s"),
+)(_meta_files_partitions_impl)

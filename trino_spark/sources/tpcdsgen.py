@@ -63,7 +63,7 @@ RETURN_EVERY = 5
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 7
+GEN_VERSION = 9
 
 #: store_sales rows per ticket: all rows of a ticket share date/time/
 #: store/customer/demographic keys, like dsdgen's multi-line tickets —
@@ -134,7 +134,17 @@ _COLORS = [
     "slate", "blanched", "burnished",                               # q56
     "azure", "gainsboro", "rosy", "lavender", "honeydew",
 ]
-_COUNTIES = ["Williamson County", "Walker County", "Ziebach County", "Daviess County"]
+# 30 counties: q31 keeps only counties whose web growth beats store growth
+# in BOTH q1->q2 and q2->q3 — a ~1-in-4 per-county coincidence that needs
+# enough trials to be reliably non-empty
+_COUNTIES = ["Williamson County", "Walker County", "Ziebach County", "Daviess County",
+             "Barrow County", "Fairfield County", "Luce County", "Richland County",
+             "Bronx County", "Orange County", "Perry County", "Marion County",
+             "Jackson County", "Clay County", "Greene County", "Union County",
+             "Monroe County", "Madison County", "Wayne County", "Warren County",
+             "Adams County", "Butler County", "Carroll County", "Dallas County",
+             "Elk County", "Floyd County", "Gibson County", "Hardin County",
+             "Iron County", "Knox County"]
 _STREET_NAMES = ["Main", "Oak", "Elm", "Maple", "Cedar", "Pine"]
 _STREET_TYPES = ["St", "Ave", "Blvd", "Ct", "Ln"]
 _COUNTRIES = ["United States", "Canada", "Mexico", "Germany", "Japan"]
@@ -361,6 +371,17 @@ def _bulk_ticket(tk) -> F.Column:
     return F.pmod(tk, F.lit(25)) == 3
 
 
+def _ticket_number(i, tk) -> F.Column:
+    """Ticket ids with VARIABLE ticket sizes: 20% of 20-line blocks split
+    into five 4-line sub-tickets (same customer/date — five small visits),
+    so q73's `cnt BETWEEN 1 AND 5` and q34's `BETWEEN 15 AND 20` both see
+    data. Globally unique: block tk owns the id range [tk*6+1, tk*6+5]."""
+    line = F.pmod(i, F.lit(TICKET_LINES))
+    split = _h("ss_split", tk, 5) == 0
+    sub = F.when(split, (line / 4).cast("long")).otherwise(F.lit(0))
+    return tk * 6 + sub + 1
+
+
 def _ss_item_sk(i, tk) -> F.Column:
     return (
         F.when(_bulk_ticket(tk), F.pmod(tk, F.lit(N_HOT_ITEMS)) + 1)
@@ -425,7 +446,7 @@ def _store_sales(spark, par):
         (_h("ss_addr", tk, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
         (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("ss_store_sk"),
         (_h("ss_promo", i, N_PROMO) + 1).cast("int").alias("ss_promo_sk"),
-        (tk + 1).alias("ss_ticket_number"),
+        _ticket_number(i, tk).alias("ss_ticket_number"),
         (_h("ss_qty", i, 100) + 1).cast("int").alias("ss_quantity"),
         _money("ss_price", i, 1.0, 200.0).alias("ss_sales_price"),
         _money("ss_list", i, 1.0, 250.0).alias("ss_list_price"),
@@ -459,7 +480,7 @@ def _store_returns(spark, par):
         _ss_item_sk(i, tk).alias("sr_item_sk"),
         _ss_customer_sk(tk).alias("sr_customer_sk"),
         (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("sr_store_sk"),
-        (tk + 1).alias("sr_ticket_number"),
+        _ticket_number(i, tk).alias("sr_ticket_number"),
         (_h("sr_qty", j, 10) + 1).cast("int").alias("sr_return_quantity"),
         (_h("sr_reason", j, N_REASON) + 1).cast("int").alias("sr_reason_sk"),
         _money("sr_amt", j, 1.0, 500.0).alias("sr_return_amt"),
@@ -676,12 +697,18 @@ def register_tpcds(spark: SparkSession, base: str | None = None) -> str:
 def qualify(sql: str) -> str:
     """Rewrite bare TPC-DS table names in query text to the registered
     `tpcds_<name>` views (longest-first, word-boundary — `customer` inside
-    `customer_address` is untouched because `_` is a word character)."""
+    `customer_address` is untouched because `_` is a word character).
+    String literals are skipped: q93's `r_reason_desc = 'reason 28'`
+    must not become `'tpcds_reason 28'`."""
     import re
 
-    for name in sorted(TABLES, key=len, reverse=True):
-        sql = re.sub(rf"\b{name}\b", f"{PREFIX}{name}", sql)
-    return sql
+    def _rw(chunk: str) -> str:
+        for name in sorted(TABLES, key=len, reverse=True):
+            chunk = re.sub(rf"\b{name}\b", f"{PREFIX}{name}", chunk)
+        return chunk
+
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if p.startswith("'") else _rw(p) for p in parts)
 
 
 def oracle_prelude() -> str:
