@@ -28,6 +28,14 @@ NAMES = [
     "q31", "q33", "q38", "q43", "q47", "q48", "q50", "q53", "q56", "q59",
     "q60", "q63", "q64", "q65", "q68", "q73", "q74", "q78", "q79", "q86",
     "q87", "q92", "q93",
+    # round 4 wave 2: inventory / warehouse / ship / returns-channel reports
+    "q05", "q16", "q21", "q22", "q30", "q37", "q40", "q49", "q62", "q66",
+    "q72", "q75", "q77", "q80", "q81", "q82", "q83", "q84", "q85", "q90",
+    "q91", "q94", "q95", "q99",
+    # round 4 wave 3: the remainder — the corpus is now the COMPLETE set of
+    # 103 vendored benchmark queries
+    "q10", "q14b", "q24a", "q24b", "q29", "q35", "q39a", "q39b", "q41",
+    "q44", "q45", "q54", "q57", "q58", "q67", "q69", "q70", "q76",
 ]
 
 DESCRIPTIONS = {
@@ -92,6 +100,48 @@ DESCRIPTIONS = {
     "q87": "store-minus-catalog-minus-web customer-date EXCEPT chain",
     "q92": "web excess discount: discounts beating 1.3x the item average (correlated scalar subquery)",
     "q93": "store sales net of returned quantity for one return reason",
+    "q05": "14-day channel report: sales+returns unions per store/catalog-page/web-site, ROLLUP",
+    "q16": "catalog orders shipped cross-warehouse with no returns (EXISTS + NOT EXISTS correlated probes)",
+    "q21": "inventory before/after ratio bracket around a date (warehouse x item)",
+    "q22": "average on-hand quantity ROLLUP over a year of weekly snapshots",
+    "q30": "web customers returning above 1.2x their state average (q01's shape on web_returns)",
+    "q37": "catalog items with 100-500 on-hand in a 60-day window",
+    "q40": "warehouse sales before/after a date, net of returns (LEFT JOIN on order+item)",
+    "q49": "worst return ratios per channel: dual rank() over quantity and currency ratios, 3-channel union",
+    "q62": "web ship-latency buckets by warehouse/ship-mode/site",
+    "q66": "warehouse 12-month sales/net pivot (two carriers, two channels, time-of-day band)",
+    "q72": "catalog lines short on inventory in the sale week (9-table join, promo LEFT JOIN)",
+    "q75": "year-over-year per-(brand,class,category,manufact) sales contraction below 0.9x across 3 channels",
+    "q77": "30-day profit & loss per store/call-center/web-page, channel ROLLUP",
+    "q80": "30-day promo-filtered sales/returns/profit per store/catalog-page/web-site, channel ROLLUP",
+    "q81": "catalog customers returning above 1.2x their state average + full address block",
+    "q82": "store items with 100-500 on-hand in a 60-day window",
+    "q83": "matched-item return quantities across 3 channels with share-of-total ratios",
+    "q84": "income-band city customers with store returns (5-dim snowflake)",
+    "q85": "web return reasons by demographic x address x price-band triples",
+    "q90": "morning/evening web traffic ratio for a dependents band",
+    "q91": "call-center catalog return losses for selected demographics",
+    "q94": "web orders shipped cross-warehouse with no returns",
+    "q95": "q94 via a self-joined ws_wh CTE (IN-subquery form)",
+    "q99": "catalog ship-latency buckets by warehouse/ship-mode/call-center",
+    "q10": "county customers active in store AND (web OR catalog): EXISTS probes x demographic profile counts",
+    "q14b": "q14a's cross-channel frequent items compared week-over-year (this_year x last_year join)",
+    "q24a": "store workers' cross-zip pale-item net-paid above 5% of average (2-level CTE aggregate)",
+    "q24b": "q24a for chiffon items",
+    "q29": "sale->return->catalog-repurchase quantity rollup (q25's shape on quantities)",
+    "q35": "customers active in store AND (web OR catalog) with dependent-count statistics",
+    "q39a": "inventory demand volatility: month-over-month (warehouse, item) cov pairs above 1",
+    "q39b": "q39a restricted to cov > 1.5 in the first month",
+    "q41": "distinct manufacturers with items in color/unit/size combination blocks (correlated count)",
+    "q44": "best and worst performing items by store-4 average profit: dual rank() join",
+    "q45": "web revenue by zip/city for listed zips or listed items",
+    "q54": "maternity-buyer revenue segments: cross-channel customer set -> 3-month store revenue -> 50-dollar buckets",
+    "q57": "call-center monthly sales vs yearly average with lag/lead neighbors (q47 on catalog)",
+    "q58": "items with balanced 3-channel revenue on one day (3 CTEs, 6 BETWEEN bounds)",
+    "q67": "top-100 sales ranks within category over an 8-level ROLLUP",
+    "q69": "store-active, web/catalog-inactive customers by demographic profile",
+    "q70": "state/county profit ROLLUP ranked within hierarchy, top-5-state subquery filter",
+    "q76": "sales with NULL channel keys (store/web/catalog) by quarter and category",
 }
 
 
@@ -397,6 +447,129 @@ def adapt() -> dict[str, str]:
     # q93: quantity-weighted decimal sum
     sub1("q93", '"sum"("act_sales") "sumsales"', 'CAST("sum"("act_sales") AS DOUBLE) "sumsales"')
 
+    # ---------------- round 4, wave 2 ----------------
+    # q05/q77/q80: channel-union ROLLUP reports — outer sums cast, ORDER
+    # keys pin NULLS FIRST (rollup super-rows under LIMIT)
+    for q in ("q05", "q77", "q80"):
+        for col in ("sales", "returns", "profit"):
+            sub1(q, f'"sum"("{col}") "{col}"', f'CAST("sum"("{col}") AS DOUBLE) "{col}"')
+    sub1("q05", 'ORDER BY "channel" ASC, "id" ASC',
+         'ORDER BY "channel" ASC NULLS FIRST, "id" ASC NULLS FIRST')
+    sub1("q77", 'ORDER BY "channel" ASC, "id" ASC, "sales" ASC',
+         'ORDER BY "channel" ASC NULLS FIRST, "id" ASC NULLS FIRST, "sales" ASC')
+    sub1("q80", 'ORDER BY "channel" ASC, "id" ASC',
+         'ORDER BY "channel" ASC NULLS FIRST, "id" ASC NULLS FIRST')
+
+    # q16/q94/q95: cross-warehouse no-return orders — shipping/profit sums
+    for q, pfx in (("q16", "cs"), ("q94", "ws"), ("q95", "ws")):
+        sub1(q, f'"sum"("{pfx}_ext_ship_cost") "total shipping cost"',
+             f'CAST("sum"("{pfx}_ext_ship_cost") AS DOUBLE) "total shipping cost"')
+        sub1(q, f'"sum"("{pfx}_net_profit") "total net profit"',
+             f'CAST("sum"("{pfx}_net_profit") AS DOUBLE) "total net profit"')
+
+    # q21: int sums to BIGINT; decimal ratio bracket in doubles
+    out["q21"], n = re.subn(
+        r'("sum"\(\(CASE WHEN (?:.|\n)*?END\)\)) ("inv_(?:before|after)")',
+        r'CAST(\1 AS BIGINT) \2', out["q21"])
+    assert n == 2, f"q21 sums: {n}"
+    sub1("q21", 'CAST("inv_after" AS DECIMAL(7,2))', 'CAST("inv_after" AS DOUBLE)')
+    sub1("q21", "(DECIMAL '2.00' / DECIMAL '3.00')", '(2e0 / 3e0)')
+    sub1("q21", "(DECIMAL '3.00' / DECIMAL '2.00')", '(3e0 / 2e0)')
+
+    # q22: avg(int) is exact-sum/count in doubles on both engines; only the
+    # rollup null order needs pinning
+    sub1("q22", 'ORDER BY "qoh" ASC, "i_product_name" ASC, "i_brand" ASC, "i_class" ASC, "i_category" ASC',
+         'ORDER BY "qoh" ASC, "i_product_name" ASC NULLS FIRST, "i_brand" ASC NULLS FIRST, "i_class" ASC NULLS FIRST, "i_category" ASC NULLS FIRST')
+
+    # q37/q82: surfaced decimal price
+    for q in ("q37", "q82"):
+        sub1(q, ', "i_current_price"\n', ', CAST("i_current_price" AS DOUBLE) "i_current_price"\n')
+
+    # q40: net-of-returns before/after sums
+    out["q40"], n = re.subn(
+        r'("sum"\(\(CASE WHEN (?:.|\n)*?END\)\)) ("sales_(?:before|after)")',
+        r'CAST(\1 AS DOUBLE) \2', out["q40"])
+    assert n == 2, f"q40 sums: {n}"
+
+    # q30/q81: the q01 shape — surfaced total cast at the FINAL select so
+    # the correlated avg threshold still compares exact decimals
+    sub1("q30", ', "ctr_total_return"\n', ', CAST("ctr_total_return" AS DOUBLE) "ctr_total_return"\n')
+    sub1("q81", ', "ctr_total_return"\n', ', CAST("ctr_total_return" AS DOUBLE) "ctr_total_return"\n')
+    sub1("q81", ', "ca_gmt_offset"\n', ', CAST("ca_gmt_offset" AS DOUBLE) "ca_gmt_offset"\n')
+
+    # q49: ratio casts to doubles (decimal division scales differ)
+    out["q49"], n = re.subn(r'AS DECIMAL\(15,4\)\)', 'AS DOUBLE)', out["q49"])
+    assert n == 12, f"q49 ratio casts: {n}"
+
+    # q62/q99: ship-latency buckets (q50's shape)
+    for q in ("q62", "q99"):
+        out[q], n = re.subn(
+            r'("sum"\(\(CASE WHEN (?:.|\n)*?END\)\)) ("\S[^"]*")',
+            r'CAST(\1 AS BIGINT) \2', out[q])
+        assert n == 5, f"{q} bucket sums: {n}"
+        sub1(q, ', "sm_type"\n', ' "wh_20"\n, "sm_type"\n')
+
+    # q66: 24 outer money sums cast; per-sq-foot = exact sum / group-key
+    # sq_ft in doubles (sum of per-row decimal divisions is engine-scale
+    # dependent; algebraically identical because sq_ft is a group key)
+    out["q66"], n = re.subn(
+        r'"sum"\("(\w+_(?:sales|net))"\) "(\w+)"',
+        r'CAST("sum"("\1") AS DOUBLE) "\2"', out["q66"])
+    assert n == 24, f"q66 money sums: {n}"
+    out["q66"], n = re.subn(
+        r'"sum"\(\("(\w+_sales)" / "w_warehouse_sq_ft"\)\) "(\w+)"',
+        r'(CAST("sum"("\1") AS DOUBLE) / "w_warehouse_sq_ft") "\2"', out["q66"])
+    assert n == 12, f"q66 per-sq-foot: {n}"
+
+    # q72: promo/no-promo counts
+    out["q72"], n = re.subn(
+        r'("sum"\(\(CASE WHEN \("p_promo_sk" IS (?:NOT )?NULL\) THEN 1 ELSE 0 END\)\)) ("\w+")',
+        r'CAST(\1 AS BIGINT) \2', out["q72"])
+    assert n == 2, f"q72 sums: {n}"
+
+    # q75: int count sums BIGINT; surfaced amount delta in doubles
+    sub1("q75", '"sum"("sales_cnt") "sales_cnt"', 'CAST("sum"("sales_cnt") AS BIGINT) "sales_cnt"')
+    sub1("q75", '("curr_yr"."sales_amt" - "prev_yr"."sales_amt") "sales_amt_diff"',
+         'CAST(("curr_yr"."sales_amt" - "prev_yr"."sales_amt") AS DOUBLE) "sales_amt_diff"')
+
+    # q83: int sums BIGINT; share-of-total ratios via tie-free floor
+    out["q83"], n = re.subn(
+        r'("sum"\("\w+_return_quantity"\)) ("\w+_item_qty")',
+        r'CAST(\1 AS BIGINT) \2', out["q83"])
+    assert n == 3, f"q83 sums: {n}"
+    for ch in ("sr", "cr", "wr"):
+        sub1("q83",
+             f'CAST(((("{ch}_item_qty" / ((CAST("sr_item_qty" AS DECIMAL(9,4)) + "cr_item_qty") + "wr_item_qty")) / DECIMAL \'3.0\') * 100) AS DECIMAL(7,2)) "{ch}_dev"'.replace("\\'", "'"),
+             f'(floor(((CAST("{ch}_item_qty" AS DOUBLE) / ("sr_item_qty" + "cr_item_qty" + "wr_item_qty")) / 3e0) * 100 * 100 + 0.5) / 1e2) "{ch}_dev"')
+    sub1("q83", '''((("sr_item_qty" + "cr_item_qty") + "wr_item_qty") / DECIMAL '3.00') "average"''',
+         '(floor((("sr_item_qty" + "cr_item_qty" + "wr_item_qty") / 3e0) * 10000 + 0.5) / 1e4) "average"')
+
+    # q85: unaliased averages -> exact-integer rounding + aliases (ORDER BY
+    # keys updated to the aliases)
+    sub1("q85", '"substr"("r_reason_desc", 1, 20)\n', '"substr"("r_reason_desc", 1, 20) "reason_20"\n')
+    sub1("q85", ', "avg"("ws_quantity")\n',
+         ', (floor("avg"("ws_quantity") * 10000 + 0.5) / 1e4) "avg_qty"\n')
+    sub1("q85", ', "avg"("wr_refunded_cash")\n',
+         ', (floor((2 * CAST("sum"("wr_refunded_cash") * 1000 AS BIGINT) + "count"("wr_refunded_cash")) / (2e0 * "count"("wr_refunded_cash"))) / 1e3) "avg_cash"\n')
+    sub1("q85", ', "avg"("wr_fee")\n',
+         ', (floor((2 * CAST("sum"("wr_fee") * 1000 AS BIGINT) + "count"("wr_fee")) / (2e0 * "count"("wr_fee"))) / 1e3) "avg_fee"\n')
+    sub1("q85", 'ORDER BY "substr"("r_reason_desc", 1, 20) ASC, "avg"("ws_quantity") ASC, "avg"("wr_refunded_cash") ASC, "avg"("wr_fee") ASC',
+         'ORDER BY "reason_20" ASC, "avg_qty" ASC, "avg_cash" ASC, "avg_fee" ASC')
+
+    # q90: count ratio in doubles + alias already present
+    out["q90"], n = re.subn(r'AS DECIMAL\(15,4\)\)', 'AS DOUBLE)', out["q90"])
+    assert n == 2, f"q90 casts: {n}"
+
+    # q66: the inner quoted "YEAR" alias propagates verbatim in DuckDB but
+    # lowercases through Spark's outer unaliased reference — alias it
+    sub1("q66", ', "year"\n', ', "year" "year"\n')
+
+    # q91: surfaced loss sum (ORDER BY keeps the raw aggregate — exact)
+    sub1("q91", '"sum"("cr_net_loss") "Returns_Loss"',
+         'CAST("sum"("cr_net_loss") AS DOUBLE) "Returns_Loss"')
+
+
+
     # ROLLUP outputs ordered under LIMIT: Spark sorts ASC nulls-first,
     # DuckDB nulls-last — pin the null order explicitly so both engines
     # pick the same 100 rows
@@ -406,6 +579,95 @@ def adapt() -> dict[str, str]:
          'ORDER BY "ca_country" ASC NULLS FIRST, "ca_state" ASC NULLS FIRST, "ca_county" ASC NULLS FIRST, "i_item_id" ASC NULLS FIRST')
     sub1("q27", 'ORDER BY "i_item_id" ASC, "s_state" ASC',
          'ORDER BY "i_item_id" ASC NULLS FIRST, "s_state" ASC NULLS FIRST')
+
+
+    # ---------------- round 4, wave 3 (corpus completion) ----------------
+    for k, col in enumerate(
+        ("cd_dep_count", "cd_dep_employed_count", "cd_dep_college_count"), 1
+    ):
+        sub1("q35", f', "min"("{col}")\n', f', "min"("{col}") "min{k}"\n')
+        sub1("q35", f', "max"("{col}")\n', f', "max"("{col}") "max{k}"\n')
+        sub1("q35", f', "avg"("{col}")\n', f', "avg"("{col}") "avg{k}"\n')
+
+    # q14b: q14a's threshold + source casts; every output column is aliased
+    sub1("q14b", '"avg"(("quantity" * "list_price")) "average_sales"',
+         '(CAST("sum"(("quantity" * "list_price")) AS DOUBLE) / "count"(*)) "average_sales"')
+    out["q14b"], n = re.subn(
+        r'("sum"\(\("ss_quantity" \* "ss_list_price"\)\)) "sales"',
+        r'CAST(\1 AS DOUBLE) "sales"', out["q14b"])
+    assert n == 2, f"q14b sales casts: {n}"
+
+    # q24a/q24b: net-paid sums + the 5%-of-average threshold from exact sums
+    for q in ("q24a", "q24b"):
+        sub1(q, '"sum"("netpaid") "paid"', 'CAST("sum"("netpaid") AS DOUBLE) "paid"')
+        sub1(q, '''SELECT (DECIMAL '0.05' * "avg"("netpaid"))''',
+             'SELECT (5e-2 * (CAST("sum"("netpaid") AS DOUBLE) / "count"(*)))')
+
+    # q29: quantity sums
+    out["q29"], n = re.subn(
+        r'("sum"\("\w+_(?:return_)?quantity"\)) ("\w+_quantity")',
+        r'CAST(\1 AS BIGINT) \2', out["q29"])
+    assert n == 3, f"q29 sums: {n}"
+
+    # q39a/q39b: duplicate inv1/inv2 output names aliased; cov surfaced as
+    # floor-rounded double instead of DECIMAL(30,10) (stddev differs in the
+    # last ulp between engines; the vendored comment says exactly this)
+    for q in ("q39a", "q39b"):
+        sub1(q, '"inv1"."w_warehouse_sk"\n', '"inv1"."w_warehouse_sk" "wsk1"\n')
+        sub1(q, ', "inv1"."i_item_sk"\n', ', "inv1"."i_item_sk" "isk1"\n')
+        sub1(q, ', "inv1"."d_moy"\n', ', "inv1"."d_moy" "moy1"\n')
+        sub1(q, ', "inv1"."mean"\n', ', "inv1"."mean" "mean1"\n')
+        sub1(q, ', "inv2"."w_warehouse_sk"\n', ', "inv2"."w_warehouse_sk" "wsk2"\n')
+        sub1(q, ', "inv2"."i_item_sk"\n', ', "inv2"."i_item_sk" "isk2"\n')
+        sub1(q, ', "inv2"."d_moy"\n', ', "inv2"."d_moy" "moy2"\n')
+        sub1(q, ', "inv2"."mean"\n', ', "inv2"."mean" "mean2"\n')
+        sub1(q, 'CAST("inv1"."cov" AS DECIMAL(30, 10))',
+             '(floor("inv1"."cov" * 1e6 + 0.5) / 1e6) "cov1"')
+        sub1(q, 'CAST("inv2"."cov" AS DECIMAL(30, 10))',
+             '(floor("inv2"."cov" * 1e6 + 0.5) / 1e6) "cov2"')
+
+    # q44: every avg as exact sum/count so the rank order is engine-stable
+    out["q44"], n = re.subn(
+        r'"avg"\("ss_net_profit"\)',
+        r'(CAST("sum"("ss_net_profit") AS DOUBLE) / "count"("ss_net_profit"))', out["q44"])
+    assert n >= 4, f"q44 avg rewrites: {n}"
+
+    # q45: surfaced revenue sum
+    sub1("q45", ', "sum"("ws_sales_price")\n', ', CAST("sum"("ws_sales_price") AS DOUBLE) "sum_price"\n')
+
+    # q54: Spark truncates decimal->int casts where DuckDB rounds — make the
+    # bucketing an explicit floor in doubles
+    sub1("q54", 'CAST(("revenue" / 50) AS INTEGER) "segment"',
+         'CAST(floor(CAST("revenue" AS DOUBLE) / 50) AS INTEGER) "segment"')
+
+    # q57: q47's rewrites with the call-center partition
+    part57 = '"i_category", "i_brand", "cc_name", "d_year"'
+    sub1("q57", f'"avg"("sum"("cs_sales_price")) OVER (PARTITION BY {part57}) "avg_monthly_sales"',
+         f'(floor((2 * CAST(("sum"("sum"("cs_sales_price")) OVER (PARTITION BY {part57})) * 1000 AS BIGINT) + ("count"(*) OVER (PARTITION BY {part57}))) / (2e0 * ("count"(*) OVER (PARTITION BY {part57})))) / 1e3) "avg_monthly_sales"')
+    sub1("q57", '"sum"("cs_sales_price") "sum_sales"',
+         'CAST("sum"("cs_sales_price") AS DOUBLE) "sum_sales"')
+
+    # q58: q83's shape on revenues — surfaced revs cast, devs floor-rounded
+    for ch in ("ss", "cs", "ws"):
+        sub1("q58", f', "{ch}_item_rev"\n', f', CAST("{ch}_item_rev" AS DOUBLE) "{ch}_item_rev"\n')
+        sub1("q58",
+             f'CAST(((("{ch}_item_rev" / ((CAST("ss_item_rev" AS DECIMAL(16,7)) + "cs_item_rev") + "ws_item_rev")) / 3) * 100) AS DECIMAL(7,2)) "{ch}_dev"',
+             f'(floor(((CAST("{ch}_item_rev" AS DOUBLE) / CAST(("ss_item_rev" + "cs_item_rev" + "ws_item_rev") AS DOUBLE)) / 3e0) * 100 * 100 + 0.5) / 1e2) "{ch}_dev"')
+    sub1("q58", '((("ss_item_rev" + "cs_item_rev") + "ws_item_rev") / 3) "average"',
+         '(floor((CAST(("ss_item_rev" + "cs_item_rev" + "ws_item_rev") AS DOUBLE) / 3e0) * 10000 + 0.5) / 1e4) "average"')
+
+    # q67: innermost sum cast (rank over identical doubles is stable);
+    # 8-level ROLLUP null order pinned
+    sub1("q67", '"sum"(COALESCE(("ss_sales_price" * "ss_quantity"), 0)) "sumsales"',
+         'CAST("sum"(COALESCE(("ss_sales_price" * "ss_quantity"), 0)) AS DOUBLE) "sumsales"')
+    sub1("q67", 'ORDER BY "i_category" ASC, "i_class" ASC, "i_brand" ASC, "i_product_name" ASC, "d_year" ASC, "d_qoy" ASC, "d_moy" ASC, "s_store_id" ASC, "sumsales" ASC, "rk" ASC',
+         'ORDER BY "i_category" ASC NULLS FIRST, "i_class" ASC NULLS FIRST, "i_brand" ASC NULLS FIRST, "i_product_name" ASC NULLS FIRST, "d_year" ASC NULLS FIRST, "d_qoy" ASC NULLS FIRST, "d_moy" ASC NULLS FIRST, "s_store_id" ASC NULLS FIRST, "sumsales" ASC, "rk" ASC')
+
+    # q70: q86's surfaced-sum cast on the state/county hierarchy
+    sub1("q70", '"sum"("ss_net_profit") "total_sum"', 'CAST("sum"("ss_net_profit") AS DOUBLE) "total_sum"')
+
+    # q76: channel-union sum
+    sub1("q76", '"sum"("ext_sales_price") "sales_amt"', 'CAST("sum"("ext_sales_price") AS DOUBLE) "sales_amt"')
 
     return out
 

@@ -61,7 +61,9 @@ def test_materialization_is_write_once(spark, tmp_path):
 
 
 def test_tickets_group_lines(spark):
-    """q34/q46 contract: all lines of a ticket share date/store/customer."""
+    """q34/q46/q73 contract: every line of a ticket shares date/store/
+    customer; ticket sizes are bimodal — full 20-line tickets (q34's
+    15-20 band) and 4-line sub-tickets from split blocks (q73's 1-5)."""
     ss = tpcdsgen.gen_table(spark, "store_sales")
     from pyspark.sql import functions as F
 
@@ -70,5 +72,6 @@ def test_tickets_group_lines(spark):
         F.countDistinct("ss_sold_date_sk", "ss_store_sk", "ss_customer_sk").alias("k"),
     )
     row = g.agg(F.max("n"), F.min("n"), F.max("k")).collect()[0]
-    assert row[0] == tpcdsgen.TICKET_LINES and row[1] == tpcdsgen.TICKET_LINES
+    assert row[0] == tpcdsgen.TICKET_LINES  # unsplit blocks stay 20-line
+    assert row[1] == tpcdsgen.TICKET_LINES // 5  # split sub-tickets
     assert row[2] == 1

@@ -351,12 +351,27 @@ def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str:
     toks = tokenize(sql)
     sig = [(i, t) for i, t in enumerate(toks) if t.kind != "WS"]
 
-    # CTE / inline-view names: `ident AS (` — these shadow secured tables.
-    shadowed: set[str] = set()
+    # CTE / inline-view names: `ident AS (` — these shadow secured tables,
+    # but only AFTER their defining body closes (inside its own body a
+    # non-recursive CTE's name still binds to the real table, which must
+    # therefore still be secured). Map name -> token index of the body's
+    # closing paren.
+    shadowed: dict[str, int] = {}
     for k in range(len(sig) - 2):
         a, b, c = sig[k][1], sig[k + 1][1], sig[k + 2][1]
         if a.kind in ("WORD", "QIDENT") and b.is_word("AS") and c.is_sym("("):
-            shadowed.add(a.text.strip('"').lower())
+            open_idx = sig[k + 2][0]
+            d = 0
+            close_idx = len(toks) - 1
+            for j in range(open_idx, len(toks)):
+                if toks[j].is_sym("("):
+                    d += 1
+                elif toks[j].is_sym(")"):
+                    d -= 1
+                    if d == 0:
+                        close_idx = j
+                        break
+            shadowed[a.text.strip('"').lower()] = close_idx
 
     out: list[str] = []
     depth = 0
@@ -405,7 +420,8 @@ def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str:
                 key = last.text.strip('"').lower()
                 qualified = j > i
                 expecting = False
-                if key in mapping and (qualified or key not in shadowed):
+                in_shadow = key in shadowed and i > shadowed[key]
+                if key in mapping and (qualified or not in_shadow):
                     out.append(mapping[key])
                     i = j + 1
                     continue

@@ -110,6 +110,48 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q14a",
         "tpcds_q04",
         "meta_files_partitions",
+        "tpcds_q90",
+        "tpcds_q84",
+        "tpcds_q94",
+        "tpcds_q99",
+        "tpcds_q40",
+        "tpcds_q37",
+        "tpcds_q82",
+        "tpcds_q85",
+        "tpcds_q91",
+        "tpcds_q81",
+        "tpcds_q62",
+        "tpcds_q95",
+        "tpcds_q16",
+        "tpcds_q83",
+        "tpcds_q30",
+        "tpcds_q21",
+        "tpcds_q22",
+        "tpcds_q77",
+        "tpcds_q80",
+        "tpcds_q49",
+        "tpcds_q75",
+        "tpcds_q72",
+        "tpcds_q05",
+        "tpcds_q66",
+        "tpcds_q45",
+        "tpcds_q29",
+        "tpcds_q24b",
+        "tpcds_q41",
+        "tpcds_q76",
+        "tpcds_q69",
+        "tpcds_q70",
+        "tpcds_q54",
+        "tpcds_q24a",
+        "tpcds_q44",
+        "tpcds_q35",
+        "tpcds_q39a",
+        "tpcds_q39b",
+        "tpcds_q57",
+        "tpcds_q67",
+        "tpcds_q58",
+        "tpcds_q10",
+        "tpcds_q14b",
         # rows-only (no oracle) never-verified — weak rows, checked last
         "corpus_rebalance_langs",
         "sketch_setdigest_jaccard",

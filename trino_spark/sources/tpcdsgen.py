@@ -56,6 +56,18 @@ N_CUSTOMER_DEMO = 7_200
 N_PROMO = 300
 N_TIME = 86_400
 N_INCOME_BAND = 20
+N_WAREHOUSE = 3
+N_WEB_SITE = 4
+N_WEB_PAGE = 60
+N_CALL_CENTER = 4
+N_SHIP_MODE = 6
+N_CATALOG_PAGE = 100
+#: web/catalog order size: every ORDER_LINES consecutive rows share one
+#: order number (q16/q94/q95 probe for a second line of the same order
+#: shipped from a DIFFERENT warehouse)
+ORDER_LINES = 4
+#: weekly inventory snapshots across the sales window
+N_INV_WEEKS = 261
 #: every RETURN_EVERY-th sales row is returned — return rows recompute the
 #: SAME hash formulas at the underlying sales index, so returns join back
 #: to their sales on (item, ticket/order) without any shuffle or data read
@@ -63,7 +75,7 @@ RETURN_EVERY = 5
 
 #: bump to force regeneration of previously-materialized parquet when the
 #: schema or distributions change (checked against a _gen_version marker)
-GEN_VERSION = 9
+GEN_VERSION = 18
 
 #: store_sales rows per ticket: all rows of a ticket share date/time/
 #: store/customer/demographic keys, like dsdgen's multi-line tickets —
@@ -121,19 +133,29 @@ _ZIP_POOL = ["24128", "57834", "13354", "15734", "78668"]
 # dsdgen's number-word store names; q96 filters s_store_name = 'ese'
 _STORE_NAMES = ["ought", "able", "pri", "ese", "anti", "cally", "ation", "eing"]
 _MARITAL = ["M", "S", "W", "D"]
-_EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree", "Unknown"]
-_BUY_POTENTIAL = [">10000", "Unknown", "1001-5000", "501-1000", "0-500"]
-_CITIES = ["Fairview", "Midway", "Pleasant Hill", "Oak Grove", "Centerville", "Riverside"]
+_EDUCATION = ["College", "Advanced Degree", "2 yr Degree", "4 yr Degree", "Unknown",
+              "Unknown", "Advanced Degree"]  # weighted: q91/q18 AND-filters on these
+_BUY_POTENTIAL = [">10000", "Unknown", "1001-5000", "501-1000", "0-500", "Unknown"]
+_CITIES = ["Fairview", "Midway", "Pleasant Hill", "Oak Grove", "Centerville", "Riverside", "Edgewood"]
 _FIRST = ["James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael", "Linda"]
 _LAST = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller", "Davis"]
 _SALUTATION = ["Mr.", "Mrs.", "Ms.", "Dr."]
 # q64 / q56 filter literal colors — the pool must include them
+# the union of every i_color literal the vendored corpus filters on
+# (q24/q41/q56/q64 and friends), plus fillers
 _COLORS = [
-    "purple", "burlywood", "indian", "spring", "floral", "medium",  # q64 pass 1
-    "orange", "lace", "lawn", "misty", "blush", "pink",             # q64 pass 2
-    "slate", "blanched", "burnished",                               # q56
-    "azure", "gainsboro", "rosy", "lavender", "honeydew",
+    "purple", "burlywood", "indian", "spring", "floral", "medium",
+    "orange", "lace", "lawn", "misty", "blush", "pink",
+    "slate", "blanched", "burnished", "azure", "gainsboro", "rosy",
+    "lavender", "honeydew", "brown", "cornflower", "cyan", "deep",
+    "forest", "frosted", "ghost", "khaki", "light", "midnight",
+    "pale", "papaya", "peach", "powder", "snow", "chiffon",
 ]
+_UNITS = [
+    "Box", "Bunch", "Bundle", "Cup", "Dozen", "Dram", "Each", "Gross",
+    "Lb", "N/A", "Ounce", "Oz", "Pallet", "Pound", "Tbl", "Ton",
+]
+_SIZES = ["N/A", "extra large", "large", "medium", "petite", "small", "economy"]
 # 30 counties: q31 keeps only counties whose web growth beats store growth
 # in BOTH q1->q2 and q2->q3 — a ~1-in-4 per-county coincidence that needs
 # enough trials to be reliably non-empty
@@ -143,8 +165,8 @@ _COUNTIES = ["Williamson County", "Walker County", "Ziebach County", "Daviess Co
              "Jackson County", "Clay County", "Greene County", "Union County",
              "Monroe County", "Madison County", "Wayne County", "Warren County",
              "Adams County", "Butler County", "Carroll County", "Dallas County",
-             "Elk County", "Floyd County", "Gibson County", "Hardin County",
-             "Iron County", "Knox County"]
+             "Elk County", "Rush County", "Toole County", "Jefferson County",
+             "Dona Ana County", "La Porte County"]  # last five: q10 literals
 _STREET_NAMES = ["Main", "Oak", "Elm", "Maple", "Cedar", "Pine"]
 _STREET_TYPES = ["St", "Ave", "Blvd", "Ct", "Ln"]
 _COUNTRIES = ["United States", "Canada", "Mexico", "Germany", "Japan"]
@@ -153,6 +175,8 @@ TABLES = (
     "date_dim", "item", "store", "customer", "customer_address",
     "store_sales", "store_returns", "web_sales", "catalog_sales",
     "web_returns", "catalog_returns", "income_band",
+    "inventory", "warehouse", "web_site", "web_page", "call_center",
+    "ship_mode", "catalog_page",
     "time_dim", "household_demographics", "customer_demographics",
     "promotion", "reason",
 )
@@ -191,6 +215,13 @@ def gen_table(spark: SparkSession, name: str, parallelism: int | None = None) ->
         "web_returns": _web_returns,
         "catalog_returns": _catalog_returns,
         "income_band": _income_band,
+        "inventory": _inventory,
+        "warehouse": _warehouse,
+        "web_site": _web_site,
+        "web_page": _web_page,
+        "call_center": _call_center,
+        "ship_mode": _ship_mode,
+        "catalog_page": _catalog_page,
         "time_dim": _time_dim,
         "household_demographics": _household_demographics,
         "customer_demographics": _customer_demographics,
@@ -230,10 +261,20 @@ def _date_dim(spark, par):
 
 def _item(spark, par):
     i = F.col("id")
-    cat_id = (_h("i_cat", i, len(_CATEGORIES)) + 1).cast("int")
+    q41_pin = F.pmod(i, F.lit(40)) == 11
+    cat_id = (
+        F.when(i == 0, F.lit(10))  # item 1: Women (q54 pins maternity)
+        .when(q41_pin, F.lit(10))
+        .otherwise(_h("i_cat", i, len(_CATEGORIES)) + 1)
+        .cast("int")
+    )
     cat = F.element_at(F.array(*[F.lit(c) for c in _CATEGORIES]), cat_id)
     brand_id = (_h("i_brand", i, 500) + 1).cast("int")
-    class_n = (_h("i_class", i, 9) + 1).cast("int")
+    class_n = (
+        F.when(i == 0, F.lit(3))  # Women slot 3 = 'maternity'
+        .otherwise(_h("i_class", i, 9) + 1)
+        .cast("int")
+    )
     # 2-D lookup: class name depends on (category, class slot)
     class_matrix = F.array(
         *[F.array(*[F.lit(c) for c in _CLASSES[cat_name]]) for cat_name in _CATEGORIES]
@@ -251,17 +292,33 @@ def _item(spark, par):
         cat.alias("i_category"),
         # every 100th item carries q32's literal manufacturer id 977 so the
         # correlated-discount query has data to exceed 1.3x the average
-        F.when(F.pmod(i, F.lit(100)) == 7, F.lit(977))
-        .otherwise((_h("i_manu", i, 200) + 1))
+        # 1..1000 covers q37/q82/q92's literal ids (677/940/694/808/129/
+        # 270/821/423/350); every 100th item still pins q32's 977
+        # hot items 2/3 carry the q92/q32 manufacturers: their bulk
+        # Feb-2000 rows give the correlated 1.3x-average subquery a
+        # populated window (a 0-1-row window can never beat its own avg)
+        F.when(i == 1, F.lit(350))
+        .when(i == 2, F.lit(977))
+        .when(F.pmod(i, F.lit(100)) == 7, F.lit(977))  # q32
+        .when(F.pmod(i, F.lit(100)) == 57, F.lit(350))  # q92
+        .when(q41_pin, 738 + _h("i_manu41", i, 41))  # q41's 738..778 band
+        .otherwise((_h("i_manu", i, 1000) + 1))
         .cast("int")
         .alias("i_manufact_id"),
         F.concat(
             F.lit("manufact_"),
-            F.when(F.pmod(i, F.lit(100)) == 7, F.lit(977)).otherwise(_h("i_manu", i, 200) + 1),
+            F.when(F.pmod(i, F.lit(100)) == 7, F.lit(977)).otherwise(_h("i_manu", i, 1000) + 1),
         ).alias("i_manufact"),
         (_h("i_mgr", i, 100) + 1).cast("int").alias("i_manager_id"),
         _money("i_price", i, 0.5, 100.0).alias("i_current_price"),
-        _pick("i_color", i, _COLORS).alias("i_color"),
+        F.when(
+            q41_pin,
+            F.when(F.pmod(i, F.lit(80)) == 11, F.lit("powder")).otherwise(F.lit("khaki")),
+        )
+        .otherwise(_pick("i_color", i, _COLORS))
+        .alias("i_color"),
+        F.when(q41_pin, F.lit("medium")).otherwise(_pick("i_size", i, _SIZES)).alias("i_size"),
+        F.when(q41_pin, F.lit("Ounce")).otherwise(_pick("i_units", i, _UNITS)).alias("i_units"),
         F.concat(F.lit("product_"), (i + 1)).alias("i_product_name"),
         _money("i_wcost", i, 1.0, 80.0).alias("i_wholesale_cost"),
     )
@@ -287,6 +344,7 @@ def _store(spark, par):
         .alias("s_gmt_offset"),
         _pick("s_zip", i, _ZIP_POOL).alias("s_zip"),
         F.lit(1).cast("int").alias("s_company_id"),
+        (_h("s_mkt", i, 10) + 1).cast("int").alias("s_market_id"),
         # q79 filters s_number_employees BETWEEN 200 AND 295
         (200 + _h("s_emp", i, 100)).cast("int").alias("s_number_employees"),
         (100 + _h("s_stn", i, 899)).cast("string").alias("s_street_number"),
@@ -304,14 +362,25 @@ def _customer(spark, par):
         _pick("c_sal", i, _SALUTATION).alias("c_salutation"),
         _pick("c_first", i, _FIRST).alias("c_first_name"),
         _pick("c_last", i, _LAST).alias("c_last_name"),
-        (_h("c_addr", i, N_ADDRESS) + 1).cast("int").alias("c_current_addr_sk"),
+        F.when(i < N_HOT_CUSTOMERS, F.lit(1))  # hot customers at address 1
+        .otherwise(_h("c_addr", i, N_ADDRESS) + 1)
+        .cast("int")
+        .alias("c_current_addr_sk"),
         F.when(_h("c_pref", i, 2) == 0, F.lit("Y")).otherwise(F.lit("N")).alias(
             "c_preferred_cust_flag"
         ),
-        (_h("c_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("c_current_cdemo_sk"),
+        # 10% of customers carry the pinned (M, Unknown) demographic row
+        F.when(_h("c_cdpin", i, 10) == 0, F.lit(1))
+        .otherwise(_h("c_cdemo", i, N_CUSTOMER_DEMO) + 1)
+        .cast("int")
+        .alias("c_current_cdemo_sk"),
         (_h("c_hdemo", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("c_current_hdemo_sk"),
         (1924 + _h("c_by", i, 70)).cast("int").alias("c_birth_year"),
         (_h("c_bm", i, 12) + 1).cast("int").alias("c_birth_month"),
+        (_h("c_bd", i, 28) + 1).cast("int").alias("c_birth_day"),
+        (_h("c_lrd", i, _SALES_SPAN) + _SALES_START + _SK0).cast("int").alias(
+            "c_last_review_date_sk"
+        ),
         _pick("c_bc", i, _COUNTRIES).alias("c_birth_country"),
         F.concat(F.lit("cust"), (i + 1), F.lit("@example.com")).alias("c_email_address"),
         F.lit(None).cast("string").alias("c_login"),  # dsdgen leaves it NULL
@@ -332,18 +401,27 @@ def _customer_address(spark, par):
     return _range(spark, N_ADDRESS, par).select(
         (i + 1).cast("int").alias("ca_address_sk"),
         _pick("ca_city", i, _CITIES).alias("ca_city"),
-        _pick("ca_st", i, _STATES).alias("ca_state"),
+        # address 1 pinned to the stores' own (county, state) so customer
+        # geography can coincide with store geography (q54's join)
+        F.when(i == 0, F.lit("TN")).otherwise(_pick("ca_st", i, _STATES)).alias("ca_state"),
         # 30% of addresses share q08's hot zips; the rest are uniform
         F.when(_h("ca_zh", i, 10) < 3, _pick("ca_zp", i, _ZIP_POOL)).otherwise(random_zip).alias(
             "ca_zip"
         ),
         F.lit("United States").alias("ca_country"),
-        F.when(_h("ca_gmt", i, 10) < 7, F.lit(-5.0)).otherwise(F.lit(-6.0))
+        F.when(_h("ca_gmt", i, 10) < 5, F.lit(-5.0))
+        .when(_h("ca_gmt", i, 10) < 7, F.lit(-6.0))
+        .otherwise(F.lit(-7.0))  # q91 filters -7 (30%)
         .cast("decimal(5,2)")
         .alias("ca_gmt_offset"),
-        _pick("ca_cnty", i, _COUNTIES).alias("ca_county"),
+        F.when(i == 0, F.lit("Williamson County"))
+        .otherwise(_pick("ca_cnty", i, _COUNTIES))
+        .alias("ca_county"),
         (100 + _h("ca_stn", i, 899)).cast("string").alias("ca_street_number"),
         _pick("ca_stna", i, _STREET_NAMES).alias("ca_street_name"),
+        _pick("ca_stty", i, _STREET_TYPES).alias("ca_street_type"),
+        F.concat(F.lit("Suite "), (_h("ca_suite", i, 90) + 10)).alias("ca_suite_number"),
+        _pick("ca_loc", i, ["apartment", "condo", "single family"]).alias("ca_location_type"),
     )
 
 
@@ -365,10 +443,22 @@ N_HOT_ITEMS = 3
 N_HOT_CUSTOMERS = 4
 _FEB2000 = (_dt.date(2000, 2, 1) - _CAL_START).days
 _Y2001 = (_dt.date(2001, 1, 1) - _CAL_START).days
+_DEC1998 = (_dt.date(1998, 12, 1) - _CAL_START).days
+_JAN2000W = (_dt.date(2000, 1, 3) - _CAL_START).days  # q58's probe week
 
 
 def _bulk_ticket(tk) -> F.Column:
     return F.pmod(tk, F.lit(25)) == 3
+
+
+def _ss_store_sk(tk) -> F.Column:
+    """Ticket-level store key; ~2% of tickets have a NULL store — q76's
+    null-key store channel (dsdgen also leaves FK gaps)."""
+    return (
+        F.when(_h("ss_snull", tk, 50) == 0, F.lit(None))
+        .otherwise(_h("ss_store", tk, N_STORE) + 1)
+        .cast("int")
+    )
 
 
 def _ticket_number(i, tk) -> F.Column:
@@ -418,14 +508,67 @@ def _chan_customer_sk(seed: str, i) -> F.Column:
     )
 
 
-def _chan_date_sk(seed: str, i) -> F.Column:
-    # bulk rows split between q23's Feb-2000 window and 2001 (q17/q25)
-    bulk_date = F.when(
-        _h(seed + "_w", i, 2) == 0, _FEB2000 + _h(seed + "_f", i, 29)
-    ).otherwise(_Y2001 + _h(seed + "_y", i, 365))
+_DEC1999 = (_dt.date(1999, 12, 1) - _CAL_START).days  # q14b's last_year week
+_DEC2000 = (_dt.date(2000, 12, 1) - _CAL_START).days  # q14b's this_year week
+_SEP1999 = (_dt.date(1999, 9, 1) - _CAL_START).days  # q29's sale->return window
+
+
+def _jan_chan(i) -> F.Column:
+    """q58's balanced-channel slice of catalog/web bulk rows: i ≡ 3
+    (mod 100) picks EXACTLY 100 rows per hot item per channel (the
+    residues cycle through the items), all pinned to the 2000-01-03 week
+    at a FIXED price below — the three channel revenues are then equal by
+    construction, inside q58's ±10% brackets."""
+    return F.pmod(i, F.lit(100)) == 3
+
+
+def _jan_store(tk) -> F.Column:
+    """The store-side slice: tk ≡ 3 (mod 200) → 15 tickets x 20 lines =
+    5 tickets per hot item = 100 lines, matching the channel slices."""
+    return F.pmod(tk, F.lit(200)) == 3
+
+
+def _bulk_date(seed: str, key) -> F.Column:
+    """Non-probe bulk-row date buckets: Feb-2000 (q23's window), year 2001
+    (q17/q25's quarters), Dec-1999 / Dec-2000 (q14b's week-over-year pair),
+    Dec-1998 (q54's maternity month)."""
+    b = _h(seed + "_w", key, 20)
     return (
-        F.when(_bulk_row(i), bulk_date + _SK0)
+        F.when(b < 6, _FEB2000 + _h(seed + "_f", key, 29))
+        .when(b < 10, _Y2001 + _h(seed + "_y", key, 365))
+        .when(b < 11, _SEP1999 + _h(seed + "_s", key, 60))
+        .when(b < 14, _DEC1999 + _h(seed + "_e", key, 25))
+        .when(b < 17, _DEC1998 + _h(seed + "_d", key, 25))
+        .otherwise(_DEC2000 + _h(seed + "_g", key, 25))
+    )
+
+
+def _chan_date_sk(seed: str, i) -> F.Column:
+    return (
+        F.when(_bulk_row(i) & _jan_chan(i), _JAN2000W + _h(seed + "_j", i, 5) + _SK0)
+        .when(_bulk_row(i), _bulk_date(seed, i) + _SK0)
         .otherwise(_sold_date_sk(seed, i))
+        .cast("int")
+    )
+
+
+def _ss_date_sk(tk) -> F.Column:
+    """Store ticket dates: bulk tickets follow the same date buckets as the
+    bulk catalog/web rows, so cross-channel coincidence queries (q54/q58/
+    q14b) find the hot items in all three channels in the probed windows."""
+    return (
+        F.when(_bulk_ticket(tk) & _jan_store(tk), _JAN2000W + _h("ss_j", tk, 5) + _SK0)
+        .when(_bulk_ticket(tk), _bulk_date("ss_day2", tk) + _SK0)
+        .otherwise(_sold_date_sk("ss_day", tk))
+        .cast("int")
+    )
+
+
+def _ss_addr_sk(tk) -> F.Column:
+    """Ticket-level address; ~2% NULL (q44's null-address baseline)."""
+    return (
+        F.when(_h("ss_anull", tk, 50) == 0, F.lit(None))
+        .otherwise(_h("ss_addr", tk, N_ADDRESS) + 1)
         .cast("int")
     )
 
@@ -437,21 +580,23 @@ def _store_sales(spark, par):
     i = F.col("id")
     tk = (i / TICKET_LINES).cast("long")  # ticket index
     return _range(spark, N_STORE_SALES, par).select(
-        _sold_date_sk("ss_day", tk).alias("ss_sold_date_sk"),
+        _ss_date_sk(tk).alias("ss_sold_date_sk"),
         _h("ss_time", tk, N_TIME).cast("int").alias("ss_sold_time_sk"),
         _ss_item_sk(i, tk).alias("ss_item_sk"),
         _ss_customer_sk(tk).alias("ss_customer_sk"),
         (_h("ss_cdemo", tk, N_CUSTOMER_DEMO) + 1).cast("int").alias("ss_cdemo_sk"),
         (_h("ss_hdemo", tk, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ss_hdemo_sk"),
-        (_h("ss_addr", tk, N_ADDRESS) + 1).cast("int").alias("ss_addr_sk"),
-        (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("ss_store_sk"),
+        _ss_addr_sk(tk).alias("ss_addr_sk"),
+        _ss_store_sk(tk).alias("ss_store_sk"),
         (_h("ss_promo", i, N_PROMO) + 1).cast("int").alias("ss_promo_sk"),
         _ticket_number(i, tk).alias("ss_ticket_number"),
         (_h("ss_qty", i, 100) + 1).cast("int").alias("ss_quantity"),
         _money("ss_price", i, 1.0, 200.0).alias("ss_sales_price"),
         _money("ss_list", i, 1.0, 250.0).alias("ss_list_price"),
         _money("ss_coupon", i, 0.0, 50.0).alias("ss_coupon_amt"),
-        _money("ss_ext", i, 1.0, 2000.0).alias("ss_ext_sales_price"),
+        F.when(_bulk_ticket(tk) & _jan_store(tk), F.lit(1000.00).cast("decimal(12,2)"))
+        .otherwise(_money("ss_ext", i, 1.0, 2000.0))
+        .alias("ss_ext_sales_price"),
         _money("ss_paid", i, 1.0, 2000.0).alias("ss_net_paid"),
         _money("ss_disc", i, 0.0, 100.0).alias("ss_ext_discount_amt"),
         _money("ss_wcost", i, 1.0, 1500.0).alias("ss_ext_wholesale_cost"),
@@ -474,16 +619,17 @@ def _store_returns(spark, par):
     tk = (i / TICKET_LINES).cast("long")
     return _range(spark, N_STORE_SALES // RETURN_EVERY, par).select(
         # returned within ~60 days of the (deterministic) sale date
-        (_sold_date_sk("ss_day", tk) + (_h("sr_delay", j, 60) + 1).cast("int"))
+        (_ss_date_sk(tk) + (_h("sr_delay", j, 60) + 1).cast("int"))
         .cast("int")
         .alias("sr_returned_date_sk"),
         _ss_item_sk(i, tk).alias("sr_item_sk"),
         _ss_customer_sk(tk).alias("sr_customer_sk"),
-        (_h("ss_store", tk, N_STORE) + 1).cast("int").alias("sr_store_sk"),
+        _ss_store_sk(tk).alias("sr_store_sk"),
         _ticket_number(i, tk).alias("sr_ticket_number"),
         (_h("sr_qty", j, 10) + 1).cast("int").alias("sr_return_quantity"),
         (_h("sr_reason", j, N_REASON) + 1).cast("int").alias("sr_reason_sk"),
-        _money("sr_amt", j, 1.0, 500.0).alias("sr_return_amt"),
+        (_h("ss_cdemo", tk, N_CUSTOMER_DEMO) + 1).cast("int").alias("sr_cdemo_sk"),
+        _money("sr_amt", j, 1.0, 20000.0).alias("sr_return_amt"),
         _money("sr_loss", j, 0.0, 200.0).alias("sr_net_loss"),
     )
 
@@ -496,13 +642,36 @@ def _web_sales(spark, par):
         _chan_item_sk("ws_item", i).alias("ws_item_sk"),
         _chan_customer_sk("ws_cust", i).alias("ws_bill_customer_sk"),
         (_h("ws_addr", i, N_ADDRESS) + 1).cast("int").alias("ws_bill_addr_sk"),
-        (i + 1).alias("ws_order_number"),  # one line per order; returns
-        # recompute the same index so (order, item) joins resolve
+        (_h("ws_saddr", (i / ORDER_LINES).cast("long"), N_ADDRESS) + 1)
+        .cast("int")
+        .alias("ws_ship_addr_sk"),  # per ORDER (q94 groups on it)
+        (i / ORDER_LINES + 1).cast("long").alias("ws_order_number"),
+        # every ORDER_LINES rows share an order; returns recompute the
+        # same formula so (order, item) joins resolve
+        (_chan_date_sk("ws_day", i) + (_h("ws_shipd", i, 30) + 2).cast("int"))
+        .cast("int")
+        .alias("ws_ship_date_sk"),
+        (_h("ws_site", i, N_WEB_SITE) + 1).cast("int").alias("ws_web_site_sk"),
+        (_h("ws_page", i, N_WEB_PAGE) + 1).cast("int").alias("ws_web_page_sk"),
+        (_h("ws_wh", i, N_WAREHOUSE) + 1).cast("int").alias("ws_warehouse_sk"),
+        (_h("ws_sm", i, N_SHIP_MODE) + 1).cast("int").alias("ws_ship_mode_sk"),
+        (_h("ws_shd", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("ws_ship_hdemo_sk"),
+        # ~2% NULL ship customers: q76's web null-key channel
+        F.when(_h("ws_scnull", i, 50) == 0, F.lit(None))
+        .otherwise(_h("ws_scust", i, N_CUSTOMER) + 1)
+        .cast("int")
+        .alias("ws_ship_customer_sk"),
+        (_h("ws_promo", i, N_PROMO) + 1).cast("int").alias("ws_promo_sk"),
+        _money("ws_shipc", i, 0.0, 150.0).alias("ws_ext_ship_cost"),
         (_h("ws_qty", i, 100) + 1).cast("int").alias("ws_quantity"),
         _money("ws_price", i, 1.0, 200.0).alias("ws_sales_price"),
         _money("ws_list", i, 1.0, 250.0).alias("ws_list_price"),
-        _money("ws_ext", i, 1.0, 2000.0).alias("ws_ext_sales_price"),
-        _money("ws_disc", i, 0.0, 100.0).alias("ws_ext_discount_amt"),
+        F.when(_bulk_row(i) & _jan_chan(i), F.lit(1000.00).cast("decimal(12,2)"))
+        .otherwise(_money("ws_ext", i, 1.0, 2000.0))
+        .alias("ws_ext_sales_price"),
+        F.when(_h("ws_dtail", i, 10) == 0, _money("ws_disct", i, 100.0, 500.0))
+        .otherwise(_money("ws_disc", i, 0.0, 40.0))
+        .alias("ws_ext_discount_amt"),
         _money("ws_elp", i, 1.0, 2500.0).alias("ws_ext_list_price"),
         _money("ws_ewc", i, 1.0, 1500.0).alias("ws_ext_wholesale_cost"),
         _money("ws_paid", i, 1.0, 2000.0).alias("ws_net_paid"),
@@ -521,13 +690,34 @@ def _catalog_sales(spark, par):
         (_h("cs_cdemo", i, N_CUSTOMER_DEMO) + 1).cast("int").alias("cs_bill_cdemo_sk"),
         (_h("cs_promo", i, N_PROMO) + 1).cast("int").alias("cs_promo_sk"),
         (_h("cs_addr", i, N_ADDRESS) + 1).cast("int").alias("cs_bill_addr_sk"),
-        (i + 1).alias("cs_order_number"),
+        # ~2% NULL ship addresses: q76 counts the null-key channel rows
+        F.when(_h("cs_sanull", i, 50) == 0, F.lit(None))
+        .otherwise(_h("cs_saddr", (i / ORDER_LINES).cast("long"), N_ADDRESS) + 1)
+        .cast("int")
+        .alias("cs_ship_addr_sk"),  # per ORDER (q16 groups on it)
+        (_h("cs_scust", i, N_CUSTOMER) + 1).cast("int").alias("cs_ship_customer_sk"),
+        (i / ORDER_LINES + 1).cast("long").alias("cs_order_number"),
+        (_chan_date_sk("cs_day", i) + (_h("cs_shipd", i, 30) + 2).cast("int"))
+        .cast("int")
+        .alias("cs_ship_date_sk"),
+        (_h("cs_cc", i, N_CALL_CENTER) + 1).cast("int").alias("cs_call_center_sk"),
+        (_h("cs_cp", i, N_CATALOG_PAGE) + 1).cast("int").alias("cs_catalog_page_sk"),
+        (_h("cs_wh", i, N_WAREHOUSE) + 1).cast("int").alias("cs_warehouse_sk"),
+        (_h("cs_sm", i, N_SHIP_MODE) + 1).cast("int").alias("cs_ship_mode_sk"),
+        (_h("cs_bhd", i, N_HOUSEHOLD_DEMO) + 1).cast("int").alias("cs_bill_hdemo_sk"),
+        _money("cs_shipc", i, 0.0, 150.0).alias("cs_ext_ship_cost"),
+        _money("cs_paid", i, 1.0, 2000.0).alias("cs_net_paid"),
+        _money("cs_paidt", i, 1.0, 2200.0).alias("cs_net_paid_inc_tax"),
         (_h("cs_qty", i, 100) + 1).cast("int").alias("cs_quantity"),
         _money("cs_price", i, 1.0, 200.0).alias("cs_sales_price"),
         _money("cs_list", i, 1.0, 250.0).alias("cs_list_price"),
         _money("cs_coupon", i, 0.0, 50.0).alias("cs_coupon_amt"),
-        _money("cs_ext", i, 1.0, 2000.0).alias("cs_ext_sales_price"),
-        _money("cs_disc", i, 0.0, 100.0).alias("cs_ext_discount_amt"),
+        F.when(_bulk_row(i) & _jan_chan(i), F.lit(1000.00).cast("decimal(12,2)"))
+        .otherwise(_money("cs_ext", i, 1.0, 2000.0))
+        .alias("cs_ext_sales_price"),
+        F.when(_h("cs_dtail", i, 10) == 0, _money("cs_disct", i, 100.0, 500.0))
+        .otherwise(_money("cs_disc", i, 0.0, 40.0))
+        .alias("cs_ext_discount_amt"),
         _money("cs_elp", i, 1.0, 2500.0).alias("cs_ext_list_price"),
         _money("cs_ewc", i, 1.0, 1500.0).alias("cs_ext_wholesale_cost"),
         _money("cs_wc", i, 1.0, 100.0).alias("cs_wholesale_cost"),
@@ -545,10 +735,19 @@ def _web_returns(spark, par):
         .cast("int")
         .alias("wr_returned_date_sk"),
         _chan_item_sk("ws_item", i).alias("wr_item_sk"),
-        (i + 1).alias("wr_order_number"),
+        (i / ORDER_LINES + 1).cast("long").alias("wr_order_number"),
         _chan_customer_sk("ws_cust", i).alias("wr_returning_customer_sk"),
+        (_h("ws_addr", i, N_ADDRESS) + 1).cast("int").alias("wr_returning_addr_sk"),
+        (_h("ws_page", i, N_WEB_PAGE) + 1).cast("int").alias("wr_web_page_sk"),
+        (_h("wr_reason", j, N_REASON) + 1).cast("int").alias("wr_reason_sk"),
+        (_h("wr_rcd", j, N_CUSTOMER_DEMO) + 1).cast("int").alias("wr_refunded_cdemo_sk"),
+        (_h("wr_rcd", j, N_CUSTOMER_DEMO) + 1).cast("int").alias("wr_returning_cdemo_sk"),
+        (_h("wr_rad", j, N_ADDRESS) + 1).cast("int").alias("wr_refunded_addr_sk"),
         (_h("wr_qty", j, 10) + 1).cast("int").alias("wr_return_quantity"),
-        _money("wr_amt", j, 1.0, 500.0).alias("wr_return_amt"),
+        _money("wr_amt", j, 1.0, 20000.0).alias("wr_return_amt"),
+        _money("wr_loss", j, 0.0, 200.0).alias("wr_net_loss"),
+        _money("wr_fee", j, 0.5, 100.0).alias("wr_fee"),
+        _money("wr_cash", j, 0.0, 100.0).alias("wr_refunded_cash"),
     )
 
 
@@ -562,13 +761,109 @@ def _catalog_returns(spark, par):
         .cast("int")
         .alias("cr_returned_date_sk"),
         _chan_item_sk("cs_item", i).alias("cr_item_sk"),
-        (i + 1).alias("cr_order_number"),
+        (i / ORDER_LINES + 1).cast("long").alias("cr_order_number"),
         _chan_customer_sk("cs_cust", i).alias("cr_returning_customer_sk"),
+        (_h("cs_addr", i, N_ADDRESS) + 1).cast("int").alias("cr_returning_addr_sk"),
+        (_h("cs_cc", i, N_CALL_CENTER) + 1).cast("int").alias("cr_call_center_sk"),
+        (_h("cs_cp", i, N_CATALOG_PAGE) + 1).cast("int").alias("cr_catalog_page_sk"),
         (_h("cr_qty", j, 10) + 1).cast("int").alias("cr_return_quantity"),
-        _money("cr_amt", j, 1.0, 500.0).alias("cr_return_amount"),
+        _money("cr_amt", j, 1.0, 20000.0).alias("cr_return_amount"),
+        _money("cr_amtt", j, 1.0, 22000.0).alias("cr_return_amt_inc_tax"),
+        _money("cr_loss", j, 0.0, 200.0).alias("cr_net_loss"),
         _money("cr_cash", j, 0.0, 100.0).alias("cr_refunded_cash"),
         _money("cr_rev", j, 0.0, 50.0).alias("cr_reversed_charge"),
         _money("cr_credit", j, 0.0, 50.0).alias("cr_store_credit"),
+    )
+
+
+def _inventory(spark, par):
+    """Weekly on-hand snapshots: full (week x item x warehouse) cross via
+    index arithmetic over one spark.range — q21/q22/q37/q82's fact table.
+    At 100 TB the equivalent table partitions by inv_date_sk; the queries
+    prune date windows before ever touching item rows."""
+    i = F.col("id")
+    week = (i / (N_ITEM * N_WAREHOUSE)).cast("long")
+    rest = F.pmod(i, F.lit(N_ITEM * N_WAREHOUSE))
+    item = (rest / N_WAREHOUSE).cast("long")
+    wh = F.pmod(rest, F.lit(N_WAREHOUSE))
+    return _range(spark, N_INV_WEEKS * N_ITEM * N_WAREHOUSE, par).select(
+        (week * 7 + _SALES_START + _SK0).cast("int").alias("inv_date_sk"),
+        (item + 1).cast("int").alias("inv_item_sk"),
+        (wh + 1).cast("int").alias("inv_warehouse_sk"),
+        # mixture: mostly small stocks, occasional big replenishments —
+        # per-(item,warehouse,month) cov then genuinely spans q39's >1 and
+        # >1.5 brackets (uniform stock makes cov hug 0.6)
+        F.when(_h("inv_big", i, 20) == 0, _h("inv_qohb", i, 5000))
+        .otherwise(_h("inv_qoh", i, 300))
+        .cast("int")
+        .alias("inv_quantity_on_hand"),
+    )
+
+
+def _warehouse(spark, par):
+    i = F.col("id")
+    return _range(spark, N_WAREHOUSE, par).select(
+        (i + 1).cast("int").alias("w_warehouse_sk"),
+        F.concat(F.lit("Warehouse_"), (i + 1)).alias("w_warehouse_name"),
+        ((i + 1) * 25_000).cast("int").alias("w_warehouse_sq_ft"),
+        _pick("w_city", i, _CITIES[:3]).alias("w_city"),
+        _pick("w_cnty", i, _COUNTIES[:4]).alias("w_county"),
+        _pick("w_st", i, _STATES[:5]).alias("w_state"),
+        F.lit("United States").alias("w_country"),
+    )
+
+
+def _web_site(spark, par):
+    i = F.col("id")
+    return _range(spark, N_WEB_SITE, par).select(
+        (i + 1).cast("int").alias("web_site_sk"),
+        F.concat(F.lit("WEB"), F.lpad((i + 1).cast("string"), 4, "0")).alias("web_site_id"),
+        F.concat(F.lit("site_"), (i + 1)).alias("web_name"),
+        F.lit("pri").alias("web_company_name"),  # q94/q95 literal
+    )
+
+
+def _web_page(spark, par):
+    i = F.col("id")
+    return _range(spark, N_WEB_PAGE, par).select(
+        (i + 1).cast("int").alias("wp_web_page_sk"),
+        # q90 brackets 5000..5200 — the pool must straddle it
+        (4000 + _h("wp_cc", i, 2000)).cast("int").alias("wp_char_count"),
+    )
+
+
+def _call_center(spark, par):
+    i = F.col("id")
+    return _range(spark, N_CALL_CENTER, par).select(
+        (i + 1).cast("int").alias("cc_call_center_sk"),
+        F.concat(F.lit("CC"), F.lpad((i + 1).cast("string"), 4, "0")).alias("cc_call_center_id"),
+        F.concat(F.lit("center_"), (i + 1)).alias("cc_name"),
+        F.concat(F.lit("Manager_"), (i + 1)).alias("cc_manager"),
+        F.lit("Williamson County").alias("cc_county"),  # q16 literal
+    )
+
+
+def _ship_mode(spark, par):
+    i = F.col("id")
+    return _range(spark, N_SHIP_MODE, par).select(
+        (i + 1).cast("int").alias("sm_ship_mode_sk"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in ["EXPRESS", "OVERNIGHT", "REGULAR", "TWO DAY", "NEXT DAY", "LIBRARY"]]),
+            (i + 1).cast("int"),
+        ).alias("sm_type"),
+        # q66 filters carriers IN ('DHL', 'BARIAN')
+        F.element_at(
+            F.array(*[F.lit(v) for v in ["DHL", "BARIAN", "UPS", "FEDEX", "AIRBORNE", "USPS"]]),
+            (i + 1).cast("int"),
+        ).alias("sm_carrier"),
+    )
+
+
+def _catalog_page(spark, par):
+    i = F.col("id")
+    return _range(spark, N_CATALOG_PAGE, par).select(
+        (i + 1).cast("int").alias("cp_catalog_page_sk"),
+        F.concat(F.lit("CP"), F.lpad((i + 1).cast("string"), 6, "0")).alias("cp_catalog_page_id"),
     )
 
 
@@ -586,6 +881,7 @@ def _time_dim(spark, par):
     hour = (i / 3600).cast("int")
     return _range(spark, N_TIME, par).select(
         i.cast("int").alias("t_time_sk"),
+        i.cast("int").alias("t_time"),
         hour.alias("t_hour"),
         (F.pmod(i, F.lit(3600)) / 60).cast("int").alias("t_minute"),
         F.pmod(i, F.lit(60)).cast("int").alias("t_second"),
@@ -612,9 +908,17 @@ def _customer_demographics(spark, par):
     return _range(spark, N_CUSTOMER_DEMO, par).select(
         (i + 1).cast("int").alias("cd_demo_sk"),
         F.when(F.pmod(i, F.lit(2)) == 0, F.lit("M")).otherwise(F.lit("F")).alias("cd_gender"),
-        _pick("cd_mar", i, _MARITAL).alias("cd_marital_status"),
-        _pick("cd_edu", i, _EDUCATION).alias("cd_education_status"),
+        # SK 1 pinned to (M, Unknown) — q91's AND-pair needs a reliably
+        # reachable combination through c_current_cdemo_sk
+        F.when(i == 0, F.lit("M")).otherwise(_pick("cd_mar", i, _MARITAL)).alias("cd_marital_status"),
+        F.when(i == 0, F.lit("Unknown")).otherwise(_pick("cd_edu", i, _EDUCATION)).alias(
+            "cd_education_status"
+        ),
         _h("cd_dep", i, 10).cast("int").alias("cd_dep_count"),
+        ((_h("cd_pe", i, 20) + 1) * 500).cast("int").alias("cd_purchase_estimate"),
+        _pick("cd_cr", i, ["Low Risk", "High Risk", "Good", "Unknown"]).alias("cd_credit_rating"),
+        _h("cd_depe", i, 7).cast("int").alias("cd_dep_employed_count"),
+        _h("cd_depc", i, 7).cast("int").alias("cd_dep_college_count"),
     )
 
 
