@@ -1,0 +1,108 @@
+"""Dynamic catalogs (dialect/catalogs.py): CREATE/DROP CATALOG, SHOW
+CATALOGS, and 3-part name resolution across connector kinds.
+
+Reference: grammar SqlBase.g4 #createCatalog/#dropCatalog;
+CreateCatalogTask.java / CatalogFactory.java."""
+
+import pytest
+
+from trino_spark.dialect.engine import TrinoEngine
+
+
+@pytest.fixture()
+def engine(spark, sf_dir):
+    return TrinoEngine(spark, sf_dir)
+
+
+def test_parquet_catalog_mount_and_query(engine, sf_dir, spark):
+    engine.sql(f"CREATE CATALOG lake USING parquet WITH (location = '{sf_dir}')")
+    out = engine.sql(
+        "SELECT r.r_name, count(*) AS n FROM lake.default.nation n "
+        "JOIN lake.default.region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    ).collect()
+    assert sum(r.n for r in out) == 25 and len(out) == 5
+
+
+def test_mixed_catalog_and_session_tables(engine):
+    engine.sql("CREATE CATALOG lake2 USING parquet WITH (location = '/root/testdata/sf0.001')")
+    out = engine.sql(
+        "SELECT count(*) AS n FROM lake2.default.nation x JOIN nation y ON x.n_nationkey = y.n_nationkey"
+    ).collect()
+    assert out[0].n == 25
+
+
+def test_tpch_catalog_tiny_schema(engine):
+    engine.sql("CREATE CATALOG gen USING tpch")
+    n = engine.sql("SELECT count(*) AS n FROM gen.tiny.region").collect()[0].n
+    assert n == 5
+
+
+def test_tpch_catalog_bad_schema_errors(engine):
+    engine.sql("CREATE CATALOG gen2 USING tpch")
+    with pytest.raises(Exception, match="tiny or sfN"):
+        engine.sql("SELECT 1 FROM gen2.bogus.region").collect()
+
+
+def test_tpcds_catalog_resolves_generator_tables(engine):
+    from trino_spark.sources import tpcdsgen
+
+    engine.sql("CREATE CATALOG ds USING tpcds")
+    n = engine.sql("SELECT count(*) AS n FROM ds.sf1.date_dim").collect()[0].n
+    assert n == tpcdsgen.N_DATE
+
+
+def test_show_catalogs_like_and_drop(engine):
+    engine.sql("CREATE CATALOG dropme USING tpch")
+    names = [r.catalog for r in engine.sql("SHOW CATALOGS").collect()]
+    assert "dropme" in names and "spark" in names
+    liked = [r.catalog for r in engine.sql("SHOW CATALOGS LIKE 'drop%'").collect()]
+    assert liked == ["dropme"]
+    engine.sql("DROP CATALOG dropme")
+    names = [r.catalog for r in engine.sql("SHOW CATALOGS").collect()]
+    assert "dropme" not in names
+    engine.sql("DROP CATALOG IF EXISTS dropme")  # idempotent
+    with pytest.raises(Exception, match="not found"):
+        engine.sql("DROP CATALOG dropme")
+
+
+def test_duplicate_and_unknown_connector_errors(engine, sf_dir):
+    engine.sql(f"CREATE CATALOG dup USING parquet WITH (location = '{sf_dir}')")
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql(f"CREATE CATALOG dup USING parquet WITH (location = '{sf_dir}')")
+    engine.sql(f"CREATE CATALOG IF NOT EXISTS dup USING parquet WITH (location = '{sf_dir}')")
+    with pytest.raises(Exception, match="unknown connector"):
+        engine.sql("CREATE CATALOG nope USING mongodb")
+    with pytest.raises(Exception, match="location"):
+        engine.sql("CREATE CATALOG nodir USING parquet WITH (location = '/no/such/dir')")
+
+
+def test_string_literals_never_resolve(engine, sf_dir):
+    engine.sql(f"CREATE CATALOG litsafe USING parquet WITH (location = '{sf_dir}')")
+    out = engine.sql("SELECT 'litsafe.default.nation' AS s").collect()
+    assert out[0].s == "litsafe.default.nation"
+
+
+def test_missing_table_errors(engine, sf_dir):
+    engine.sql(f"CREATE CATALOG lk3 USING parquet WITH (location = '{sf_dir}')")
+    with pytest.raises(Exception, match="table not found"):
+        engine.sql("SELECT * FROM lk3.default.nonexistent").collect()
+
+
+def test_create_catalog_denied_under_role(engine):
+    engine.sql("CREATE ROLE analyst9")
+    engine.sql("SET ROLE analyst9")
+    with pytest.raises(Exception, match="[Aa]ccess [Dd]enied"):
+        engine.sql("CREATE CATALOG x9 USING tpch")
+    engine.sql("SET ROLE NONE")
+
+
+def test_jdbc_catalog_mounts_dsv2(engine, spark, sf_dir):
+    from trino_spark.queries.federation_q import derby_url, ensure_derby_nation
+
+    ensure_derby_nation(spark, sf_dir)
+    engine.sql(f"CREATE CATALOG fed USING jdbc WITH (url = '{derby_url()}')")
+    assert spark.conf.get("spark.sql.catalog.fed.url") == derby_url()
+    engine.sql("DROP CATALOG fed")
+    with pytest.raises(Exception):
+        spark.conf.get("spark.sql.catalog.fed.url")

@@ -1,0 +1,226 @@
+"""Dynamic catalogs: CREATE CATALOG / DROP CATALOG and
+``catalog.schema.table`` name resolution.
+
+Reference surface: grammar ``SqlBase.g4`` #createCatalog/#dropCatalog
+(CREATE CATALOG <name> USING <connector> [COMMENT ...] [WITH (...)]),
+executed by ``io.trino.execution.CreateCatalogTask`` through
+``io.trino.connector.CatalogFactory`` — catalogs are mounted at runtime
+and every query may address any mounted catalog with a fully-qualified
+``catalog.schema.table`` name. Connectors mirrored here:
+
+- ``parquet`` / ``hive``: parquet-on-filesystem at ``location``
+  (plugin/trino-hive HiveMetadata's external-location tables).
+- ``jdbc``: a REAL Spark DSv2 JDBC catalog (JDBCTableCatalog) — Spark
+  itself resolves the 3-part name and pushes filters/aggregates/limits
+  into the remote scan (plugin/trino-base-jdbc JdbcClient semantics).
+- ``tpch`` / ``tpcds``: the generator connectors (plugin/trino-tpch
+  TpchMetadata schema=sfN surface; sources/tpchgen.py, tpcdsgen.py).
+
+Spark-first shape: a mounted catalog is a NAME-RESOLUTION rule, not a
+data copy. Non-jdbc mounts resolve lazily — the first reference to
+``cat.schema.tbl`` registers a temp view over ``spark.read.parquet`` /
+a generator DataFrame, so mount time is O(1) and unreferenced tables
+cost nothing. At 100 TB the parquet mount is a metadata pointer; scans
+keep full pushdown/pruning because they ARE plain parquet scans.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+_CREATE_RX = re.compile(
+    r"CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|\w+)\s+"
+    r"USING\s+(?P<conn>\w+)"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?:\s+WITH\s*\((?P<props>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RX = re.compile(
+    r"DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|\w+)"
+    r"(?:\s+(?:CASCADE|RESTRICT))?\s*$",
+    re.IGNORECASE,
+)
+_REF_RX = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+
+_CONNECTORS = ("parquet", "hive", "jdbc", "tpch", "tpcds")
+
+
+def _parse_props(txt: str | None) -> dict[str, str]:
+    """``k = 'v', k2 = 'v2'`` catalog properties (reference: the
+    catalog-properties map of CreateCatalogTask)."""
+    props: dict[str, str] = {}
+    for m in re.finditer(r"([\w.]+)\s*=\s*(?:'([^']*)'|(\w+))", txt or ""):
+        props[m.group(1).lower()] = m.group(2) if m.group(2) is not None else m.group(3)
+    return props
+
+
+def _mounts(engine) -> dict:
+    if not hasattr(engine, "catalogs"):
+        engine.catalogs = {}
+    return engine.catalogs
+
+
+def try_execute(engine, stripped: str) -> DataFrame | None:
+    """Dispatch CREATE/DROP CATALOG; None when the statement is neither."""
+    up = stripped.upper().split()
+    if up[:2] == ["CREATE", "CATALOG"]:
+        m = _CREATE_RX.match(stripped)
+        if not m:
+            raise ValueError(f"cannot parse CREATE CATALOG: {stripped}")
+        _require_owner(engine, "CREATE CATALOG")
+        name = m.group("name").strip('"').lower()
+        conn = m.group("conn").lower()
+        mounts = _mounts(engine)
+        if name in mounts or name == "spark":
+            if m.group("ine"):
+                return _row(engine, name)
+            raise ValueError(f"catalog already exists: {name}")
+        if conn not in _CONNECTORS:
+            raise ValueError(
+                f"unknown connector: {conn} (supported: {', '.join(_CONNECTORS)})"
+            )
+        props = _parse_props(m.group("props"))
+        if conn in ("parquet", "hive"):
+            loc = props.get("location")
+            if not loc or not os.path.isdir(loc):
+                raise ValueError(f"connector {conn} needs location = '<existing dir>'")
+        if conn == "jdbc":
+            url = props.get("url")
+            if not url:
+                raise ValueError("connector jdbc needs url = '<jdbc url>'")
+            opts = {k: v for k, v in props.items() if k != "url"}
+            engine.catalog.register_jdbc_catalog(name, url, **opts)
+        mounts[name] = {
+            "connector": conn,
+            "properties": props,
+            "comment": m.group("comment") or "",
+            "views": set(),
+        }
+        return _row(engine, name)
+    if up[:2] == ["DROP", "CATALOG"]:
+        m = _DROP_RX.match(stripped)
+        if not m:
+            raise ValueError(f"cannot parse DROP CATALOG: {stripped}")
+        _require_owner(engine, "DROP CATALOG")
+        name = m.group("name").strip('"').lower()
+        mounts = _mounts(engine)
+        if name not in mounts:
+            if m.group("ie"):
+                return _row(engine, name)
+            raise ValueError(f"catalog not found: {name}")
+        mount = mounts.pop(name)
+        for view in mount["views"]:
+            engine.spark.catalog.dropTempView(view)
+        if mount["connector"] == "jdbc":
+            conf = engine.spark.conf
+            for key in (
+                f"spark.sql.catalog.{name}",
+                f"spark.sql.catalog.{name}.url",
+                f"spark.sql.catalog.{name}.pushDownAggregate",
+                f"spark.sql.catalog.{name}.pushDownLimit",
+            ):
+                try:
+                    conf.unset(key)
+                except Exception:
+                    pass
+        return _row(engine, name)
+    return None
+
+
+def _require_owner(engine, what: str) -> None:
+    """Catalog mounts are system-level (reference: checkCanCreateCatalog
+    of SystemAccessControl — admin-only by default): deny under any
+    active restricted role."""
+    from trino_spark.dialect import access as _access
+
+    if _access._state(engine)["current"] is not None:
+        raise PermissionError(f"Access Denied: {what} requires an owner session")
+
+
+def _row(engine, name: str) -> DataFrame:
+    return engine.spark.createDataFrame([(name,)], "catalog: string")
+
+
+def resolve(engine, sql: str) -> str:
+    """Rewrite ``cat.schema.table`` references to lazily-registered temp
+    views for every NON-jdbc mount (jdbc mounts are real Spark catalogs —
+    Spark resolves those natively, keeping remote pushdown). String
+    literals are never touched."""
+    mounts = getattr(engine, "catalogs", None)
+    if not mounts:
+        return sql
+    lowered = sql.lower()
+    if not any(f"{name}." in lowered for name in mounts):
+        return sql
+    from trino_spark.dialect.access import map_outside_literals
+
+    def _chunk(chunk: str) -> str:
+        return _REF_RX.sub(lambda m: _view_for(engine, m) or m.group(0), chunk)
+
+    return map_outside_literals(sql, _chunk)
+
+
+def _view_for(engine, m: re.Match) -> str | None:
+    cat, schema, table = (g.lower() for g in m.groups())
+    mount = getattr(engine, "catalogs", {}).get(cat)
+    if mount is None or mount["connector"] == "jdbc":
+        return None
+    spark = engine.spark
+    view = f"__cat_{cat}_{schema}_{table}"
+    if view in mount["views"]:
+        return view
+    conn = mount["connector"]
+    if conn in ("parquet", "hive"):
+        loc = mount["properties"]["location"]
+        path = os.path.join(loc, schema, table)
+        if not os.path.exists(path):
+            path = os.path.join(loc, table)
+        if not os.path.exists(path):
+            path += ".parquet"
+        if not os.path.exists(path):
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        spark.read.parquet(path).createOrReplaceTempView(view)
+    elif conn == "tpch":
+        from trino_spark.sources import tpchgen
+
+        sf = _schema_sf(schema)
+        tpchgen.gen_table(spark, table, sf).createOrReplaceTempView(view)
+    elif conn == "tpcds":
+        from trino_spark.sources import tpcdsgen
+
+        tpcdsgen.register_tpcds(spark)
+        if table not in tpcdsgen.TABLES:
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        return f"{tpcdsgen.PREFIX}{table}"
+    mount["views"].add(view)
+    return view
+
+
+def _schema_sf(schema: str) -> float:
+    """``tiny``/``sfN`` schema names of the tpch generator connector
+    (plugin/trino-tpch TpchMetadata schema list; ``sf0_01`` spells a
+    fractional scale, '.' being illegal in identifiers)."""
+    if schema == "tiny":
+        return 0.01
+    if schema.startswith("sf"):
+        try:
+            return float(schema[2:].replace("_", "."))
+        except ValueError:
+            pass
+    raise ValueError(f"tpch connector schema must be tiny or sfN, got: {schema}")
+
+
+def show_catalogs(engine, stripped: str) -> DataFrame:
+    """SHOW CATALOGS [LIKE pattern] (ShowQueriesRewrite.java): the session
+    catalog plus every dynamic mount."""
+    names = sorted(["spark", *getattr(engine, "catalogs", {})])
+    m = re.search(r"LIKE\s+'([^']*)'", stripped, re.IGNORECASE)
+    if m:
+        rx = re.compile(
+            "^" + re.escape(m.group(1)).replace("%", ".*").replace("_", ".") + "$"
+        )
+        names = [n for n in names if rx.match(n)]
+    return engine.spark.createDataFrame([(n,) for n in names] or [], "catalog: string")

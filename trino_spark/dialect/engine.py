@@ -127,6 +127,13 @@ class TrinoEngine:
             from trino_spark.dialect import dml as _dml
 
             trino_sql = _dml.resolve_time_travel(self, trino_sql)
+        if getattr(self, "catalogs", None):
+            # Dynamic catalog mounts (CREATE CATALOG; CatalogFactory.java):
+            # cat.schema.table refs resolve to lazily-registered views
+            # (jdbc mounts resolve natively through Spark's DSv2 catalog).
+            from trino_spark.dialect import catalogs as _cats
+
+            trino_sql = _cats.resolve(self, trino_sql)
         if any(k in trino_sql for k in ("$snapshots", "$history", "$files", "$partitions")):
             # Iceberg-style metadata tables over the snapshot log / current
             # table directory (SnapshotsTable / HistoryTable / FilesTable /
@@ -293,9 +300,18 @@ class TrinoEngine:
             self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([(name,)], "materialized_view: string")
         if up[:2] == ["SHOW", "CATALOGS"]:
-            # Single-catalog engine (ShowQueriesRewrite.java SHOW CATALOGS):
-            # Spark's session catalog plays every connector's role.
-            return self.spark.createDataFrame([("spark",)], "catalog: string")
+            # Session catalog + dynamic mounts (ShowQueriesRewrite.java).
+            from trino_spark.dialect import catalogs as _cats
+
+            return _cats.show_catalogs(self, stripped)
+        if up[:2] in (["CREATE", "CATALOG"], ["DROP", "CATALOG"]):
+            # Dynamic catalogs (grammar SqlBase.g4 #createCatalog /
+            # #dropCatalog; CreateCatalogTask.java via CatalogFactory).
+            from trino_spark.dialect import catalogs as _cats
+
+            cat_out = _cats.try_execute(self, stripped)
+            if cat_out is not None:
+                return cat_out
         if up[:2] == ["SHOW", "SESSION"]:
             # SET SESSION properties recorded on this engine
             # (SystemSessionProperties.java surface).

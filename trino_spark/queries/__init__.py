@@ -110,6 +110,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q14a",
         "tpcds_q04",
         "meta_files_partitions",
+        "catalog_mount_query",
         "tpcds_q90",
         "tpcds_q84",
         "tpcds_q94",

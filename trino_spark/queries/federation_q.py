@@ -251,3 +251,39 @@ def tpchgen_structure_q(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("l_linenumber").cast("long").alias("sum_linenumbers"),
         F.max("l_orderkey").cast("long").alias("max_orderkey"),
     )
+
+
+@REG.add(
+    "catalog_mount_query",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def catalog_mount_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic catalog mount + 3-part-name resolution (dialect/catalogs.py;
+    reference: grammar SqlBase.g4 #createCatalog, CreateCatalogTask.java /
+    CatalogFactory.java): CREATE CATALOG mounts the sf_dir parquet as a
+    named catalog, and the query addresses it fully qualified. The mount
+    is a name-resolution rule — the plan underneath is the plain parquet
+    scan (pushdown/pruning intact), so mounting is O(1) at any scale. The
+    oracle runs the same join on the directly-registered views — identical
+    by construction."""
+    from trino_spark.queries.base import engine_for
+
+    eng = engine_for(spark, sf)
+    eng.sql(f"CREATE CATALOG IF NOT EXISTS mnt USING parquet WITH (location = '{sf}')")
+    return eng.sql(
+        """
+        SELECT r.r_name,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+        FROM mnt.default.nation n JOIN mnt.default.region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )
