@@ -106,3 +106,47 @@ def test_jdbc_catalog_mounts_dsv2(engine, spark, sf_dir):
     engine.sql("DROP CATALOG fed")
     with pytest.raises(Exception):
         spark.conf.get("spark.sql.catalog.fed.url")
+
+
+def test_memory_catalog_ctas_insert_select(engine):
+    engine.sql("CREATE CATALOG mem USING memory")
+    n = engine.sql("CREATE TABLE mem.default.dim AS SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0").collect()[0].rows
+    assert n == 5
+    n2 = engine.sql("INSERT INTO mem.default.dim SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1").collect()[0].rows
+    assert n2 == 5
+    out = engine.sql("SELECT count(*) AS c FROM mem.default.dim").collect()
+    assert out[0].c == 10
+    joined = engine.sql(
+        "SELECT count(*) AS c FROM mem.default.dim d JOIN nation n ON d.n_nationkey = n.n_nationkey"
+    ).collect()
+    assert joined[0].c == 10
+    engine.sql("DELETE FROM mem.default.dim")
+    assert engine.sql("SELECT count(*) AS c FROM mem.default.dim").collect()[0].c == 0
+    engine.sql("DROP TABLE mem.default.dim")
+    with pytest.raises(Exception):
+        engine.sql("SELECT * FROM mem.default.dim").collect()
+
+
+def test_blackhole_catalog_swallows_writes(engine):
+    engine.sql("CREATE CATALOG bh USING blackhole")
+    n = engine.sql("INSERT INTO bh.default.sink SELECT * FROM nation").collect()[0].rows
+    assert n == 25
+    out = engine.sql("SELECT count(*) AS c FROM bh.default.sink").collect()
+    assert out[0].c == 0  # reads return zero rows of the swallowed schema
+
+
+def test_faker_catalog_generates_deterministic_rows(engine):
+    engine.sql(
+        "CREATE CATALOG fk USING faker WITH (schema = 'id bigint, name string, price double', rows = '50', seed = '7')"
+    )
+    a = engine.sql("SELECT * FROM fk.default.products ORDER BY id").collect()
+    b = engine.sql("SELECT * FROM fk.default.products ORDER BY id").collect()
+    assert len(a) == 50 and a == b
+    other = engine.sql("SELECT * FROM fk.default.users ORDER BY id").collect()
+    assert other != a  # table name perturbs the seed
+
+
+def test_readonly_connector_rejects_writes(engine, sf_dir):
+    engine.sql(f"CREATE CATALOG ro USING parquet WITH (location = '{sf_dir}')")
+    with pytest.raises(Exception, match="does not support writes"):
+        engine.sql("INSERT INTO ro.default.nation SELECT * FROM nation")

@@ -45,7 +45,7 @@ _DROP_RX = re.compile(
 )
 _REF_RX = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
 
-_CONNECTORS = ("parquet", "hive", "jdbc", "tpch", "tpcds")
+_CONNECTORS = ("parquet", "hive", "jdbc", "tpch", "tpcds", "memory", "blackhole", "faker")
 
 
 def _parse_props(txt: str | None) -> dict[str, str]:
@@ -157,10 +157,21 @@ def resolve(engine, sql: str) -> str:
         return sql
     from trino_spark.dialect.access import map_outside_literals
 
+    # A catalog-qualified DML TARGET must reach try_execute_dml verbatim
+    # (the connector's page-sink path decides what a write means there);
+    # only the statement's READ positions resolve to views.
+    placeholder, target_txt = "\x00CATTGT\x00", None
+    head = _DML_TARGET_RX.match(sql.lstrip())
+    if head and head.group(1).lower() in mounts:
+        off = len(sql) - len(sql.lstrip())
+        a, b = off + head.start(1), off + head.end(3)
+        target_txt, sql = sql[a:b], sql[:a] + placeholder + sql[b:]
+
     def _chunk(chunk: str) -> str:
         return _REF_RX.sub(lambda m: _view_for(engine, m) or m.group(0), chunk)
 
-    return map_outside_literals(sql, _chunk)
+    out = map_outside_literals(sql, _chunk)
+    return out.replace(placeholder, target_txt) if target_txt else out
 
 
 def _view_for(engine, m: re.Match) -> str | None:
@@ -195,8 +206,104 @@ def _view_for(engine, m: re.Match) -> str | None:
         if table not in tpcdsgen.TABLES:
             raise ValueError(f"table not found: {cat}.{schema}.{table}")
         return f"{tpcdsgen.PREFIX}{table}"
+    elif conn == "memory":
+        # plugin/trino-memory MemoryPagesStore.java: tables exist only if
+        # written (CTAS/INSERT via try_execute_dml registers the view).
+        if (schema, table) not in mount.setdefault("tables", {}):
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        return view
+    elif conn == "blackhole":
+        # plugin/trino-blackhole: reads return ZERO rows of the schema the
+        # table last swallowed (BlackHolePageSourceProvider empty pages).
+        tables = mount.setdefault("tables", {})
+        if (schema, table) not in tables:
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        spark.createDataFrame([], tables[(schema, table)]).createOrReplaceTempView(view)
+    elif conn == "faker":
+        # plugin/trino-faker FakerMetadata: deterministic synthetic rows.
+        # Catalog properties fix the row schema/count; the table name
+        # perturbs the seed so distinct tables get distinct (stable) data.
+        from trino_spark.sources import faker
+
+        cols = mount["properties"].get("schema", "id bigint, name string, price double")
+        n = int(mount["properties"].get("rows", "100"))
+        seed = int(mount["properties"].get("seed", "0"))
+        import zlib
+
+        seed = seed ^ (zlib.crc32(table.encode()) & 0xFFFF)
+        faker.gen(spark, cols, n, seed=seed).createOrReplaceTempView(view)
     mount["views"].add(view)
     return view
+
+
+_DML_TARGET_RX = re.compile(
+    r"(?:INSERT\s+INTO|CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|DELETE\s+FROM|TRUNCATE\s+TABLE)\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
+def try_execute_dml(engine, stripped: str) -> DataFrame | None:
+    """DML whose target is a mounted memory/blackhole table (reference:
+    the connector page-sink path — MemoryPageSinkProvider stores pages,
+    BlackHolePageSink discards them and keeps only counts). Returns None
+    for targets that are not catalog-qualified mounts, letting the
+    engine-managed DML layer handle them."""
+    m = _DML_TARGET_RX.match(stripped)
+    if not m:
+        return None
+    cat, schema, table = (g.lower() for g in m.groups())
+    mount = getattr(engine, "catalogs", {}).get(cat)
+    if mount is None:
+        return None
+    conn = mount["connector"]
+    if conn not in ("memory", "blackhole"):
+        raise ValueError(f"catalog {cat} ({conn}) does not support writes")
+    spark = engine.spark
+    up0 = stripped.upper().split()[0]
+    tables = mount.setdefault("tables", {})
+    view = f"__cat_{cat}_{schema}_{table}"
+    if up0 == "DROP":
+        if (schema, table) in tables:
+            tables.pop((schema, table))
+            spark.catalog.dropTempView(view)
+        elif "IF EXISTS" not in stripped.upper():
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        return spark.createDataFrame([(0,)], "rows: bigint")
+    if up0 in ("DELETE", "TRUNCATE"):
+        # memory connector supports whole-table delete only (the
+        # reference's MemoryMetadata has no row-level delete either).
+        if re.search(r"\bWHERE\b", stripped, re.IGNORECASE):
+            raise ValueError(f"connector {conn} supports only whole-table DELETE")
+        if (schema, table) not in tables:
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        if conn == "memory":
+            empty = spark.createDataFrame([], tables[(schema, table)])
+            empty.createOrReplaceTempView(view)
+        return spark.createDataFrame([(0,)], "rows: bigint")
+    # INSERT INTO / CTAS: evaluate the source query through the engine so
+    # dialect SQL, routines, and security rewrites all apply.
+    rest = stripped[m.end():].lstrip()
+    if up0 == "CREATE":
+        rest = re.sub(r"^AS\s+", "", rest, flags=re.IGNORECASE)
+        if (schema, table) in tables and "IF NOT EXISTS" not in stripped.upper():
+            raise ValueError(f"table already exists: {cat}.{schema}.{table}")
+    src = engine.sql(rest)
+    if conn == "blackhole":
+        n = src.count()  # swallow: count is the only thing retained
+        tables[(schema, table)] = src.schema
+        return spark.createDataFrame([(n,)], "rows: bigint")
+    new_rows = src.collect()  # memory connector IS driver-resident, like
+    # the reference's MemoryPagesStore (worker-memory tables) — small
+    # dimension/staging data only, not a 100 TB path.
+    if up0 == "INSERT" and (schema, table) in tables:
+        all_rows = spark.table(view).collect() + new_rows
+    else:
+        all_rows = new_rows
+    spark.createDataFrame(all_rows, src.schema).createOrReplaceTempView(view)
+    tables[(schema, table)] = src.schema
+    mount["views"].add(view)
+    return spark.createDataFrame([(len(new_rows),)], "rows: bigint")
 
 
 def _schema_sf(schema: str) -> float:

@@ -265,9 +265,17 @@ class TrinoEngine:
             or up[:3] in (["CREATE", "OR", "REPLACE"], ["SHOW", "CREATE", "VIEW"])
         ):
             # DML/DDL entry point (SURVEY §3.3): copy-on-write managed
-            # tables, logical views, column evolution.
+            # tables, logical views, column evolution. Catalog-qualified
+            # targets route to the mounted connector's page-sink analog
+            # (memory stores, blackhole swallows) first.
             from trino_spark.dialect import dml as _dml
 
+            if getattr(self, "catalogs", None):
+                from trino_spark.dialect import catalogs as _cats
+
+                cat_dml = _cats.try_execute_dml(self, stripped)
+                if cat_dml is not None:
+                    return cat_dml
             dml_out = _dml.try_execute(self, stripped)
             if dml_out is None:
                 dml_out = _dml.try_execute_ddl(self, stripped)
