@@ -293,6 +293,19 @@ def try_execute_dml(engine, stripped: str) -> DataFrame | None:
         n = src.count()  # swallow: count is the only thing retained
         tables[(schema, table)] = src.schema
         return spark.createDataFrame([(n,)], "rows: bigint")
+    if up0 == "INSERT" and (schema, table) in tables:
+        # Positional alignment to the table layout (the reference's
+        # INSERT column rule), like dml._insert does for managed tables.
+        tgt = tables[(schema, table)]
+        if len(src.columns) != len(tgt.fields):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src.columns)} values for {len(tgt.fields)} columns"
+            )
+        from pyspark.sql import functions as F
+
+        src = src.toDF(*[f.name for f in tgt.fields]).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt.fields]
+        )
     new_rows = src.collect()  # memory connector IS driver-resident, like
     # the reference's MemoryPagesStore (worker-memory tables) — small
     # dimension/staging data only, not a 100 TB path.

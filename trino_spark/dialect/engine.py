@@ -153,6 +153,14 @@ class TrinoEngine:
             trino_sql = self._sub_outside_literals(
                 trino_sql, "system.runtime.nodes", "_system_runtime_nodes"
             )
+        for _dotted in ("information_schema.tables", "information_schema.columns"):
+            if _dotted in trino_sql:
+                # The catalog loader registers these as flat views
+                # (infoschema.py register_information_schema); dotted SQL
+                # references resolve here (InformationSchemaPageSource).
+                trino_sql = self._sub_outside_literals(
+                    trino_sql, _dotted, _dotted.replace(".", "_")
+                )
         if "information_schema.views" in trino_sql:
             # information_schema.views: the engine's logical views + MVs
             # (InformationSchemaPageSource.java VIEWS table).

@@ -111,6 +111,14 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q04",
         "meta_files_partitions",
         "catalog_mount_query",
+        "infoschema_core_tables",
+        "dialect_prepared_exec",
+        "catalog_memory_dml",
+        "dialect_ddl_evolution",
+        "dialect_secured_read",
+        "dialect_transactions",
+        "dialect_mv_lifecycle",
+        "http_protocol_roundtrip",
         "tpcds_q90",
         "tpcds_q84",
         "tpcds_q94",
@@ -184,6 +192,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "aggregates",
         "functions_q",
         "merge_q",
+        "lifecycle_q",
     )
     # Fully green in r1: re-verified last under whatever budget remains.
     green_mods = ("relational", "tpch")
