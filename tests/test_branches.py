@@ -1,0 +1,154 @@
+"""Branches (dialect/branches.py) + table procedures (dml._table_execute).
+
+Reference: grammar SqlBase.g4 #createBranch/#dropBranch/#fastForwardBranch/
+#showBranches + t@branch refs (lines 80/82/217/221); Iceberg's
+OptimizeTableProcedure / ExpireSnapshotsTableProcedure."""
+
+import os
+
+import pytest
+
+from trino_spark.dialect.engine import TrinoEngine
+
+
+@pytest.fixture()
+def engine(spark, sf_dir):
+    return TrinoEngine(spark, sf_dir)
+
+
+@pytest.fixture()
+def table(engine):
+    name = f"brt_{os.getpid()}"
+    engine.sql(f"DROP TABLE IF EXISTS {name}")
+    engine.sql(
+        f"CREATE TABLE {name} AS SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+    )
+    yield name
+    engine.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestBranches:
+    def test_branch_isolation_and_publish(self, engine, table):
+        engine.sql(f"CREATE BRANCH staging IN TABLE {table}")
+        engine.sql(f"INSERT INTO {table}@staging SELECT k + 100, upper(name), r FROM {table}@staging WHERE r = 0")
+        engine.sql(f"DELETE FROM {table}@staging WHERE r = 3")
+        # main untouched by branch writes
+        assert engine.sql(f"SELECT count(*) c FROM {table}").collect()[0].c == 25
+        assert engine.sql(f"SELECT count(*) c FROM {table}@staging").collect()[0].c == 25
+        assert engine.sql(f"SELECT count(*) c FROM {table}@staging WHERE r = 3").collect()[0].c == 0
+        # publish: fast forward main to the branch head
+        engine.sql(f"ALTER BRANCH main IN TABLE {table} FAST FORWARD TO staging")
+        assert engine.sql(f"SELECT count(*) c FROM {table} WHERE k >= 100").collect()[0].c == 5
+        # pre-publish state still reachable by time travel
+        assert engine.sql(f"SELECT count(*) c FROM {table} FOR VERSION AS OF 1").collect()[0].c == 25
+
+    def test_branch_fork_shares_inodes(self, engine, table, spark):
+        from trino_spark.dialect.dml import _managed
+
+        engine.sql(f"CREATE BRANCH cheap IN TABLE {table}")
+        main_dir = _managed(engine)[table]
+        br_dir = _managed(engine)[f"{table}__branch_cheap"]
+        main_inodes = {
+            f: os.stat(os.path.join(main_dir, f)).st_ino
+            for f in os.listdir(main_dir) if f.endswith(".parquet")
+        }
+        for f, ino in main_inodes.items():
+            assert os.stat(os.path.join(br_dir, f)).st_ino == ino  # hardlinked, not copied
+
+    def test_show_branches_and_drop(self, engine, table):
+        engine.sql(f"CREATE BRANCH b1 IN TABLE {table}")
+        engine.sql(f"CREATE BRANCH b2 IN TABLE {table} FROM b1")
+        rows = {r.branch: r for r in engine.sql(f"SHOW BRANCHES FROM TABLE {table}").collect()}
+        assert set(rows) == {"main", "b1", "b2"}
+        assert rows["b1"].created_from_version == 1
+        engine.sql(f"DROP BRANCH b2 IN TABLE {table}")
+        engine.sql(f"DROP BRANCH IF EXISTS b2 IN TABLE {table}")  # idempotent
+        with pytest.raises(Exception, match="does not exist"):
+            engine.sql(f"DROP BRANCH b2 IN TABLE {table}")
+        rows = [r.branch for r in engine.sql(f"SHOW BRANCHES IN TABLE {table}").collect()]
+        assert rows == ["main", "b1"]
+
+    def test_unknown_branch_read_errors(self, engine, table):
+        with pytest.raises(Exception, match="Branch 'nope' does not exist"):
+            engine.sql(f"SELECT * FROM {table}@nope").collect()
+
+    def test_at_main_is_the_table(self, engine, table):
+        assert engine.sql(f"SELECT count(*) c FROM {table}@main").collect()[0].c == 25
+
+    def test_string_literal_at_untouched(self, engine, table):
+        out = engine.sql(f"SELECT '{table}@x' AS s").collect()
+        assert out[0].s == f"{table}@x"
+
+    def test_create_branch_duplicate_and_if_not_exists(self, engine, table):
+        engine.sql(f"CREATE BRANCH dup IN TABLE {table}")
+        with pytest.raises(Exception, match="already exists"):
+            engine.sql(f"CREATE BRANCH dup IN TABLE {table}")
+        engine.sql(f"CREATE BRANCH IF NOT EXISTS dup IN TABLE {table}")
+        engine.sql(f"CREATE OR REPLACE BRANCH dup IN TABLE {table}")
+
+    def test_branch_to_branch_fast_forward(self, engine, table):
+        engine.sql(f"CREATE BRANCH a IN TABLE {table}")
+        engine.sql(f"CREATE BRANCH b IN TABLE {table}")
+        engine.sql(f"DELETE FROM {table}@b WHERE r <> 0")
+        engine.sql(f"ALTER BRANCH a IN TABLE {table} FAST FORWARD TO b")
+        assert engine.sql(f"SELECT count(*) c FROM {table}@a").collect()[0].c == 5
+        assert engine.sql(f"SELECT count(*) c FROM {table}").collect()[0].c == 25
+
+
+class TestTableProcedures:
+    def test_optimize_compacts_to_single_file(self, engine, table):
+        from trino_spark.dialect.dml import _file_count, _managed
+
+        for i in (1, 2, 3):
+            engine.sql(f"INSERT INTO {table} SELECT n_nationkey + {100 * i}, n_name, n_regionkey FROM nation")
+        before = _file_count(_managed(engine)[table])
+        assert before >= 4
+        out = engine.sql(f"ALTER TABLE {table} EXECUTE optimize").collect()[0]
+        assert out.files_before == before and out.files_after == 1
+        assert engine.sql(f"SELECT count(*) c FROM {table}").collect()[0].c == 100
+        # compaction is a snapshot: the pre-optimize state is time-travelable
+        assert engine.sql(f"SELECT count(*) c FROM {table} FOR VERSION AS OF 4").collect()[0].c == 100
+
+    def test_scoped_optimize_preserves_untouched_partitions(self, engine, spark):
+        from trino_spark.dialect.dml import _file_count, _managed
+
+        name = f"brtp_{os.getpid()}"
+        engine.sql(f"DROP TABLE IF EXISTS {name}")
+        engine.sql(
+            f"CREATE TABLE {name} WITH (partitioned_by = ARRAY['r']) AS "
+            "SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r FROM nation"
+        )
+        for i in (1, 2):
+            engine.sql(f"INSERT INTO {name} SELECT n_nationkey + {100 * i}, n_name, n_regionkey FROM nation")
+        path = _managed(engine)[name]
+        r4_inodes = {
+            f: os.stat(os.path.join(path, "r=4", f)).st_ino
+            for f in os.listdir(os.path.join(path, "r=4")) if f.endswith(".parquet")
+        }
+        out = engine.sql(f"ALTER TABLE {name} EXECUTE optimize WHERE r = 0").collect()[0]
+        assert out.files_after < out.files_before
+        # untouched partition carried by hardlink (same inodes)
+        for f, ino in r4_inodes.items():
+            assert os.stat(os.path.join(path, "r=4", f)).st_ino == ino
+        # compacted partition has exactly one file
+        assert sum(1 for f in os.listdir(os.path.join(path, "r=0")) if f.endswith(".parquet")) == 1
+        assert engine.sql(f"SELECT count(*) c FROM {name}").collect()[0].c == 75
+        engine.sql(f"DROP TABLE {name}")
+
+    def test_expire_snapshots_blocks_time_travel(self, engine, table):
+        engine.sql(f"INSERT INTO {table} SELECT n_nationkey + 100, n_name, n_regionkey FROM nation")
+        out = engine.sql(
+            f"ALTER TABLE {table} EXECUTE expire_snapshots(retention_threshold => '0s')"
+        ).collect()[0]
+        assert out.expired_snapshots >= 1
+        with pytest.raises(Exception, match="expired"):
+            engine.sql(f"SELECT count(*) c FROM {table} FOR VERSION AS OF 1").collect()
+
+    def test_set_data_type_evolution(self, engine, table):
+        engine.sql(f"ALTER TABLE {table} ALTER COLUMN k SET DATA TYPE DOUBLE")
+        assert dict(engine.spark.table(table).dtypes)["k"] == "double"
+        assert engine.sql(f"SELECT sum(k) s FROM {table}").collect()[0].s == 300.0
+
+    def test_unknown_procedure_errors(self, engine, table):
+        with pytest.raises(Exception, match="unknown table procedure"):
+            engine.sql(f"ALTER TABLE {table} EXECUTE vacuum")

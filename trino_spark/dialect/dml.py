@@ -1125,8 +1125,24 @@ def _alter_table(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse ALTER TABLE: {sql[:120]}")
     name, action = _norm_name(m.group(1)), m.group(2).strip()
-    df = _read(engine, name)
     au = action.upper()
+    if au.startswith("EXECUTE"):
+        return _table_execute(engine, name, action)
+    df = _read(engine, name)
+    if au.startswith("ALTER COLUMN") and "SET DATA TYPE" in au:
+        # #setColumnType (SetColumnTypeTask.java; Iceberg type evolution):
+        # a projection-level cast commit — widened reads, one rewrite.
+        am = re.match(
+            r"ALTER\s+COLUMN\s+(\w+)\s+SET\s+DATA\s+TYPE\s+(.+)$", action, re.IGNORECASE
+        )
+        col, typ = _norm_name(am.group(1)), _trino_type_to_spark(am.group(2))
+        if col not in df.columns:
+            raise ValueError(f"column not found: {col}")
+        out = df.select(
+            *[F.col(c).cast(typ).alias(c) if c == col else F.col(c) for c in df.columns]
+        )
+        _commit(engine, name, out)
+        return engine.spark.createDataFrame([(0,)], "rows: bigint")
     if au.startswith("ADD COLUMN"):
         am = re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)$", action, re.IGNORECASE)
         col, typ = _norm_name(am.group(1)), _trino_type_to_spark(am.group(2))
@@ -1180,6 +1196,130 @@ def _alter_table(engine, sql: str) -> DataFrame:
         raise ValueError(f"unsupported ALTER TABLE action: {action[:60]}")
     _commit(engine, name, out)
     return engine.spark.createDataFrame([(0,)], "rows: bigint")
+
+
+def _file_count(path: str) -> int:
+    return sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+
+
+def _parse_size(txt: str) -> int:
+    m = re.match(r"\s*(\d+(?:\.\d+)?)\s*(B|KB|MB|GB|TB)?\s*$", txt.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse size: {txt}")
+    mult = {"B": 1, "KB": 2**10, "MB": 2**20, "GB": 2**30, "TB": 2**40}[
+        (m.group(2) or "B").upper()
+    ]
+    return int(float(m.group(1)) * mult)
+
+
+def _parse_duration_s(txt: str) -> float:
+    m = re.match(r"\s*(\d+(?:\.\d+)?)\s*(s|m|h|d)\s*$", txt.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse duration: {txt}")
+    return float(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2).lower()]
+
+
+def _table_execute(engine, name: str, action: str) -> DataFrame:
+    """ALTER TABLE t EXECUTE <proc>(args) [WHERE pred] — the connector
+    table-procedure surface (grammar #tableExecute; Iceberg's
+    OptimizeTableProcedure.java / ExpireSnapshotsTableProcedure.java /
+    DropExtendedStatsTableProcedure.java / RemoveOrphanFilesTableProcedure).
+
+    ``optimize``: small-file compaction as a NEW snapshot — partitioned
+    tables compact to one file per partition (repartition on the layout
+    keys riding the commit's partitionBy write), unpartitioned tables to
+    ceil(bytes / file_size_threshold) files. A WHERE predicate scopes the
+    rewrite to affected partitions; untouched partitions are carried by
+    hardlink — at 100 TB an optimize pass costs only the partitions it
+    compacts, exactly like partition-scoped DELETE."""
+    m = re.match(
+        r"EXECUTE\s+(\w+)\s*(?:\(([^)]*)\))?\s*(?:WHERE\s+(.*))?$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE EXECUTE: {action[:80]}")
+    proc, argtxt, where = m.group(1).lower(), m.group(2) or "", m.group(3)
+    args = {
+        a.group(1).lower(): a.group(2)
+        for a in re.finditer(r"(\w+)\s*=>\s*'([^']*)'", argtxt)
+    }
+    spark = engine.spark
+    path = _require_managed(engine, name)
+    if proc == "optimize":
+        threshold = _parse_size(args.get("file_size_threshold", "128MB"))
+        part_cols = getattr(engine, "_dml_layouts", {}).get(name)
+        df = _read(engine, name)
+        before = _file_count(path)
+        if where:
+            pred = F.expr(_translate_fragment(engine, where))
+            scoped = _affected_partitions(engine, name, df, pred)
+            if scoped is not None:
+                cond, untouched = scoped
+                if cond is None:  # predicate matched nothing: no-op commit
+                    return spark.createDataFrame(
+                        [(0, before, before)],
+                        "rows: bigint, files_before: int, files_after: int",
+                    )
+                compacted = df.filter(cond).repartition(*[F.col(c) for c in part_cols])
+                n = _commit(
+                    engine, name, compacted,
+                    preserve_rel_dirs=untouched, operation="optimize",
+                )
+                return spark.createDataFrame(
+                    [(n, before, _file_count(path))],
+                    "rows: bigint, files_before: int, files_after: int",
+                )
+            # unpartitioned (or flat): WHERE cannot scope — full rewrite
+        if part_cols:
+            compacted = df.repartition(*[F.col(c) for c in part_cols])
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            target = max(1, -(-size // threshold))  # ceil
+            compacted = df.repartition(int(target))
+        n = _commit(engine, name, compacted, operation="optimize")
+        return spark.createDataFrame(
+            [(n, before, _file_count(path))],
+            "rows: bigint, files_before: int, files_after: int",
+        )
+    if proc == "expire_snapshots":
+        horizon = _parse_duration_s(args.get("retention_threshold", "7d"))
+        cutoff = _dt.datetime.now(_dt.timezone.utc).timestamp() - horizon
+        log = _read_log(name)
+        current = max((e["version"] for e in log), default=0)
+        expired = 0
+        for e in log:
+            if e.get("expired") or e["version"] == current:
+                continue
+            if e["committed_at"] <= cutoff:
+                shutil.rmtree(
+                    os.path.join(_snap_root(name), f"v{e['version']:05d}"),
+                    ignore_errors=True,
+                )
+                e["expired"] = True
+                expired += 1
+        _write_log(name, log)
+        return spark.createDataFrame([(expired,)], "expired_snapshots: bigint")
+    if proc == "drop_extended_stats":
+        getattr(engine, "_stats_cache", {}).pop(name, None)
+        return spark.createDataFrame([(name,)], "table: string")
+    if proc == "remove_orphan_files":
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        removed = 0
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith((f"{base}.staging-", f"{base}.old-")):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                    removed += 1
+        return spark.createDataFrame([(removed,)], "removed_dirs: bigint")
+    raise ValueError(f"unknown table procedure: {proc}")
 
 
 def refresh_infoschema(engine, changed: str | None = None, dropped: str | None = None) -> None:

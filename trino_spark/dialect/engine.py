@@ -121,6 +121,13 @@ class TrinoEngine:
     def _sql_inner(self, trino_sql: str) -> DataFrame:
         from trino_spark.dialect import prepared as _prep
 
+        if "@" in trino_sql and getattr(self, "dml_tables", None):
+            # Branch refs t@b (grammar SqlBase.g4:80,221; Iceberg branch
+            # semantics): resolve BEFORE time travel so `t@b FOR VERSION
+            # AS OF n` pins a snapshot of the branch fork.
+            from trino_spark.dialect import branches as _branches
+
+            trino_sql = _branches.resolve(self, trino_sql)
         if re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", trino_sql, re.IGNORECASE):
             # Time travel (grammar SqlBase.g4 queryPeriod; Iceberg/Delta
             # connector behavior): pin table refs to snapshot versions.
@@ -262,6 +269,15 @@ class TrinoEngine:
             # — a leading '(', comment, or whitespace must not let a read
             # bypass the security rewrite.
             trino_sql = stripped = _access.apply_security(self, stripped)
+        if (up and up[0] in ("CREATE", "DROP", "ALTER") and "BRANCH" in up[:4]) or up[:2] == ["SHOW", "BRANCHES"]:
+            # Branch statements (grammar #createBranch/#dropBranch/
+            # #fastForwardBranch/#showBranches): write-audit-publish over
+            # the snapshot log.
+            from trino_spark.dialect import branches as _branches
+
+            br_out = _branches.try_execute(self, stripped)
+            if br_out is not None:
+                return br_out
         if up[:1] in (["INSERT"], ["DELETE"], ["UPDATE"], ["MERGE"], ["TRUNCATE"], ["ALTER"]) or (
             up[:2]
             in (

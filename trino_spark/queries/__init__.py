@@ -119,6 +119,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "dialect_transactions",
         "dialect_mv_lifecycle",
         "http_protocol_roundtrip",
+        "dialect_branch_wap",
+        "dialect_table_optimize",
         "tpcds_q90",
         "tpcds_q84",
         "tpcds_q94",

@@ -301,3 +301,102 @@ def catalog_memory_dml(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT CAST(n_nationkey + 100 AS BIGINT), lower(n_name) FROM nation WHERE n_regionkey = 1"
     )
     return eng.sql(f"SELECT k, name FROM {cat}.default.t ORDER BY k")
+
+
+@REG.add(
+    "dialect_branch_wap",
+    """
+    WITH base AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+    published AS (
+      SELECT k, r FROM base WHERE r <> 3
+      UNION ALL
+      SELECT k + 100 AS k, r FROM base WHERE r = 0
+    )
+    SELECT phase, CAST(n AS BIGINT) AS n, CAST(ksum AS BIGINT) AS ksum
+    FROM (
+      SELECT 'a_main_during_stage' AS phase, count(*) AS n, sum(k) AS ksum FROM base
+      UNION ALL
+      SELECT 'b_branch_staged', count(*) AS n, sum(k) AS ksum FROM published
+      UNION ALL
+      SELECT 'c_main_published', count(*) AS n, sum(k) AS ksum FROM published
+    )
+    ORDER BY phase
+    """,
+)
+def dialect_branch_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish over table branches (grammar #createBranch /
+    #fastForwardBranch + t@branch DML; Iceberg branch semantics): stage
+    mutations on a branch fork (main is provably untouched while the
+    branch diverges), audit, then FAST FORWARD main to publish. The fork
+    is a hardlink copy (metadata cost only — pinned by inode tests in
+    tests/test_branches.py), so at 100 TB the staging isolation is free;
+    the oracle derives all three phases from the immutable source."""
+    eng = engine_for(spark, sf)
+    tbl = f"wap_{os.getpid()}"
+    eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+    eng.sql(f"CREATE TABLE {tbl} AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation")
+    eng.sql(f"CREATE OR REPLACE BRANCH audit IN TABLE {tbl}")
+    eng.sql(f"INSERT INTO {tbl}@audit SELECT k + 100, r FROM {tbl}@audit WHERE r = 0")
+    eng.sql(f"DELETE FROM {tbl}@audit WHERE r = 3")
+    phases = []
+    for phase, rel in (
+        ("a_main_during_stage", tbl),
+        ("b_branch_staged", f"{tbl}@audit"),
+    ):
+        row = eng.sql(f"SELECT count(*) AS n, sum(k) AS ksum FROM {rel}").collect()[0]
+        phases.append((phase, int(row.n), int(row.ksum)))
+    eng.sql(f"ALTER BRANCH main IN TABLE {tbl} FAST FORWARD TO audit")
+    row = eng.sql(f"SELECT count(*) AS n, sum(k) AS ksum FROM {tbl}").collect()[0]
+    phases.append(("c_main_published", int(row.n), int(row.ksum)))
+    eng.sql(f"DROP BRANCH audit IN TABLE {tbl}")
+    eng.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(phases, "phase: string, n: bigint, ksum: bigint").orderBy("phase")
+
+
+@REG.add(
+    "dialect_table_optimize",
+    """
+    SELECT CAST(n_regionkey AS INTEGER) AS r,
+           CAST(4 * count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) + 3 * sum(n_nationkey + 100) AS BIGINT) AS ksum,
+           CAST(1 AS INTEGER) AS files_in_r0
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY r
+    """,
+)
+def dialect_table_optimize(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction via ALTER TABLE EXECUTE optimize (grammar
+    #tableExecute; Iceberg OptimizeTableProcedure.java): three appends
+    fragment every partition into 4 files, optimize rewrites each
+    partition to ONE file as a new snapshot, and content is bit-identical
+    (the oracle recomputes the aggregate from the source). files_in_r0
+    pins the physical outcome the oracle can state: exactly one file in
+    the optimized r=0 partition."""
+    import pyspark.sql.functions as F
+
+    from trino_spark.dialect.dml import _managed
+
+    eng = engine_for(spark, sf)
+    tbl = f"opt_{os.getpid()}"
+    eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+    eng.sql(
+        f"CREATE TABLE {tbl} WITH (partitioned_by = ARRAY['r']) AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r FROM nation"
+    )
+    for _ in range(3):
+        eng.sql(f"INSERT INTO {tbl} SELECT n_nationkey + 100, n_regionkey FROM nation")
+    eng.sql(f"ALTER TABLE {tbl} EXECUTE optimize")
+    path = _managed(eng)[tbl]
+    r0 = sum(
+        1 for f in os.listdir(os.path.join(path, "r=0")) if f.endswith(".parquet")
+    )
+    out = _materialized(
+        spark,
+        eng.sql(
+            f"SELECT CAST(r AS INT) AS r, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(k) AS BIGINT) AS ksum FROM {tbl} GROUP BY r ORDER BY r"
+        ).withColumn("files_in_r0", F.lit(r0).cast("int")),
+    )
+    eng.sql(f"DROP TABLE {tbl}")
+    return out
