@@ -424,3 +424,62 @@ class TestTimeTravelUnderRole:
             eng.sql("SELECT count(*) AS c FROM tt_sec FOR VERSION AS OF 1").collect()[0].c
             == 5
         )
+
+
+class TestDenyAndSessionAuth:
+    def test_deny_overrides_grant(self, engine):
+        engine.sql("CREATE ROLE denyrole")
+        engine.sql("GRANT SELECT ON nation TO ROLE denyrole")
+        engine.sql("DENY SELECT ON nation TO ROLE denyrole")
+        engine.sql("SET ROLE denyrole")
+        with pytest.raises(Exception, match="denied SELECT"):
+            engine.sql("SELECT count(*) FROM nation").collect()
+        engine.sql("SET ROLE NONE")
+        # owner unaffected
+        assert engine.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
+
+    def test_deny_insert_only(self, engine):
+        engine.sql("CREATE ROLE denyw")
+        engine.sql("GRANT ALL PRIVILEGES ON dt_deny TO ROLE denyw")
+        engine.sql("DROP TABLE IF EXISTS dt_deny")
+        engine.sql("CREATE TABLE dt_deny AS SELECT n_nationkey AS k FROM nation")
+        engine.sql("DENY INSERT ON dt_deny TO ROLE denyw")
+        engine.sql("SET ROLE denyw")
+        assert engine.sql("SELECT count(*) AS c FROM dt_deny").collect()[0].c == 25
+        with pytest.raises(Exception, match="denied INSERT"):
+            engine.sql("INSERT INTO dt_deny SELECT k + 100 FROM dt_deny")
+        engine.sql("SET ROLE NONE")
+        engine.sql("DROP TABLE dt_deny")
+
+    def test_session_authorization_and_current_user(self, engine):
+        assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "trino"
+        engine.sql("SET SESSION AUTHORIZATION alice")
+        assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "alice"
+        engine.sql("RESET SESSION AUTHORIZATION")
+        assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "trino"
+
+    def test_current_user_in_literal_untouched(self, engine):
+        out = engine.sql("SELECT 'CURRENT_USER' AS s").collect()
+        assert out[0].s == "CURRENT_USER"
+
+    def test_show_stats_for_query(self, engine):
+        rows = engine.sql(
+            "SHOW STATS FOR (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0)"
+        ).collect()
+        summary = [r for r in rows if r.column_name is None][0]
+        assert summary.row_count == 5
+
+    def test_grant_on_table_covers_branch_reads(self, engine):
+        import os
+
+        tbl = f"brsec_{os.getpid()}"
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+        engine.sql(f"CREATE TABLE {tbl} AS SELECT n_nationkey AS k FROM nation")
+        engine.sql(f"CREATE BRANCH b IN TABLE {tbl}")
+        engine.sql("CREATE ROLE brreader")
+        engine.sql(f"GRANT SELECT ON {tbl} TO ROLE brreader")
+        engine.sql("SET ROLE brreader")
+        assert engine.sql(f"SELECT count(*) AS c FROM {tbl}@b").collect()[0].c == 25
+        engine.sql("SET ROLE NONE")
+        engine.sql(f"DROP BRANCH b IN TABLE {tbl}")
+        engine.sql(f"DROP TABLE {tbl}")

@@ -99,6 +99,26 @@ def try_execute(engine, sql: str) -> DataFrame | None:
         return _grant_revoke(engine, s, revoke=False)
     if up[:1] == ["REVOKE"]:
         return _grant_revoke(engine, s, revoke=True)
+    if up[:1] == ["DENY"]:
+        # DENY privilege ON t TO role (grammar #deny; DenyTask.java):
+        # an explicit deny wins over any grant at enforcement time.
+        m = re.match(
+            r"DENY\s+(ALL(?:\s+PRIVILEGES)?|[\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.\"]+)\s+TO\s+(?:ROLE\s+)?([\w\"]+)",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DENY: {s[:80]}")
+        privs_txt, table, role = m.group(1).upper(), m.group(2), m.group(3).strip('"').lower()
+        table = table.strip('"').split(".")[-1].lower()
+        privs = list(_PRIVS) if privs_txt.startswith("ALL") else [p.strip() for p in privs_txt.split(",")]
+        for p in privs:
+            if p not in _PRIVS:
+                raise ValueError(f"unknown privilege: {p}")
+        if role not in st["roles"]:
+            raise ValueError(f"role not found: {role}")
+        st.setdefault("denies", {}).setdefault(role, set()).update((p, table) for p in privs)
+        return spark.createDataFrame([(role, table)], "role: string, table_name: string")
     if up[:3] == ["COMMENT", "ON", "TABLE"]:
         m = re.match(r"COMMENT\s+ON\s+TABLE\s+([\w.\"]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))", s, re.IGNORECASE)
         if not m:
@@ -246,6 +266,16 @@ def enforce(engine, sql: str) -> None:
             and tbl not in getattr(engine, "dml_tables", {})
         ):
             continue  # not a relation (alias, subquery result, etc.)
+        # Derived names (time-travel views t__vN, branch forks t__branch_b)
+        # check against the BASE table's grants — a privilege on t covers
+        # its snapshots and branches (reference: branch refs share the
+        # table's ConnectorAccessControl checks).
+        base = re.match(r"(.+?)__(?:v\d+|snapshots|branch_\w+)$", tbl)
+        if base and base.group(1) in getattr(engine, "dml_tables", {}):
+            tbl = base.group(1)
+        if (priv, tbl) in st.get("denies", {}).get(role, set()):
+            # DENY overrides any grant (grammar #deny; DenyTask.java).
+            raise AccessDenied(f"Access Denied: role '{role}' is denied {priv} on {tbl}")
         if (priv, tbl) not in grants:
             raise AccessDenied(f"Access Denied: role '{role}' lacks {priv} on {tbl}")
 
@@ -557,7 +587,15 @@ def try_execute_call(engine, sql: str) -> "DataFrame | None":
         if callable(cancel_future):
             cancel_future(qid)
         else:
-            sc.cancelJobGroup(qid)
+            try:
+                # PySpark does not surface this method, but the JVM
+                # SparkContext has it (Spark >= 3.5): it also cancels jobs
+                # the group submits AFTER the call, closing the window
+                # where a kill lands between the victim's planning and its
+                # first job becoming active.
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(qid)
+            except Exception:
+                sc.cancelJobGroup(qid)
         return spark.createDataFrame([(qid, msg)], "query_id: string, message: string")
     if name == "drop_column_mask":
         st = _state(engine)

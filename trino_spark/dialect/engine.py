@@ -128,6 +128,16 @@ class TrinoEngine:
             from trino_spark.dialect import branches as _branches
 
             trino_sql = _branches.resolve(self, trino_sql)
+        if re.search(r"\bCURRENT_USER\b", trino_sql, re.IGNORECASE):
+            # CURRENT_USER (#currentUser) reflects SET SESSION AUTHORIZATION
+            # — substituted as a literal outside string literals.
+            from trino_spark.dialect.access import map_outside_literals
+
+            _user = getattr(self, "session_user", "trino").replace("'", "''")
+            trino_sql = map_outside_literals(
+                trino_sql,
+                lambda p: re.sub(r"\bCURRENT_USER\b", f"'{_user}'", p, flags=re.IGNORECASE),
+            )
         if re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", trino_sql, re.IGNORECASE):
             # Time travel (grammar SqlBase.g4 queryPeriod; Iceberg/Delta
             # connector behavior): pin table refs to snapshot versions.
@@ -436,6 +446,15 @@ class TrinoEngine:
             # against the session catalog.
             self._current_schema = stripped.split()[1].strip('"')
             return self.spark.createDataFrame([(self._current_schema,)], "schema: string")
+        if up[:3] == ["SET", "SESSION", "AUTHORIZATION"]:
+            # #setSessionAuthorization (SetSessionAuthorizationTask.java):
+            # switch the session identity; CURRENT_USER reflects it.
+            user = stripped.split(None, 3)[3].strip().strip("'\"")
+            self.session_user = user
+            return self.spark.createDataFrame([(user,)], "user: string")
+        if up[:3] == ["RESET", "SESSION", "AUTHORIZATION"]:
+            self.session_user = "trino"
+            return self.spark.createDataFrame([("trino",)], "user: string")
         if up[:2] == ["SET", "SESSION"]:
             # SET SESSION k = v (SystemSessionProperties.java surface):
             # recorded per-engine; spark.* keys pass through to the conf.
@@ -494,9 +513,19 @@ class TrinoEngine:
         if up[:3] == ["SHOW", "STATS", "FOR"]:
             from trino_spark.infoschema import show_stats
 
+            target = stripped.split(None, 3)[3].strip()
+            if target.startswith("("):
+                # #showStatsForQuery (ShowStatsRewrite.java handles both
+                # forms): compute the stats shape over the query result.
+                inner = target.strip()[1:-1] if target.endswith(")") else target[1:]
+                import os as _os
+
+                view = f"_show_stats_q_{_os.getpid()}"
+                self.sql(inner).createOrReplaceTempView(view)
+                return show_stats(self.spark, view)
             return show_stats(
                 self.spark,
-                stripped.split()[3].strip('"'),
+                target.strip('"'),
                 cache=getattr(self, "_stats_cache", None),
             )
         if up[:1] == ["ANALYZE"] and len(up) >= 2:
