@@ -152,3 +152,59 @@ class TestTableProcedures:
     def test_unknown_procedure_errors(self, engine, table):
         with pytest.raises(Exception, match="unknown table procedure"):
             engine.sql(f"ALTER TABLE {table} EXECUTE vacuum")
+
+
+class TestStatementSurface:
+    """Schema DDL, view renames, table properties, column defaults
+    (grammar #createSchema/#renameView/#setTableProperties/#setDefaultValue)."""
+
+    def test_schema_ddl_lifecycle(self, engine):
+        engine.sql("CREATE SCHEMA analytics WITH (owner = 'data-eng')")
+        engine.sql("CREATE SCHEMA IF NOT EXISTS analytics")
+        names = [r.schema_name for r in engine.sql("SHOW SCHEMAS").collect()]
+        assert "analytics" in names and "default" in names
+        ddl = engine.sql("SHOW CREATE SCHEMA analytics").collect()[0].create_schema
+        assert "owner = 'data-eng'" in ddl
+        engine.sql("ALTER SCHEMA analytics RENAME TO insights")
+        names = [r.schema_name for r in engine.sql("SHOW SCHEMAS").collect()]
+        assert "insights" in names and "analytics" not in names
+        engine.sql("DROP SCHEMA insights")
+        engine.sql("DROP SCHEMA IF EXISTS insights")
+        with pytest.raises(Exception, match="not found"):
+            engine.sql("DROP SCHEMA insights")
+        with pytest.raises(Exception, match="default"):
+            engine.sql("DROP SCHEMA default")
+
+    def test_alter_view_rename_and_refresh(self, engine):
+        engine.sql("CREATE OR REPLACE VIEW vren AS SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0")
+        engine.sql("ALTER VIEW vren RENAME TO vren2")
+        assert engine.sql("SELECT count(*) AS c FROM vren2").collect()[0].c == 5
+        engine.sql("ALTER VIEW vren2 REFRESH")
+        assert engine.sql("SELECT count(*) AS c FROM vren2").collect()[0].c == 5
+        engine.sql("DROP VIEW vren2")
+
+    def test_alter_materialized_view_rename(self, engine, table):
+        engine.sql(f"CREATE OR REPLACE MATERIALIZED VIEW mvren AS SELECT count(*) AS c FROM {table}")
+        engine.sql("ALTER MATERIALIZED VIEW mvren RENAME TO mvren2")
+        assert engine.sql("SELECT c FROM mvren2").collect()[0].c == 25
+        engine.sql("DROP MATERIALIZED VIEW mvren2")
+
+    def test_set_table_properties_in_show_create(self, engine, table):
+        engine.sql(f"ALTER TABLE {table} SET PROPERTIES retention_days = '30'")
+        ddl = engine.sql(f"SHOW CREATE TABLE {table}").collect()[0].create_table
+        assert "retention_days = '30'" in ddl
+
+    def test_column_default_fills_unmentioned_insert(self, engine):
+        import os
+
+        tbl = f"dflt_{os.getpid()}"
+        engine.sql(f"DROP TABLE IF EXISTS {tbl}")
+        engine.sql(f"CREATE TABLE {tbl} (k BIGINT, status VARCHAR)")
+        engine.sql(f"ALTER TABLE {tbl} ALTER COLUMN status SET DEFAULT 'new'")
+        engine.sql(f"INSERT INTO {tbl} (k) VALUES (CAST(1 AS BIGINT))")
+        engine.sql(f"ALTER TABLE {tbl} ALTER COLUMN status DROP DEFAULT")
+        engine.sql(f"INSERT INTO {tbl} (k) VALUES (CAST(2 AS BIGINT))")
+        rows = {r.k: r.status for r in engine.sql(f"SELECT k, status FROM {tbl}").collect()}
+        assert rows == {1: "new", 2: None}
+        engine.sql(f"ALTER TABLE {tbl} ALTER COLUMN status DROP NOT NULL")  # accepted no-op
+        engine.sql(f"DROP TABLE {tbl}")

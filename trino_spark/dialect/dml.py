@@ -412,10 +412,14 @@ def _insert(engine, sql: str) -> DataFrame:
     if m.group(2):
         cols = [_norm_name(c) for c in m.group(2).strip("()").split(",")]
         incoming = incoming.toDF(*cols)
-        # Unmentioned columns get NULL (reference INSERT column-list rule).
+        # Unmentioned columns get their declared DEFAULT, else NULL
+        # (reference INSERT column-list rule + #setDefaultValue).
+        defaults = getattr(engine, "_column_defaults", {})
         for f_ in current.schema.fields:
             if f_.name not in cols:
-                incoming = incoming.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                dflt = defaults.get((name, f_.name))
+                filler = F.expr(dflt) if dflt is not None else F.lit(None)
+                incoming = incoming.withColumn(f_.name, filler.cast(f_.dataType))
     else:
         # No column list: positional match against the table layout.
         if len(incoming.columns) != len(current.columns):
@@ -1060,7 +1064,132 @@ def try_execute_ddl(engine, sql: str) -> DataFrame | None:
         return _create_empty_table(engine, stripped)
     if up[:2] == ["ALTER", "TABLE"]:
         return _alter_table(engine, stripped)
+    if up[:2] == ["ALTER", "VIEW"]:
+        # #renameView / #refreshView (grammar SqlBase.g4:130-131).
+        views = getattr(engine, "views", {})
+        m = re.match(
+            r"ALTER\s+VIEW\s+([\w.\"]+)\s+(?:RENAME\s+TO\s+([\w.\"]+)|(REFRESH))\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ALTER VIEW: {stripped[:80]}")
+        name = _norm_name(m.group(1))
+        if name not in views:
+            raise ValueError(f"view not found: {name}")
+        if m.group(3):  # REFRESH: re-resolve the definition against sources
+            engine.sql(views[name]).createOrReplaceTempView(name)
+            return engine.spark.createDataFrame([(name,)], "view: string")
+        new = _norm_name(m.group(2))
+        views[new] = views.pop(name)
+        engine.spark.catalog.dropTempView(name)
+        engine.sql(views[new]).createOrReplaceTempView(new)
+        refresh_infoschema(engine, changed=new, dropped=name)
+        return engine.spark.createDataFrame([(new,)], "view: string")
+    if up[:3] == ["ALTER", "MATERIALIZED", "VIEW"]:
+        # #renameMaterializedView: the stored data moves with the name.
+        m = re.match(
+            r"ALTER\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ALTER MATERIALIZED VIEW: {stripped[:80]}")
+        name, new = _norm_name(m.group(1)), _norm_name(m.group(2))
+        if name not in engine.materialized_views:
+            if re.search(r"IF\s+EXISTS", stripped, re.IGNORECASE):
+                return engine.spark.createDataFrame([(name,)], "materialized_view: string")
+            raise ValueError(f"materialized view not found: {name}")
+        engine.materialized_views[new] = engine.materialized_views.pop(name)
+        engine._mv_meta[new] = engine._mv_meta.pop(name, {})
+        # MVs materialize under spark-warehouse/mv (engine._mv_refresh),
+        # NOT the DML table dir.
+        mv_dir = os.path.join(os.path.dirname(_warehouse_dir()), "mv")
+        if os.path.isdir(os.path.join(mv_dir, name)):
+            shutil.rmtree(os.path.join(mv_dir, new), ignore_errors=True)
+            os.rename(os.path.join(mv_dir, name), os.path.join(mv_dir, new))
+            engine.spark.read.parquet(os.path.join(mv_dir, new)).createOrReplaceTempView(new)
+        engine.spark.catalog.dropTempView(name)
+        return engine.spark.createDataFrame([(new,)], "materialized_view: string")
+    if up[:2] in (["CREATE", "SCHEMA"], ["DROP", "SCHEMA"], ["ALTER", "SCHEMA"]) or up[:3] == [
+        "SHOW", "CREATE", "SCHEMA",
+    ]:
+        return _schema_ddl(engine, stripped, up)
     return None
+
+
+def _schemas(engine) -> dict:
+    """Schema registry (#createSchema/#dropSchema/#renameSchema;
+    CreateSchemaTask.java). The engine's table namespace is flat (every
+    qualified name resolves by last component, like a single-schema
+    catalog), so schemas are a metadata surface: SHOW SCHEMAS lists them,
+    properties are retained for SHOW CREATE SCHEMA."""
+    if not hasattr(engine, "schemas"):
+        engine.schemas = {"default": {}}
+    return engine.schemas
+
+
+def _schema_ddl(engine, stripped: str, up: list[str]) -> DataFrame:
+    reg = _schemas(engine)
+    spark = engine.spark
+    if up[:3] == ["SHOW", "CREATE", "SCHEMA"]:
+        name = _norm_name(stripped.split()[3])
+        if name not in reg:
+            raise ValueError(f"schema not found: {name}")
+        props = ""
+        if reg[name]:
+            kv = ",\n   ".join(f"{k} = '{v}'" for k, v in sorted(reg[name].items()))
+            props = f"\nWITH (\n   {kv}\n)"
+        return spark.createDataFrame(
+            [(f"CREATE SCHEMA {name}{props}",)], "create_schema: string"
+        )
+    if up[:2] == ["CREATE", "SCHEMA"]:
+        m = re.match(
+            r"CREATE\s+SCHEMA\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)"
+            r"(?:\s+AUTHORIZATION\s+\S+)?(?:\s+WITH\s*\((?P<props>.*)\))?\s*$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE SCHEMA: {stripped[:80]}")
+        name = _norm_name(m.group("name"))
+        if name in reg:
+            if m.group("ine"):
+                return spark.createDataFrame([(name,)], "schema: string")
+            raise ValueError(f"schema already exists: {name}")
+        reg[name] = {
+            pm.group(1).lower(): pm.group(2)
+            for pm in re.finditer(r"([\w.]+)\s*=\s*'([^']*)'", m.group("props") or "")
+        }
+        return spark.createDataFrame([(name,)], "schema: string")
+    if up[:2] == ["DROP", "SCHEMA"]:
+        m = re.match(
+            r"DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)(?:\s+(?:CASCADE|RESTRICT))?\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP SCHEMA: {stripped[:80]}")
+        name = _norm_name(m.group("name"))
+        if name == "default":
+            raise ValueError("cannot drop the default schema")
+        if name not in reg:
+            if m.group("ie"):
+                return spark.createDataFrame([(name,)], "schema: string")
+            raise ValueError(f"schema not found: {name}")
+        reg.pop(name)
+        return spark.createDataFrame([(name,)], "schema: string")
+    # ALTER SCHEMA s RENAME TO s2
+    m = re.match(
+        r"ALTER\s+SCHEMA\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w\"]+)\s*$", stripped, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"cannot parse ALTER SCHEMA: {stripped[:80]}")
+    name, new = _norm_name(m.group(1)), _norm_name(m.group(2))
+    if name not in reg:
+        raise ValueError(f"schema not found: {name}")
+    reg[new] = reg.pop(name)
+    return spark.createDataFrame([(new,)], "schema: string")
 
 
 def _create_view(engine, sql: str) -> DataFrame:
@@ -1128,6 +1257,38 @@ def _alter_table(engine, sql: str) -> DataFrame:
     au = action.upper()
     if au.startswith("EXECUTE"):
         return _table_execute(engine, name, action)
+    if au.startswith("SET PROPERTIES"):
+        # #setTableProperties: recorded metadata (SHOW CREATE TABLE surfaces
+        # format/location; arbitrary properties are retained here).
+        _require_managed(engine, name)
+        props = getattr(engine, "_table_properties", None)
+        if props is None:
+            props = engine._table_properties = {}
+        props.setdefault(name, {}).update(
+            (pm.group(1).lower(), pm.group(2))
+            for pm in re.finditer(r"([\w.]+)\s*=\s*'([^']*)'", action)
+        )
+        return engine.spark.createDataFrame([(0,)], "rows: bigint")
+    dm = re.match(
+        r"ALTER\s+COLUMN\s+(\w+)\s+(SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT|DROP\s+NOT\s+NULL)\s*$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if dm:
+        # #setDefaultValue / #dropDefaultValue / #dropNotNullConstraint:
+        # defaults fill unmentioned columns on INSERT (the reference's
+        # column-default rule); NOT NULL is not enforced by this engine, so
+        # dropping it is an accepted no-op.
+        _require_managed(engine, name)
+        col, verb = _norm_name(dm.group(1)), dm.group(2).upper()
+        defaults = getattr(engine, "_column_defaults", None)
+        if defaults is None:
+            defaults = engine._column_defaults = {}
+        if verb.startswith("SET DEFAULT"):
+            defaults[(name, col)] = dm.group(3).strip()
+        elif verb.startswith("DROP DEFAULT"):
+            defaults.pop((name, col), None)
+        return engine.spark.createDataFrame([(0,)], "rows: bigint")
     df = _read(engine, name)
     if au.startswith("ALTER COLUMN") and "SET DATA TYPE" in au:
         # #setColumnType (SetColumnTypeTask.java; Iceberg type evolution):

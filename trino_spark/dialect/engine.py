@@ -295,8 +295,15 @@ class TrinoEngine:
                 ["DROP", "TABLE"],
                 ["CREATE", "VIEW"],
                 ["DROP", "VIEW"],
+                ["CREATE", "SCHEMA"],
+                ["DROP", "SCHEMA"],
             )
-            or up[:3] in (["CREATE", "OR", "REPLACE"], ["SHOW", "CREATE", "VIEW"])
+            or up[:3]
+            in (
+                ["CREATE", "OR", "REPLACE"],
+                ["SHOW", "CREATE", "VIEW"],
+                ["SHOW", "CREATE", "SCHEMA"],
+            )
         ):
             # DML/DDL entry point (SURVEY §3.3): copy-on-write managed
             # tables, logical views, column evolution. Catalog-qualified
@@ -341,6 +348,11 @@ class TrinoEngine:
             self._mv_meta.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.createDataFrame([(name,)], "materialized_view: string")
+        if up[:2] == ["SHOW", "SCHEMAS"] and getattr(self, "schemas", None):
+            # CREATE SCHEMA-registered schemas union the table namespace
+            # (#showSchemas; the flat namespace maps to 'default').
+            rows = sorted(set(self.schemas) | {"default"})
+            return self.spark.createDataFrame([(s,) for s in rows], "schema_name: string")
         if up[:2] == ["SHOW", "CATALOGS"]:
             # Session catalog + dynamic mounts (ShowQueriesRewrite.java).
             from trino_spark.dialect import catalogs as _cats
@@ -496,10 +508,15 @@ class TrinoEngine:
             )
             src = self.catalog._sources.get(name)
             dml_path = getattr(self, "dml_tables", {}).get(name)
+            extra = getattr(self, "_table_properties", {}).get(name, {})
+            extra_txt = "".join(f",\n   {k} = '{v}'" for k, v in sorted(extra.items()))
             if dml_path:
-                with_props = f"\nWITH (\n   format = 'PARQUET',\n   location = '{dml_path}'\n)"
+                with_props = f"\nWITH (\n   format = 'PARQUET',\n   location = '{dml_path}'{extra_txt}\n)"
             elif src is not None:
-                with_props = f"\nWITH (\n   format = '{src.format.upper()}',\n   location = '{src.path}'\n)"
+                with_props = f"\nWITH (\n   format = '{src.format.upper()}',\n   location = '{src.path}'{extra_txt}\n)"
+            elif extra:
+                kv = ",\n   ".join(f"{k} = '{v}'" for k, v in sorted(extra.items()))
+                with_props = f"\nWITH (\n   {kv}\n)"
             else:
                 with_props = ""
             ddl = f"CREATE TABLE {name} (\n   {cols}\n){with_props}"
