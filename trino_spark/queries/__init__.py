@@ -121,6 +121,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "http_protocol_roundtrip",
         "dialect_branch_wap",
         "dialect_table_optimize",
+        "corpus_prepare_e2e",
         "tpcds_q90",
         "tpcds_q84",
         "tpcds_q94",

@@ -960,3 +960,113 @@ def embedding_label_centroids_q(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("centroid"), lambda v: F.format_string("%.6f", F.round(v, 6))), ","
         ).alias("centroid_csv"),
     ).orderBy("label")
+
+
+@REG.add(
+    "corpus_prepare_e2e",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+    ),
+    tokd AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM raw
+    ),
+    quality AS (SELECT * FROM tokd WHERE n_tokens >= 20),
+    keyed AS (
+      SELECT *,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS k
+      FROM quality
+    ),
+    kept AS (
+      SELECT keyed.* FROM keyed
+      JOIN (SELECT k, min(doc_id) AS keep FROM keyed GROUP BY k) m
+        ON keyed.k = m.k AND keyed.doc_id = m.keep
+    ),
+    base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM kept
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+      FROM base
+    ),
+    bbase AS (
+      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+      FROM bbase
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    hits AS (SELECT e.doc_id, count(*) AS h FROM ex e JOIN bench b ON e.g = b.g GROUP BY e.doc_id),
+    clean AS (
+      SELECT t.doc_id FROM sh t LEFT JOIN hits h USING (doc_id)
+      WHERE round(CAST(coalesce(h.h, 0) AS DOUBLE) / greatest(len(t.s), 1), 9) < 0.1
+    ),
+    final AS (SELECT kept.* FROM kept JOIN clean USING (doc_id))
+    SELECT stage, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens
+    FROM (
+      SELECT 'a_raw' AS stage, count(*) AS docs, sum(n_tokens) AS tokens FROM tokd
+      UNION ALL SELECT 'b_quality', count(*), sum(n_tokens) FROM quality
+      UNION ALL SELECT 'c_dedup', count(*), sum(n_tokens) FROM kept
+      UNION ALL SELECT 'd_clean', count(*), sum(n_tokens) FROM final
+    )
+    ORDER BY stage
+    """,
+)
+def corpus_prepare_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END training-corpus preparation pipeline, composed from
+    the section's operators in the order a real 100 TB run chains them:
+    quality floor (token count) -> exact dedup keep-one (hash-groupBy on
+    normalized content, operators/dedup.py) -> benchmark decontamination
+    (broadcast 3-gram probe, dedup.decontaminate) -> per-stage corpus
+    accounting (docs, tokens). Every stage is a declarative DataFrame op:
+    one shuffle for the dedup group-by, a broadcast for the bench probe,
+    everything else map-side. The oracle restates the full chain in SQL,
+    so the differential checks the PIPELINE semantics end to end."""
+    from trino_spark.functions.strings import normalize_text
+    from trino_spark.operators import dedup as dedup_ops
+    from trino_spark.operators.text import token_count
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+    raw = d.unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    tokd = raw.withColumn("n_tokens", token_count(F.col("text")))
+    quality = tokd.filter(F.col("n_tokens") >= 20)
+    keyed = quality.withColumn("k", F.md5(normalize_text(F.col("text"))))
+    mins = keyed.groupBy("k").agg(F.min("doc_id").alias("keep"))
+    kept = keyed.join(mins, (keyed.k == mins.k) & (keyed.doc_id == mins.keep)).select(
+        keyed.doc_id, keyed.text, keyed.n_tokens
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    flags = dedup_ops.decontaminate(kept, bench, threshold=0.1)
+    final = kept.join(flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    stages = [
+        ("a_raw", tokd),
+        ("b_quality", quality),
+        ("c_dedup", kept),
+        ("d_clean", final),
+    ]
+    parts = [
+        df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        for name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage")
