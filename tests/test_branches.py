@@ -208,3 +208,13 @@ class TestStatementSurface:
         assert rows == {1: "new", 2: None}
         engine.sql(f"ALTER TABLE {tbl} ALTER COLUMN status DROP NOT NULL")  # accepted no-op
         engine.sql(f"DROP TABLE {tbl}")
+
+    def test_show_create_function_and_set_path(self, engine):
+        engine.sql("CREATE FUNCTION sq_fn(x BIGINT) RETURNS BIGINT RETURN x * x")
+        ddl = engine.sql("SHOW CREATE FUNCTION sq_fn").collect()[0].create_function
+        assert ddl == "CREATE FUNCTION sq_fn(x BIGINT) RETURNS BIGINT RETURN x * x"
+        assert engine.sql("SELECT sq_fn(6) AS v").collect()[0].v == 36
+        assert engine.sql("SET PATH a.b").collect()[0].path == "a.b"
+        engine.sql("DROP FUNCTION sq_fn")
+        with pytest.raises(Exception, match="function not found"):
+            engine.sql("SHOW CREATE FUNCTION missing_fn")

@@ -242,8 +242,24 @@ class TrinoEngine:
             if name not in self.prepared:
                 raise ValueError(f"prepared statement not found: {name}")
             return self.sql(_prep.bind(self.prepared[name], args))
+        up0 = trino_sql.upper().split()[:3]
+        if up0 == ["SHOW", "CREATE", "FUNCTION"]:
+            # #showCreateFunction: render the stored definition text.
+            fname = trino_sql.split()[3].strip('"').rstrip(";").lower()
+            src = getattr(self, "_function_sources", {}).get(fname.upper())
+            if src is None:
+                raise ValueError(f"function not found: {fname}")
+            return self.spark.createDataFrame([(src,)], "create_function: string")
+        if up0[:2] == ["SET", "PATH"]:
+            # #setPath (SetPathTask.java): recorded; the engine's single
+            # function namespace makes it a session attribute only.
+            self.sql_path = trino_sql.split(None, 2)[2].strip().rstrip(";")
+            return self.spark.createDataFrame([(self.sql_path,)], "path: string")
         routine = _routines_mod.parse_create_function(trino_sql)
         if routine is not None:
+            if not hasattr(self, "_function_sources"):
+                self._function_sources = {}
+            self._function_sources[routine.name.upper()] = trino_sql.strip().rstrip(";")
             if isinstance(routine, _routines_mod.PythonRoutine):
                 # Row-interpreted path (loops / LANGUAGE PYTHON): a real UDF.
                 # Spark resolves the registered name during analysis, so no
@@ -257,6 +273,7 @@ class TrinoEngine:
         if dropped is not None:
             self.routines.pop(dropped, None)
             self.python_routines.pop(dropped, None)
+            getattr(self, "_function_sources", {}).pop(dropped.upper(), None)
             return self.spark.createDataFrame([(dropped.lower(),)], "function: string")
         stripped = trino_sql.strip().rstrip(";")
         up = stripped.upper().split()
