@@ -625,7 +625,15 @@ class TrinoEngine:
             if out is not None:
                 return out
         expanded = _routines_mod.expand(trino_sql, self.routines)
-        df = self.spark.sql(translate(expanded))
+        spark_sql = translate(expanded)
+        if spark_sql.lstrip()[:4].upper() == "WITH":
+            # Reused-CTE materialization (Trino CTE materialization / FTE
+            # exchange-spool analog): a WITH subplan referenced >= 2 times
+            # is computed once and cached instead of inlined N times.
+            from trino_spark.dialect import cte as _cte
+
+            spark_sql = _cte.materialize_reused(self, spark_sql)
+        df = self.spark.sql(spark_sql)
         # FETCH ... WITH TIES leaves a helper rank column; drop it here.
         if "__rk" in df.columns:
             df = df.drop("__rk")
