@@ -74,6 +74,26 @@ def all_specs() -> dict[str, QuerySpec]:
         "zorder_write_roundtrip",
         "bucketed_join_roundtrip",
         "dedup_connected_components",
+        # round-4 NEW component oracles: each is the single gate-checkable
+        # query for a whole SURVEY §2 component (metadata tables, dynamic
+        # catalogs, branches/WAP, transactions, MV lifecycle, HTTP
+        # protocol, memory-connector DML, DDL evolution, security reads,
+        # prepared statements, information_schema, table procedures, the
+        # corpus pipeline) — a green row here is worth more than one more
+        # TPC-DS green, so they ride ahead of the new tpcds block.
+        "meta_files_partitions",
+        "catalog_mount_query",
+        "infoschema_core_tables",
+        "dialect_prepared_exec",
+        "catalog_memory_dml",
+        "dialect_ddl_evolution",
+        "dialect_secured_read",
+        "dialect_transactions",
+        "dialect_mv_lifecycle",
+        "http_protocol_roundtrip",
+        "dialect_branch_wap",
+        "dialect_table_optimize",
+        "corpus_prepare_e2e",
         # round-4 NEW tpcds queries (cannot have a green row yet),
         # cheapest-first by measured sf0.01 cost
         "tpcds_q93",
@@ -109,19 +129,6 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q64",
         "tpcds_q14a",
         "tpcds_q04",
-        "meta_files_partitions",
-        "catalog_mount_query",
-        "infoschema_core_tables",
-        "dialect_prepared_exec",
-        "catalog_memory_dml",
-        "dialect_ddl_evolution",
-        "dialect_secured_read",
-        "dialect_transactions",
-        "dialect_mv_lifecycle",
-        "http_protocol_roundtrip",
-        "dialect_branch_wap",
-        "dialect_table_optimize",
-        "corpus_prepare_e2e",
         "tpcds_q90",
         "tpcds_q84",
         "tpcds_q94",
