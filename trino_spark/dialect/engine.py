@@ -61,9 +61,13 @@ class TrinoEngine:
         # Python-bodied scalar residue (normalize/word_stem/base32/hmac/
         # CDFs) so those names resolve from SQL text — the
         # SystemFunctionBundle registration analog.
-        from trino_spark.functions.registry import register_sql_functions
+        from trino_spark.functions.registry import (
+            register_sql_functions,
+            register_sql_functions_r4,
+        )
 
         register_sql_functions(spark)
+        register_sql_functions_r4(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
         """Dispatch a Trino-dialect statement; top-level calls are recorded
@@ -137,6 +141,20 @@ class TrinoEngine:
             trino_sql = map_outside_literals(
                 trino_sql,
                 lambda p: re.sub(r"\bCURRENT_USER\b", f"'{_user}'", p, flags=re.IGNORECASE),
+            )
+        if re.search(r"\bcurrent_groups\s*\(\s*\)", trino_sql, re.IGNORECASE):
+            # current_groups() (#currentGroups): the identity's group set.
+            # Our session identity model is roles, so the group list is the
+            # active role (empty for the unrestricted owner session).
+            from trino_spark.dialect.access import map_outside_literals
+
+            _role = getattr(self, "_acl", {}).get("current")
+            _lit = f"array('{_role}')" if _role else "CAST(array() AS ARRAY<STRING>)"
+            trino_sql = map_outside_literals(
+                trino_sql,
+                lambda p: re.sub(
+                    r"\bcurrent_groups\s*\(\s*\)", _lit, p, flags=re.IGNORECASE
+                ),
             )
         if re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", trino_sql, re.IGNORECASE):
             # Time travel (grammar SqlBase.g4 queryPeriod; Iceberg/Delta

@@ -388,10 +388,55 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     "wilson_interval_upper": _t_wilson(1),
     "bar": lambda args: (
         # Plain-block rendering of the reference's ANSI bar chart scalar
-        # (ColorFunctions.java bar): proportion -> width glyphs.
-        f"repeat('█', CAST(greatest(least(CAST({args[0]} AS DOUBLE), 1.0D), 0.0D)"
+        # (ColorFunctions.java bar): proportion -> width glyphs. The 4-arg
+        # form carries low/high interpolation colors — that rendering
+        # needs per-glyph ANSI escapes, served by the registered UDF.
+        f"bar_interpolated({', '.join(args)})"
+        if len(args) == 4
+        else f"repeat('█', CAST(greatest(least(CAST({args[0]} AS DOUBLE), 1.0D), 0.0D)"
         f" * ({args[1]}) AS INT))"
     ),
+    # URL-safe base64 (VarbinaryFunctions.java toBase64Url/fromBase64Url:
+    # java.util.Base64 URL encoder = standard alphabet with +/ -> -_).
+    "to_base64url": lambda args: f"translate(base64({args[0]}), '+/', '-_')",
+    "from_base64url": lambda args: f"unbase64(translate({args[0]}, '-_', '+/'))",
+    # Timestamps are normalized to the UTC session zone on ingest (the
+    # engine has no TIME/TIMESTAMP WITH TIME ZONE carrier type), so the
+    # zone accessors are constants (DateTimeFunctions.java timezone/
+    # timeZoneHour/timeZoneMinute would read the value's zone).
+    "timezone": lambda args: "'UTC'",
+    "timezone_hour": lambda args: "CAST(0 AS BIGINT)",
+    "timezone_minute": lambda args: "CAST(0 AS BIGINT)",
+    # to_milliseconds(interval day-to-second): anchor the interval at the
+    # epoch and read the shifted timestamp back as fractional seconds —
+    # works for every day-time interval width, stays in codegen.
+    "to_milliseconds": lambda args: (
+        f"CAST(CAST(TIMESTAMP '1970-01-01 00:00:00' + ({args[0]}) AS DOUBLE)"
+        " * 1000 AS BIGINT)"
+    ),
+    # ISO-8601 with nanosecond fraction: truncate to Spark's microsecond
+    # precision (same truncation the parquet reader applies to ns data).
+    "from_iso8601_timestamp_nanos": lambda args: (
+        f"to_timestamp(regexp_replace(regexp_replace({args[0]},"
+        " '(\\\\.[0-9]{6})[0-9]+', '$1'), 'Z$', '+00:00'))"
+    ),
+    # empty_approx_set(): the identity element of approx_set/merge —
+    # an aggregate over zero non-null rows yields the empty HLL sketch.
+    "empty_approx_set": lambda args: "(SELECT hll_sketch_agg(CAST(NULL AS BIGINT)))",
+    # map_union aggregate: fold the group's maps with map_concat
+    # (session conf mapKeyDedupPolicy=LAST_WIN gives Trino's
+    # overlapping-key behavior). The typed empty-map zero is derived
+    # from the group's first map so key/value types match generically.
+    "map_union": lambda args: (
+        f"aggregate(collect_list({args[0]}),"
+        f" map_filter(collect_list({args[0]})[0], (k, v) -> false),"
+        " (acc, e) -> map_concat(acc, e))"
+    ),
+    # reduce_agg(input, init, inner, combine): sequential fold over the
+    # collected group — inner has exactly Spark aggregate()'s (state,
+    # element) shape; the combine lambda is only needed by a partial-agg
+    # execution strategy, which the fold subsumes.
+    "reduce_agg": lambda args: f"aggregate(collect_list({args[0]}), {args[1]}, {args[2]})",
     "checksum": lambda args: (
         # Order-insensitive aggregate checksum (ChecksumAggregationFunction
         # .java): sum of per-row 64-bit hashes, overflow-wrapping. BIGINT

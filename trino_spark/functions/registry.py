@@ -293,3 +293,288 @@ def _parse_duration_ms(s):
     if not m or m.group(2) not in _DUR_MS:
         raise ValueError(f"invalid duration: {s}")
     return round(float(m.group(1)) * _DUR_MS[m.group(2)])
+
+
+# --------------------------------------------------------------- round 4:
+# binary codecs, Teradata scalars, statistical inverses, color functions
+# (reference: VarbinaryFunctions.java to/from_big_endian_*, to/from_ieee754_*,
+# murmur3; TeradataStringFunctions.java char2hexint; TeradataDateFunctions
+# to_char; MathFunctions.java inverseBetaCdf/tPdf; ColorFunctions.java).
+
+
+def _pack_fn(fmt, lo=None, hi=None):
+    import struct
+
+    def run(v):
+        if v is None:
+            return None
+        v = int(v) if fmt in (">i", ">q") else float(v)
+        if lo is not None and not (lo <= v <= hi):
+            raise ValueError(f"value out of range: {v}")
+        return struct.pack(fmt, v)
+
+    return run
+
+
+def _unpack_fn(fmt, nbytes):
+    import struct
+
+    def run(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if len(b) != nbytes:
+            raise ValueError(f"expected {nbytes} bytes, got {len(b)}")
+        return struct.unpack(fmt, b)[0]
+
+    return run
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """128-bit MurmurHash3 (x64 variant), the public algorithm Trino's
+    murmur3() exposes (VarbinaryFunctions.java murmur3 -> Murmur3Hash128)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    mask = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & mask
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & mask
+        k ^= k >> 33
+        return k
+
+    h1 = h2 = seed & mask
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = rotl((k1 * c1) & mask, 31)
+        h1 ^= (k1 * c2) & mask
+        h1 = ((rotl(h1, 27) + h2) * 5 + 0x52DCE729) & mask
+        k2 = rotl((k2 * c2) & mask, 33)
+        h2 ^= (k2 * c1) & mask
+        h2 = ((rotl(h2, 31) + h1) * 5 + 0x38495AB5) & mask
+    tail = data[nblocks * 16 :]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = rotl((k2 * c2) & mask, 33)
+        h2 ^= (k2 * c1) & mask
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = rotl((k1 * c1) & mask, 31)
+        h1 ^= (k1 * c2) & mask
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+
+_TD_TOKENS = [  # Teradata to_char tokens, longest-match-first
+    ("YYYY", "%Y"), ("YY", "%y"), ("MM", "%m"), ("DD", "%d"),
+    ("HH24", "%H"), ("HH", "%I"), ("MI", "%M"), ("SS", "%S"),
+]
+
+
+def _to_char(ts, fmt):
+    if ts is None or fmt is None:
+        return None
+    out, i = [], 0
+    up = fmt.upper()
+    while i < len(up):
+        for tok, strf in _TD_TOKENS:
+            if up.startswith(tok, i):
+                out.append(ts.strftime(strf))
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+_DATA_SIZE = {"B": 0, "kB": 1, "MB": 2, "GB": 3, "TB": 4, "PB": 5, "EB": 6, "ZB": 7, "YB": 8}
+
+
+def _parse_data_size(s):
+    import re as _re
+    from decimal import Decimal
+
+    if s is None:
+        return None
+    m = _re.match(r"^\s*([0-9]*\.?[0-9]+)\s*([A-Za-z]+)\s*$", s)
+    if not m or m.group(2) not in _DATA_SIZE:
+        raise ValueError(f"Invalid data size: '{s}'")
+    return Decimal(int(Decimal(m.group(1)) * (1024 ** _DATA_SIZE[m.group(2)])))
+
+
+def _is_json_scalar(s):
+    import json as _json
+
+    if s is None:
+        return None
+    try:
+        v = _json.loads(s)
+    except Exception:
+        raise ValueError(f"Invalid JSON value: {s}")
+    return not isinstance(v, (dict, list))
+
+
+def _inverse_beta_cdf(a, b, p):
+    if None in (a, b, p):
+        return None
+    a, b, p = float(a), float(b), float(p)
+    if not (0.0 <= p <= 1.0):
+        raise ValueError("p must be in [0, 1]")
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if betainc(a, b, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-15:
+            break
+    return (lo + hi) / 2.0
+
+
+def _t_pdf(x, df):
+    if None in (x, df):
+        return None
+    x, df = float(x), float(df)
+    if df <= 0:
+        raise ValueError("df must be positive")
+    lg = math.lgamma((df + 1.0) / 2.0) - math.lgamma(df / 2.0)
+    return math.exp(lg) / math.sqrt(df * math.pi) * (1.0 + x * x / df) ** (-(df + 1.0) / 2.0)
+
+
+# ---- color functions (ColorFunctions.java): a color is a BIGINT — rgb
+# values are (r<<16)|(g<<8)|b, system colors are -(index+1).
+
+_SYS_COLORS = {"black": 0, "red": 1, "green": 2, "yellow": 3,
+               "blue": 4, "magenta": 5, "cyan": 6, "white": 7}
+_ANSI_RESET = "\x1b[0m"
+
+
+def _parse_rgb_hex(s):
+    if len(s) == 4 and s[0] == "#":
+        try:
+            r, g, b = (int(c, 16) for c in s[1:])
+            return (r * 17 << 16) | (g * 17 << 8) | (b * 17)
+        except ValueError:
+            return -1
+    return -1
+
+
+def _interpolate_rgb(frac, lo, hi):
+    import colorsys
+
+    lh = colorsys.rgb_to_hsv((lo >> 16 & 255) / 255, (lo >> 8 & 255) / 255, (lo & 255) / 255)
+    hh = colorsys.rgb_to_hsv((hi >> 16 & 255) / 255, (hi >> 8 & 255) / 255, (hi & 255) / 255)
+    h, s, v = (frac * (b - a) + a for a, b in zip(lh, hh))
+    r, g, b = (round(c * 255) for c in colorsys.hsv_to_rgb(h, s, v))
+    return (r << 16) | (g << 8) | b
+
+
+def _color(*args):
+    if any(a is None for a in args):
+        return None
+    if len(args) == 1:
+        s = args[0]
+        rgb = _parse_rgb_hex(s)
+        if rgb != -1:
+            return rgb
+        idx = _SYS_COLORS.get(s.lower())
+        if idx is None:
+            raise ValueError(f"Invalid color: '{s}'")
+        return -(idx + 1)
+    if len(args) == 3:  # (fraction, lowColor, highColor)
+        frac, lo, hi = float(args[0]), int(args[1]), int(args[2])
+    elif len(args) == 5:  # (value, low, high, lowColor, highColor)
+        v, lo_v, hi_v, lo, hi = (float(args[0]), float(args[1]), float(args[2]),
+                                 int(args[3]), int(args[4]))
+        frac = (v - lo_v) / (hi_v - lo_v)
+    else:
+        raise ValueError("color() takes 1, 3 or 5 arguments")
+    if lo < 0 or hi < 0:
+        raise ValueError("interpolation colors must be RGB")
+    frac = min(1.0, max(0.0, frac))
+    return _interpolate_rgb(frac, lo, hi)
+
+
+def _rgb(r, g, b):
+    if None in (r, g, b):
+        return None
+    for v in (r, g, b):
+        if not (0 <= int(v) <= 255):
+            raise ValueError("rgb components must be between 0 and 255")
+    return (int(r) << 16) | (int(g) << 8) | int(b)
+
+
+def _ansi_escape(color):
+    color = int(color)
+    if color < 0:  # system color index
+        return f"\x1b[3{-(color + 1)}m"
+    r, g, b = color >> 16 & 255, color >> 8 & 255, color & 255
+    return f"\x1b[38;5;{16 + r * 6 // 256 * 36 + g * 6 // 256 * 6 + b * 6 // 256}m"
+
+
+def _render(*args):
+    if any(a is None for a in args):
+        return None
+    if len(args) == 1:  # render(boolean)
+        return (_ansi_escape(_color("green")) + "✓" + _ANSI_RESET
+                if args[0] else _ansi_escape(_color("red")) + "✗" + _ANSI_RESET)
+    v, c = args
+    if isinstance(v, bool):
+        v = "true" if v else "false"
+    return _ansi_escape(c) + str(v) + _ANSI_RESET
+
+
+def _bar_colored(percent, width, low_color, high_color):
+    if None in (percent, width, low_color, high_color):
+        return None
+    width = int(width)
+    count = min(width, max(0, int(float(percent) * width)))
+    out = []
+    for i in range(count):
+        frac = i / (width - 1) if width > 1 else 0.0
+        out.append(_ansi_escape(_interpolate_rgb(frac, int(low_color), int(high_color))))
+        out.append("█")
+    out.append(_ANSI_RESET)
+    out.append(" " * (width - count))
+    return "".join(out)
+
+
+def register_sql_functions_r4(spark: SparkSession) -> None:
+    """Round-4 SQL-surface residue: binary codecs, Teradata scalars,
+    statistical inverses, and color rendering."""
+    reg = spark.udf.register
+    reg("to_big_endian_32", _pack_fn(">i", -(2**31), 2**31 - 1), "binary")
+    reg("from_big_endian_32", _unpack_fn(">i", 4), "int")
+    reg("to_big_endian_64", _pack_fn(">q", -(2**63), 2**63 - 1), "binary")
+    reg("from_big_endian_64", _unpack_fn(">q", 8), "bigint")
+    reg("to_ieee754_32", _pack_fn(">f"), "binary")
+    reg("from_ieee754_32", _unpack_fn(">f", 4), "float")
+    reg("to_ieee754_64", _pack_fn(">d"), "binary")
+    reg("from_ieee754_64", _unpack_fn(">d", 8), "double")
+    reg("murmur3", lambda b: None if b is None else murmur3_x64_128(bytes(b)), "binary")
+    reg("char2hexint", lambda s: None if s is None else s.encode("utf-16-be").hex().upper(), "string")
+    reg("to_char", _to_char, "string")
+    reg("parse_data_size", _parse_data_size, "decimal(38,0)")
+    reg("is_json_scalar", _is_json_scalar, "boolean")
+    reg("inverse_beta_cdf", _inverse_beta_cdf, "double")
+    reg("t_pdf", _t_pdf, "double")
+    reg("color", _color, "bigint")
+    reg("rgb", _rgb, "bigint")
+    reg("render", _render, "string")
+    reg("bar_interpolated", _bar_colored, "string")

@@ -76,6 +76,11 @@ def get_spark(
         # TIMESTAMP(NANOS) outright; read as long and rebuild µs timestamps
         # in the catalog loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Trino's map_concat/map_union keep the LAST value for a key seen
+        # in multiple maps (MapConcatFunction.java); Spark's default policy
+        # raises DUPLICATED_MAP_KEY instead. Trade-off: duplicate keys in a
+        # single map() constructor now silently dedup rather than error.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
