@@ -177,3 +177,75 @@ def test_empty_approx_set(eng):
 
 def test_current_groups(eng):
     assert _one(eng, "SELECT current_groups()") == []
+
+
+# ------------------------------------------- sketch / ML SQL aggregates
+
+
+SEQ_1000 = (
+    "(SELECT CAST(id AS DOUBLE) AS x FROM (SELECT explode(sequence(1, 1000)) AS id))"
+)
+
+
+def test_qdigest_sql_surface(eng):
+    got = _one(eng, f"SELECT value_at_quantile(qdigest_agg(x), 0.5) FROM {SEQ_1000}")
+    assert abs(got - 500) / 500 < 0.05  # relative-error digest
+    got = _one(eng, f"SELECT quantile_at_value(qdigest_agg(x), 500.0) FROM {SEQ_1000}")
+    assert abs(got - 0.5) < 0.05
+
+
+def test_tdigest_sql_surface(eng):
+    got = _one(eng, f"SELECT value_at_quantile(tdigest_agg(x), 0.5) FROM {SEQ_1000}")
+    assert abs(got - 500.5) < 5
+    got = _one(eng, f"SELECT values_at_quantiles(tdigest_agg(x), array[0.25, 0.75]) FROM {SEQ_1000}")
+    assert abs(got[0] - 250.5) < 5 and abs(got[1] - 750.5) < 5
+
+
+def test_setdigest_sql_surface(eng):
+    # |A∩B| = 50, |A∪B| = 150 -> jaccard 1/3 (exact under 2048-reg KMV)
+    q = (
+        "SELECT {f}(make_set_digest(a), make_set_digest(b)) FROM"
+        " (SELECT v AS a, v + 50 AS b FROM (SELECT explode(sequence(1, 100)) AS v))"
+    )
+    assert abs(_one(eng, q.format(f="jaccard_index")) - 1 / 3) < 1e-9
+    assert _one(eng, q.format(f="intersection_cardinality")) == 50
+    got = _one(eng, "SELECT hash_counts(make_set_digest(x)) FROM (VALUES 1, 2, 2) t(x)")
+    assert len(got) == 2
+
+
+def test_merge_set_digest(eng):
+    got = _one(
+        eng,
+        "SELECT jaccard_index(merge_set_digest(d), merge_set_digest(d)) FROM"
+        " (SELECT make_set_digest(x) AS d FROM (VALUES 1, 2, 3) t(x) GROUP BY x % 2)",
+    )
+    assert got == 1.0
+
+
+def test_approx_most_frequent_sql(eng):
+    got = _one(
+        eng,
+        "SELECT approx_most_frequent(2, x, 10) FROM (VALUES 'a','a','a','b','b','c') t(x)",
+    )
+    assert got == {"a": 3, "b": 2}
+
+
+def test_numeric_histogram_sql(eng):
+    got = _one(eng, "SELECT numeric_histogram(2, x) FROM (VALUES 1.0, 1.1, 9.0, 9.2) t(x)")
+    assert set(got.values()) == {2.0} and len(got) == 2
+
+
+def test_ml_sql_surface(eng):
+    got = _one(
+        eng,
+        "SELECT classify(features(2.0, 3.0), m) FROM (SELECT learn_classifier(l,"
+        " features(f1, f2)) AS m FROM (VALUES (0, 0.0, 0.0), (0, 0.1, 0.2),"
+        " (1, 2.0, 2.5), (1, 3.0, 3.0)) t(l, f1, f2))",
+    )
+    assert got == 1
+    got = _one(
+        eng,
+        "SELECT regress(features(4.0), m) FROM (SELECT learn_regressor(l,"
+        " features(f1)) AS m FROM (VALUES (2.0, 1.0), (4.0, 2.0), (6.0, 3.0)) t(l, f1))",
+    )
+    assert abs(got - 8.0) < 1e-6

@@ -68,6 +68,9 @@ class TrinoEngine:
 
         register_sql_functions(spark)
         register_sql_functions_r4(spark)
+        from trino_spark.functions.sqlagg import register_sql_aggregates
+
+        register_sql_aggregates(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
         """Dispatch a Trino-dialect statement; top-level calls are recorded

@@ -437,6 +437,9 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     # element) shape; the combine lambda is only needed by a partial-agg
     # execution strategy, which the fold subsumes.
     "reduce_agg": lambda args: f"aggregate(collect_list({args[0]}), {args[1]}, {args[2]})",
+    # trino-ml FeaturesFunctions: feature-vector constructor (the model
+    # functions in functions/sqlagg.py consume the array form).
+    "features": lambda args: f"array({', '.join(f'CAST({a} AS DOUBLE)' for a in args)})",
     "checksum": lambda args: (
         # Order-insensitive aggregate checksum (ChecksumAggregationFunction
         # .java): sum of per-row 64-bit hashes, overflow-wrapping. BIGINT
