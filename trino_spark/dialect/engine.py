@@ -71,6 +71,9 @@ class TrinoEngine:
         from trino_spark.functions.sqlagg import register_sql_aggregates
 
         register_sql_aggregates(spark)
+        from trino_spark.functions.geosql import register_geo_functions
+
+        register_geo_functions(spark)
 
     def sql(self, trino_sql: str) -> DataFrame:
         """Dispatch a Trino-dialect statement; top-level calls are recorded

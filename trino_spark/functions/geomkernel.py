@@ -1,0 +1,1348 @@
+"""Pure-Python planar geometry kernel backing the SQL geospatial surface.
+
+Reference surface: docs/src/main/sphinx/functions/geospatial.md and
+plugin/trino-geospatial (GeoFunctions.java) — Trino evaluates these with
+the Esri geometry library; this kernel re-implements the required subset
+from the published computational-geometry algorithms (ray casting,
+monotone-chain hull, Douglas–Peucker, Greiner–Hormann clipping, Welzl
+minimum enclosing circle, Google encoded-polyline codec, OGC WKT/WKB).
+
+Geometry model: ``(gtype, data)`` tuples —
+  POINT (x, y) | MULTIPOINT [pt] | LINESTRING [pt] | MULTILINESTRING
+  [[pt]] | POLYGON [ring] (rings closed, ring[0] shell, rest holes) |
+  MULTIPOLYGON [[ring]] | GEOMETRYCOLLECTION [geom]; data None = EMPTY.
+
+Scale note: these run row-at-a-time under the SQL surface (formatting /
+analysis scalars). The hot distributed path stays the expression-only
+Column API (functions/geo.py) and the grid-bucketed spatial join
+(operators/spatial.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+
+_EPS = 1e-9
+
+
+# ------------------------------------------------------------------ WKT
+
+
+def _num(s):
+    return float(s)
+
+
+def _parse_coords_list(body: str) -> list[tuple[float, float]]:
+    pts = []
+    for part in body.split(","):
+        xy = part.split()
+        pts.append((_num(xy[0]), _num(xy[1])))
+    return pts
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split '(...), (...)' at depth-0 commas, stripping one paren level."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def parse_wkt(wkt: str):
+    s = wkt.strip()
+    m = re.match(r"^([A-Za-z]+)\s*(EMPTY|\(.*\))$", s, re.DOTALL)
+    if not m:
+        raise ValueError(f"Invalid WKT: {wkt!r}")
+    gtype = m.group(1).upper()
+    body = m.group(2)
+    if body == "EMPTY":
+        return (gtype, None)
+    body = body.strip()[1:-1].strip()  # outermost parens
+    if gtype == "POINT":
+        (pt,) = _parse_coords_list(body)
+        return ("POINT", pt)
+    if gtype == "LINESTRING":
+        return ("LINESTRING", _parse_coords_list(body))
+    if gtype == "MULTIPOINT":
+        if "(" in body:
+            return ("MULTIPOINT", [_parse_coords_list(g)[0] for g in _split_groups(body)])
+        return ("MULTIPOINT", _parse_coords_list(body))
+    if gtype == "POLYGON":
+        return ("POLYGON", [_close_ring(_parse_coords_list(g)) for g in _split_groups(body + ",")])
+    if gtype == "MULTILINESTRING":
+        return ("MULTILINESTRING", [_parse_coords_list(g) for g in _split_groups(body + ",")])
+    if gtype == "MULTIPOLYGON":
+        polys, depth, start = [], 0, None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    inner = body[start:i]
+                    polys.append([_close_ring(_parse_coords_list(g)) for g in _split_groups(inner + ",")])
+        return ("MULTIPOLYGON", polys)
+    if gtype == "GEOMETRYCOLLECTION":
+        geoms, depth, start = [], 0, 0
+        for i, ch in enumerate(body + ","):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                part = body[start:i].strip() if i <= len(body) else body[start:].strip()
+                if part:
+                    geoms.append(parse_wkt(part))
+                start = i + 1
+        return ("GEOMETRYCOLLECTION", geoms)
+    raise ValueError(f"Unsupported WKT type: {gtype}")
+
+
+def _close_ring(pts):
+    if pts and pts[0] != pts[-1]:
+        return pts + [pts[0]]
+    return pts
+
+
+def _fmt_pt(p):
+    def f(v):
+        return ("%r" % v).rstrip("0").rstrip(".") if v != int(v) else str(int(v))
+
+    return f"{f(p[0])} {f(p[1])}"
+
+
+def to_wkt(g) -> str:
+    gtype, data = g
+    if data is None or data == []:
+        return f"{gtype} EMPTY"
+    if gtype == "POINT":
+        return f"POINT ({_fmt_pt(data)})"
+    if gtype == "MULTIPOINT":
+        return "MULTIPOINT (" + ", ".join(f"({_fmt_pt(p)})" for p in data) + ")"
+    if gtype == "LINESTRING":
+        return "LINESTRING (" + ", ".join(_fmt_pt(p) for p in data) + ")"
+    if gtype == "MULTILINESTRING":
+        return ("MULTILINESTRING ("
+                + ", ".join("(" + ", ".join(_fmt_pt(p) for p in line) + ")" for line in data) + ")")
+    if gtype == "POLYGON":
+        return ("POLYGON ("
+                + ", ".join("(" + ", ".join(_fmt_pt(p) for p in r) + ")" for r in data) + ")")
+    if gtype == "MULTIPOLYGON":
+        return ("MULTIPOLYGON ("
+                + ", ".join(
+                    "(" + ", ".join("(" + ", ".join(_fmt_pt(p) for p in r) + ")" for r in poly) + ")"
+                    for poly in data) + ")")
+    if gtype == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(x) for x in data) + ")"
+    raise ValueError(gtype)
+
+
+# ------------------------------------------------------------------ WKB
+
+_WKB_CODES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3, "MULTIPOINT": 4,
+              "MULTILINESTRING": 5, "MULTIPOLYGON": 6, "GEOMETRYCOLLECTION": 7}
+_WKB_NAMES = {v: k for k, v in _WKB_CODES.items()}
+
+
+def to_wkb(g) -> bytes:
+    gtype, data = g
+    out = [b"\x01", struct.pack("<I", _WKB_CODES[gtype])]
+
+    def pt(p):
+        return struct.pack("<dd", p[0], p[1])
+
+    if gtype == "POINT":
+        out.append(pt(data if data else (float("nan"), float("nan"))))
+    elif gtype == "LINESTRING":
+        out.append(struct.pack("<I", len(data or [])))
+        out.extend(pt(p) for p in data or [])
+    elif gtype == "POLYGON":
+        out.append(struct.pack("<I", len(data or [])))
+        for r in data or []:
+            out.append(struct.pack("<I", len(r)))
+            out.extend(pt(p) for p in r)
+    elif gtype == "MULTIPOINT":
+        out.append(struct.pack("<I", len(data or [])))
+        out.extend(to_wkb(("POINT", p)) for p in data or [])
+    elif gtype == "MULTILINESTRING":
+        out.append(struct.pack("<I", len(data or [])))
+        out.extend(to_wkb(("LINESTRING", line)) for line in data or [])
+    elif gtype == "MULTIPOLYGON":
+        out.append(struct.pack("<I", len(data or [])))
+        out.extend(to_wkb(("POLYGON", poly)) for poly in data or [])
+    elif gtype == "GEOMETRYCOLLECTION":
+        out.append(struct.pack("<I", len(data or [])))
+        out.extend(to_wkb(x) for x in data or [])
+    return b"".join(out)
+
+
+def from_wkb(b: bytes):
+    def read(buf, off):
+        little = buf[off] == 1
+        fmt = "<" if little else ">"
+        code = struct.unpack_from(fmt + "I", buf, off + 1)[0]
+        off += 5
+        gtype = _WKB_NAMES[code & 0xFF]
+        if gtype == "POINT":
+            x, y = struct.unpack_from(fmt + "dd", buf, off)
+            return ("POINT", None if math.isnan(x) else (x, y)), off + 16
+        if gtype in ("LINESTRING",):
+            n = struct.unpack_from(fmt + "I", buf, off)[0]
+            off += 4
+            pts = [struct.unpack_from(fmt + "dd", buf, off + 16 * i) for i in range(n)]
+            return ("LINESTRING", [tuple(p) for p in pts]), off + 16 * n
+        if gtype == "POLYGON":
+            nr = struct.unpack_from(fmt + "I", buf, off)[0]
+            off += 4
+            rings = []
+            for _ in range(nr):
+                n = struct.unpack_from(fmt + "I", buf, off)[0]
+                off += 4
+                rings.append([tuple(struct.unpack_from(fmt + "dd", buf, off + 16 * i)) for i in range(n)])
+                off += 16 * n
+            return ("POLYGON", rings), off
+        n = struct.unpack_from(fmt + "I", buf, off)[0]
+        off += 4
+        parts = []
+        for _ in range(n):
+            sub, off = read(buf, off)
+            parts.append(sub)
+        if gtype == "MULTIPOINT":
+            return ("MULTIPOINT", [p[1] for p in parts]), off
+        if gtype == "MULTILINESTRING":
+            return ("MULTILINESTRING", [p[1] for p in parts]), off
+        if gtype == "MULTIPOLYGON":
+            return ("MULTIPOLYGON", [p[1] for p in parts]), off
+        return ("GEOMETRYCOLLECTION", parts), off
+
+    g, _ = read(bytes(b), 0)
+    return g
+
+
+# -------------------------------------------------------------- GeoJSON
+
+
+def to_geojson(g) -> str:
+    import json
+
+    gtype, data = g
+    name = {"POINT": "Point", "MULTIPOINT": "MultiPoint", "LINESTRING": "LineString",
+            "MULTILINESTRING": "MultiLineString", "POLYGON": "Polygon",
+            "MULTIPOLYGON": "MultiPolygon", "GEOMETRYCOLLECTION": "GeometryCollection"}[gtype]
+    if gtype == "GEOMETRYCOLLECTION":
+        return json.dumps({"type": name, "geometries": [
+            __import__("json").loads(to_geojson(x)) for x in data or []]})
+    coords = {
+        "POINT": lambda d: list(d) if d else [],
+        "MULTIPOINT": lambda d: [list(p) for p in d or []],
+        "LINESTRING": lambda d: [list(p) for p in d or []],
+        "MULTILINESTRING": lambda d: [[list(p) for p in line] for line in d or []],
+        "POLYGON": lambda d: [[list(p) for p in r] for r in d or []],
+        "MULTIPOLYGON": lambda d: [[[list(p) for p in r] for r in poly] for poly in d or []],
+    }[gtype](data)
+    return json.dumps({"type": name, "coordinates": coords})
+
+
+def from_geojson(s: str):
+    import json
+
+    o = json.loads(s)
+    name = o["type"].upper()
+    if name == "GEOMETRYCOLLECTION":
+        return ("GEOMETRYCOLLECTION", [from_geojson(json.dumps(x)) for x in o["geometries"]])
+    c = o["coordinates"]
+    if name == "POINT":
+        return ("POINT", tuple(c) if c else None)
+    if name == "MULTIPOINT":
+        return ("MULTIPOINT", [tuple(p) for p in c])
+    if name == "LINESTRING":
+        return ("LINESTRING", [tuple(p) for p in c])
+    if name == "MULTILINESTRING":
+        return ("MULTILINESTRING", [[tuple(p) for p in line] for line in c])
+    if name == "POLYGON":
+        return ("POLYGON", [[tuple(p) for p in r] for r in c])
+    if name == "MULTIPOLYGON":
+        return ("MULTIPOLYGON", [[[tuple(p) for p in r] for r in poly] for poly in c])
+    raise ValueError(name)
+
+
+# ----------------------------------------------------- encoded polyline
+
+
+def encode_polyline(pts) -> str:
+    """Google encoded-polyline algorithm (public spec), 1e5 precision."""
+    out = []
+    last_lat = last_lng = 0
+    for x, y in pts:  # WKT order is (lng, lat)
+        lat, lng = round(y * 1e5), round(x * 1e5)
+        for v in (lat - last_lat, lng - last_lng):
+            v = ~(v << 1) if v < 0 else v << 1
+            while v >= 0x20:
+                out.append(chr((0x20 | (v & 0x1F)) + 63))
+                v >>= 5
+            out.append(chr(v + 63))
+        last_lat, last_lng = lat, lng
+    return "".join(out)
+
+
+def decode_polyline(s: str):
+    pts, i, lat, lng = [], 0, 0, 0
+    while i < len(s):
+        for which in (0, 1):
+            shift = result = 0
+            while True:
+                b = ord(s[i]) - 63
+                i += 1
+                result |= (b & 0x1F) << shift
+                shift += 5
+                if b < 0x20:
+                    break
+            d = ~(result >> 1) if result & 1 else result >> 1
+            if which == 0:
+                lat += d
+            else:
+                lng += d
+        pts.append((lng / 1e5, lat / 1e5))
+    return pts
+
+
+# ------------------------------------------------------- primitive math
+
+
+def _cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _point_on_seg(p, a, b):
+    if abs(_cross(a, b, p)) > _EPS * max(1.0, abs(a[0]), abs(a[1]), abs(b[0]), abs(b[1])):
+        return False
+    return (min(a[0], b[0]) - _EPS <= p[0] <= max(a[0], b[0]) + _EPS
+            and min(a[1], b[1]) - _EPS <= p[1] <= max(a[1], b[1]) + _EPS)
+
+
+def _seg_intersection(a, b, c, d):
+    """Intersection point(s) of segments ab and cd: [] | [pt] | [pt, pt]
+    (collinear overlap returns its endpoints)."""
+    d1, d2 = _cross(c, d, a), _cross(c, d, b)
+    d3, d4 = _cross(a, b, c), _cross(a, b, d)
+    if ((d1 > _EPS and d2 < -_EPS) or (d1 < -_EPS and d2 > _EPS)) and (
+        (d3 > _EPS and d4 < -_EPS) or (d3 < -_EPS and d4 > _EPS)
+    ):
+        t = d1 / (d1 - d2)
+        return [(a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))]
+    pts = []
+    for p, s1, s2 in ((a, c, d), (b, c, d), (c, a, b), (d, a, b)):
+        if _point_on_seg(p, s1, s2) and not any(_dist2(p, q) < _EPS**2 for q in pts):
+            pts.append(p)
+    return pts[:2]
+
+
+def _dist2(p, q):
+    return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+
+
+def _pt_seg_dist(p, a, b):
+    vx, vy = b[0] - a[0], b[1] - a[1]
+    L2 = vx * vx + vy * vy
+    if L2 == 0:
+        return math.sqrt(_dist2(p, a)), a
+    t = max(0.0, min(1.0, ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / L2))
+    q = (a[0] + t * vx, a[1] + t * vy)
+    return math.sqrt(_dist2(p, q)), q
+
+
+def _seg_seg_nearest(a, b, c, d):
+    if _seg_intersection(a, b, c, d):
+        p = _seg_intersection(a, b, c, d)[0]
+        return 0.0, p, p
+    best = None
+    for p, s1, s2, flip in ((a, c, d, False), (b, c, d, False), (c, a, b, True), (d, a, b, True)):
+        dist, q = _pt_seg_dist(p, s1, s2)
+        pair = (q, p) if flip else (p, q)
+        if best is None or dist < best[0]:
+            best = (dist, pair[0], pair[1])
+    return best
+
+
+def _point_in_ring(p, ring):
+    """'in' | 'on' | 'out' by ray casting with boundary detection."""
+    for i in range(len(ring) - 1):
+        if _point_on_seg(p, ring[i], ring[i + 1]):
+            return "on"
+    inside = False
+    x, y = p
+    for i in range(len(ring) - 1):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xint > x:
+                inside = not inside
+    return "in" if inside else "out"
+
+
+def _point_in_polygon(p, rings):
+    r = _point_in_ring(p, rings[0])
+    if r != "in":
+        return r
+    for hole in rings[1:]:
+        h = _point_in_ring(p, hole)
+        if h == "in":
+            return "out"
+        if h == "on":
+            return "on"
+    return "in"
+
+
+# --------------------------------------------------------- decomposition
+
+
+def _points_of(g):
+    gtype, data = g
+    if data is None:
+        return []
+    if gtype == "POINT":
+        return [data]
+    if gtype == "MULTIPOINT":
+        return list(data)
+    if gtype == "LINESTRING":
+        return list(data)
+    if gtype == "MULTILINESTRING":
+        return [p for line in data for p in line]
+    if gtype == "POLYGON":
+        return [p for r in data for p in r]
+    if gtype == "MULTIPOLYGON":
+        return [p for poly in data for r in poly for p in r]
+    return [p for sub in data for p in _points_of(sub)]
+
+
+def _segments_of(g):
+    gtype, data = g
+    if data is None:
+        return []
+    if gtype == "LINESTRING":
+        return [(data[i], data[i + 1]) for i in range(len(data) - 1)]
+    if gtype == "MULTILINESTRING":
+        return [s for line in data for s in _segments_of(("LINESTRING", line))]
+    if gtype == "POLYGON":
+        return [s for r in data for s in _segments_of(("LINESTRING", r))]
+    if gtype == "MULTIPOLYGON":
+        return [s for poly in data for s in _segments_of(("POLYGON", poly))]
+    if gtype == "GEOMETRYCOLLECTION":
+        return [s for sub in data for s in _segments_of(sub)]
+    return []
+
+
+def _polygons_of(g):
+    gtype, data = g
+    if data is None:
+        return []
+    if gtype == "POLYGON":
+        return [data]
+    if gtype == "MULTIPOLYGON":
+        return list(data)
+    if gtype == "GEOMETRYCOLLECTION":
+        return [p for sub in data for p in _polygons_of(sub)]
+    return []
+
+
+def locate_point(g, p):
+    """'in' | 'on' | 'out' of point p relative to geometry g (closure:
+    'on' means on a boundary/line/point of g)."""
+    gtype, data = g
+    if data is None:
+        return "out"
+    polys = _polygons_of(g)
+    if polys:
+        states = [_point_in_polygon(p, poly) for poly in polys]
+        if "in" in states:
+            return "in"
+        if "on" in states:
+            return "on"
+        if gtype == "GEOMETRYCOLLECTION":
+            rest = ("GEOMETRYCOLLECTION", [s for s in data if not _polygons_of(s)])
+            return locate_point(rest, p)
+        return "out"
+    for a, b in _segments_of(g):
+        if _point_on_seg(p, a, b):
+            return "on"
+    for q in _points_of(g) if gtype in ("POINT", "MULTIPOINT", "GEOMETRYCOLLECTION") else []:
+        if _dist2(p, q) < _EPS**2:
+            return "on"
+    return "out"
+
+
+# ------------------------------------------------------------ predicates
+
+
+def intersects(a, b):
+    if a[1] is None or b[1] is None:
+        return False
+    # any vertex of one inside/on the other
+    for p in _points_of(a):
+        if locate_point(b, p) != "out":
+            return True
+    for p in _points_of(b):
+        if locate_point(a, p) != "out":
+            return True
+    # any edge pair crossing
+    for s1 in _segments_of(a):
+        for s2 in _segments_of(b):
+            if _seg_intersection(*s1, *s2):
+                return True
+    return False
+
+
+def disjoint(a, b):
+    return not intersects(a, b)
+
+
+def _edge_samples(g, other):
+    """Sample points of g's edges split at intersections with other's
+    edges — classifies where each sub-edge lies relative to `other`."""
+    samples = []
+    osegs = _segments_of(other)
+    for s in _segments_of(g):
+        cuts = [0.0, 1.0]
+        for o in osegs:
+            for p in _seg_intersection(*s, *o):
+                L = math.sqrt(_dist2(s[0], s[1]))
+                if L > 0:
+                    t = math.sqrt(_dist2(s[0], p)) / L
+                    cuts.append(max(0.0, min(1.0, t)))
+        cuts = sorted(set(cuts))
+        for t0, t1 in zip(cuts, cuts[1:]):
+            tm = (t0 + t1) / 2
+            samples.append((s[0][0] + tm * (s[1][0] - s[0][0]), s[0][1] + tm * (s[1][1] - s[0][1])))
+    return samples
+
+
+def _interior_point(rings):
+    """A point strictly inside the polygon (scanline midpoint method)."""
+    shell = rings[0]
+    ys = sorted({p[1] for p in shell})
+    candidates = [(ys[i] + ys[i + 1]) / 2 for i in range(len(ys) - 1)] or [ys[0]]
+    for y in candidates:
+        xs = []
+        for i in range(len(shell) - 1):
+            (x1, y1), (x2, y2) = shell[i], shell[i + 1]
+            if (y1 > y) != (y2 > y):
+                xs.append(x1 + (y - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        for x0, x1 in zip(xs[::2], xs[1::2]):
+            p = ((x0 + x1) / 2, y)
+            if _point_in_polygon(p, rings) == "in":
+                return p
+    return None
+
+
+def contains(a, b):
+    """OGC ST_Contains: no point of b in the exterior of a, and interiors
+    intersect (a point of b strictly interior to a)."""
+    if a[1] is None or b[1] is None:
+        return False
+    probe = _points_of(b) + _edge_samples(b, a)
+    for poly in _polygons_of(b):
+        ip = _interior_point(poly)
+        if ip is not None:
+            probe.append(ip)
+    interior_hit = False
+    for p in probe:
+        loc = locate_point(a, p)
+        if loc == "out":
+            return False
+        if loc == "in":
+            interior_hit = True
+    if _polygons_of(a):
+        return interior_hit
+    # line/point containers: b must lie on a entirely; dimension rule —
+    # a line contains points/lines on it, a point only an equal point.
+    if a[0] in ("LINESTRING", "MULTILINESTRING"):
+        return True
+    return b[0] in ("POINT", "MULTIPOINT")
+
+
+def within(a, b):
+    return contains(b, a)
+
+
+def equals(a, b):
+    return contains(a, b) and contains(b, a) if _dim(a) == _dim(b) else False
+
+
+def touches(a, b):
+    if not intersects(a, b):
+        return False
+    # interiors must not intersect: every contact is boundary-only
+    probe_a = _points_of(a) + _edge_samples(a, b)
+    probe_b = _points_of(b) + _edge_samples(b, a)
+    for poly in _polygons_of(a):
+        ip = _interior_point(poly)
+        if ip is not None and locate_point(b, ip) == "in":
+            return False
+    for poly in _polygons_of(b):
+        ip = _interior_point(poly)
+        if ip is not None and locate_point(a, ip) == "in":
+            return False
+    for p in probe_a:
+        if locate_point(b, p) == "in" and _dim(a) > 0:
+            return False
+    for p in probe_b:
+        if locate_point(a, p) == "in":
+            return False
+    return True
+
+
+def crosses(a, b):
+    if not intersects(a, b):
+        return False
+    da, db = _dim(a), _dim(b)
+    if da == 1 and db == 2:
+        samples = _edge_samples(a, b)
+        return any(locate_point(b, p) == "in" for p in samples) and any(
+            locate_point(b, p) == "out" for p in samples
+        )
+    if da == 2 and db == 1:
+        return crosses(b, a)
+    if da == 1 and db == 1:
+        cross_pts = [
+            p for s1 in _segments_of(a) for s2 in _segments_of(b) for p in _seg_intersection(*s1, *s2)
+        ]
+        return len(cross_pts) > 0 and not contains(a, b) and not contains(b, a) and not _collinear_overlap(a, b)
+    if da == 0:
+        pts = _points_of(a)
+        ins = [locate_point(b, p) != "out" for p in pts]
+        return any(ins) and not all(ins)
+    return False
+
+
+def _collinear_overlap(a, b):
+    for s1 in _segments_of(a):
+        for s2 in _segments_of(b):
+            pts = _seg_intersection(*s1, *s2)
+            if len(pts) == 2:
+                return True
+    return False
+
+
+def overlaps(a, b):
+    if _dim(a) != _dim(b) or not intersects(a, b):
+        return False
+    if contains(a, b) or contains(b, a):
+        return False
+    if _dim(a) == 2:
+        ia = any(locate_point(b, p) == "in" for p in _points_of(a) + _edge_samples(a, b))
+        ib = any(locate_point(a, p) == "in" for p in _points_of(b) + _edge_samples(b, a))
+        return ia or ib
+    if _dim(a) == 1:
+        return _collinear_overlap(a, b)
+    pa, pb = set(_points_of(a)), set(_points_of(b))
+    return bool(pa & pb) and bool(pa - pb) and bool(pb - pa)
+
+
+def _dim(g):
+    gtype = g[0]
+    if gtype in ("POINT", "MULTIPOINT"):
+        return 0
+    if gtype in ("LINESTRING", "MULTILINESTRING"):
+        return 1
+    if gtype in ("POLYGON", "MULTIPOLYGON"):
+        return 2
+    return max((_dim(s) for s in g[1] or []), default=0)
+
+
+# -------------------------------------------------------------- measures
+
+
+def ring_area(ring):
+    s = 0.0
+    for i in range(len(ring) - 1):
+        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return s / 2.0
+
+
+def area(g):
+    gtype, data = g
+    if data is None:
+        return 0.0
+    if gtype == "POLYGON":
+        return abs(ring_area(data[0])) - sum(abs(ring_area(r)) for r in data[1:])
+    if gtype == "MULTIPOLYGON":
+        return sum(area(("POLYGON", poly)) for poly in data)
+    if gtype == "GEOMETRYCOLLECTION":
+        return sum(area(s) for s in data)
+    return 0.0
+
+
+def length(g):
+    return sum(math.sqrt(_dist2(a, b)) for a, b in _segments_of(g))
+
+
+def distance(a, b):
+    if a[1] is None or b[1] is None:
+        return None
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    pa, pb = _points_of(a), _points_of(b)
+    sa, sb = _segments_of(a), _segments_of(b)
+    for p in pa:
+        for q in pb:
+            best = min(best, math.sqrt(_dist2(p, q)))
+        for s in sb:
+            best = min(best, _pt_seg_dist(p, *s)[0])
+    for q in pb:
+        for s in sa:
+            best = min(best, _pt_seg_dist(q, *s)[0])
+    for s1 in sa:
+        for s2 in sb:
+            best = min(best, _seg_seg_nearest(*s1, *s2)[0])
+    return best
+
+
+def nearest_points(a, b):
+    if a[1] is None or b[1] is None:
+        return None
+    if intersects(a, b):
+        for p in _points_of(a):
+            if locate_point(b, p) != "out":
+                return (p, p)
+        for s1 in _segments_of(a):
+            for s2 in _segments_of(b):
+                hit = _seg_intersection(*s1, *s2)
+                if hit:
+                    return (hit[0], hit[0])
+    best = (math.inf, None, None)
+    sa = _segments_of(a) or [(p, p) for p in _points_of(a)]
+    sb = _segments_of(b) or [(p, p) for p in _points_of(b)]
+    for s1 in sa:
+        for s2 in sb:
+            d, p, q = _seg_seg_nearest(*s1, *s2)
+            if d < best[0]:
+                best = (d, p, q)
+    return (best[1], best[2])
+
+
+def centroid(g):
+    gtype, data = g
+    if data is None:
+        return None
+    if gtype == "POINT":
+        return data
+    if gtype == "MULTIPOINT":
+        xs, ys = zip(*data)
+        return (sum(xs) / len(xs), sum(ys) / len(ys))
+    if gtype in ("LINESTRING", "MULTILINESTRING"):
+        tot = cx = cy = 0.0
+        for a, b in _segments_of(g):
+            w = math.sqrt(_dist2(a, b))
+            tot += w
+            cx += w * (a[0] + b[0]) / 2
+            cy += w * (a[1] + b[1]) / 2
+        if tot == 0:
+            return _points_of(g)[0]
+        return (cx / tot, cy / tot)
+    if gtype in ("POLYGON", "MULTIPOLYGON"):
+        tot = cx = cy = 0.0
+        for poly in _polygons_of(g):
+            for k, ring in enumerate(poly):
+                sgn = 1.0 if k == 0 else -1.0
+                a2 = ring_area(ring)
+                w = sgn * abs(a2)
+                rx = ry = 0.0
+                for i in range(len(ring) - 1):
+                    cross = ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                    rx += (ring[i][0] + ring[i + 1][0]) * cross
+                    ry += (ring[i][1] + ring[i + 1][1]) * cross
+                if a2 != 0:
+                    rx /= 6 * a2
+                    ry /= 6 * a2
+                tot += w
+                cx += w * rx
+                cy += w * ry
+        if tot == 0:
+            return centroid(("MULTIPOINT", _points_of(g)))
+        return (cx / tot, cy / tot)
+    pts = _points_of(g)
+    xs, ys = zip(*pts)
+    return (sum(xs) / len(xs), sum(ys) / len(ys))
+
+
+def envelope(g):
+    pts = _points_of(g)
+    if not pts:
+        return ("POLYGON", None)
+    xs, ys = zip(*pts)
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    return ("POLYGON", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+
+def convex_hull(pts):
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    lower, upper = [], []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def simplify(g, tol):
+    """Douglas–Peucker on each linework component."""
+
+    def dp(pts):
+        if len(pts) < 3:
+            return pts
+        a, b = pts[0], pts[-1]
+        imax, dmax = 0, -1.0
+        for i in range(1, len(pts) - 1):
+            d, _ = _pt_seg_dist(pts[i], a, b)
+            if d > dmax:
+                imax, dmax = i, d
+        if dmax <= tol:
+            return [a, b]
+        left = dp(pts[: imax + 1])
+        return left[:-1] + dp(pts[imax:])
+
+    gtype, data = g
+    if data is None:
+        return g
+    if gtype == "LINESTRING":
+        return (gtype, dp(data))
+    if gtype == "MULTILINESTRING":
+        return (gtype, [dp(line) for line in data])
+    if gtype == "POLYGON":
+        rings = [r for r in (dp(r) for r in data) if len(r) >= 4]
+        return (gtype, rings or None)
+    if gtype == "MULTIPOLYGON":
+        polys = []
+        for poly in data:
+            rings = [r for r in (dp(r) for r in poly) if len(r) >= 4]
+            if rings:
+                polys.append(rings)
+        return (gtype, polys or None)
+    return g
+
+
+def is_valid(g):
+    return invalid_reason(g) is None
+
+
+def invalid_reason(g):
+    gtype, data = g
+    if data is None:
+        return None
+    for poly in _polygons_of(g):
+        for ring in poly:
+            if len(ring) < 4:
+                return "Polygon ring has fewer than 4 points"
+            if ring[0] != ring[-1]:
+                return "Polygon ring is not closed"
+            # self-intersection: non-adjacent edges must not touch
+            n = len(ring) - 1
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if j == i + 1 or (i == 0 and j == n - 1):
+                        continue
+                    if _seg_intersection(ring[i], ring[i + 1], ring[j], ring[j + 1]):
+                        return "Polygon ring self-intersects"
+    if gtype in ("LINESTRING",) and len(data) < 2:
+        return "LineString has fewer than 2 points"
+    return None
+
+
+def is_simple(g):
+    gtype, data = g
+    if gtype in ("LINESTRING", "MULTILINESTRING") and data:
+        segs = _segments_of(g)
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                pts = _seg_intersection(*segs[i], *segs[j])
+                if not pts:
+                    continue
+                adjacent = segs[i][1] == segs[j][0] or segs[j][1] == segs[i][0]
+                if len(pts) > 1 or not adjacent:
+                    # allow shared endpoint contact only
+                    if not all(
+                        any(_dist2(p, e) < _EPS**2 for e in (segs[i][0], segs[i][1], segs[j][0], segs[j][1]))
+                        for p in pts
+                    ) or len(pts) > 1:
+                        return False
+    if gtype == "MULTIPOINT" and data:
+        return len(set(data)) == len(data)
+    return invalid_reason(g) is None
+
+
+# --------------------------------------------- Greiner–Hormann clipping
+
+
+def _gh_clip(subject, clip, op):
+    """Greiner–Hormann boolean op on two simple rings (no holes).
+    op: 'intersection' | 'union' | 'difference'. Returns list of rings."""
+    subject = subject[:-1] if subject[0] == subject[-1] else subject[:]
+    clip = clip[:-1] if clip[0] == clip[-1] else clip[:]
+    if ring_area(subject + [subject[0]]) < 0:
+        subject.reverse()
+    if ring_area(clip + [clip[0]]) < 0:
+        clip.reverse()
+
+    class V:
+        __slots__ = ("pt", "next", "prev", "neighbor", "entry", "alpha", "inter")
+
+        def __init__(self, pt, alpha=0.0, inter=False):
+            self.pt, self.alpha, self.inter = pt, alpha, inter
+            self.next = self.prev = self.neighbor = None
+            self.entry = True
+
+    def build(ring):
+        head = None
+        for p in ring:
+            v = V(p)
+            if head is None:
+                head = v
+                v.next = v.prev = v
+            else:
+                last = head.prev
+                last.next = v
+                v.prev = last
+                v.next = head
+                head.prev = v
+        return head
+
+    def verts(head):
+        out, v = [], head
+        while True:
+            out.append(v)
+            v = v.next
+            if v is head:
+                break
+        return out
+
+    s_head, c_head = build(subject), build(clip)
+    # insert intersection vertices
+    any_inter = False
+    for sv in [v for v in verts(s_head) if not v.inter]:
+        s_next = sv.next
+        while s_next.inter:
+            s_next = s_next.next
+        for cv in [v for v in verts(c_head) if not v.inter]:
+            c_next = cv.next
+            while c_next.inter:
+                c_next = c_next.next
+            hit = _seg_intersection(sv.pt, s_next.pt, cv.pt, c_next.pt)
+            if len(hit) != 1:
+                continue
+            p = hit[0]
+            if any(_dist2(p, e.pt) < _EPS**2 for e in (sv, s_next, cv, c_next)):
+                continue  # degenerate vertex contact: treated by locate fallback
+            any_inter = True
+            La = math.sqrt(_dist2(sv.pt, s_next.pt))
+            Lb = math.sqrt(_dist2(cv.pt, c_next.pt))
+            a1 = math.sqrt(_dist2(sv.pt, p)) / La
+            a2 = math.sqrt(_dist2(cv.pt, p)) / Lb
+            i1, i2 = V(p, a1, True), V(p, a2, True)
+            i1.neighbor, i2.neighbor = i2, i1
+
+            def insert(iv, start):
+                pos = start
+                nxt = pos.next
+                while nxt.inter and nxt.alpha < iv.alpha:
+                    pos, nxt = nxt, nxt.next
+                iv.next, iv.prev = nxt, pos
+                pos.next = iv
+                nxt.prev = iv
+
+            insert(i1, sv)
+            insert(i2, cv)
+
+    s_ring = subject + [subject[0]]
+    c_ring = clip + [clip[0]]
+    if not any_inter:
+        # no proper crossings: nested, disjoint, or boundary-contact-only.
+        # With no crossings, one ring lies inside the other iff ALL its
+        # vertices avoid the other's exterior (vertices may sit ON the
+        # boundary, e.g. edge-adjacent squares -> neither is inside).
+        s_in_c = all(_point_in_ring(p, c_ring) != "out" for p in subject) and any(
+            _point_in_ring(p, c_ring) == "in" for p in subject
+        )
+        c_in_s = all(_point_in_ring(p, s_ring) != "out" for p in clip) and any(
+            _point_in_ring(p, s_ring) == "in" for p in clip
+        )
+        if not s_in_c and not c_in_s:
+            # identical rings (all vertices on both boundaries)
+            if all(_point_in_ring(p, c_ring) == "on" for p in subject) and all(
+                _point_in_ring(p, s_ring) == "on" for p in clip
+            ):
+                s_in_c = c_in_s = True
+        if op == "intersection":
+            if s_in_c:
+                return [s_ring]
+            if c_in_s:
+                return [c_ring]
+            return []
+        if op == "union":
+            if s_in_c:
+                return [c_ring]
+            if c_in_s:
+                return [s_ring]
+            return [s_ring, c_ring]
+        # difference
+        if s_in_c:
+            return []
+        if c_in_s:
+            return [s_ring, c_ring[::-1]]  # hole
+        return [s_ring]
+
+    # entry/exit flags. Base rule: the first crossing along a chain is an
+    # ENTRY into the other polygon iff the chain starts outside it.
+    # Operation table (Greiner–Hormann): intersection = (base, base),
+    # union = (inverted, inverted), difference A-B = (inverted, base).
+    def mark(head, other_ring, invert):
+        status = _point_in_ring(head.pt, other_ring) == "out"
+        if invert:
+            status = not status
+        v = head
+        while True:
+            if v.inter:
+                v.entry = status
+                status = not status
+            v = v.next
+            if v is head:
+                break
+
+    mark(s_head, c_ring, invert=(op in ("union", "difference")))
+    mark(c_head, s_ring, invert=(op == "union"))
+
+    unprocessed = [v for v in verts(s_head) if v.inter]
+    results = []
+    done = set()
+    while unprocessed:
+        start = unprocessed.pop()
+        if id(start) in done:
+            continue
+        ring = [start.pt]
+        cur = start
+        while True:
+            done.add(id(cur))
+            done.add(id(cur.neighbor))
+            if cur.entry:
+                while True:
+                    cur = cur.next
+                    ring.append(cur.pt)
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    cur = cur.prev
+                    ring.append(cur.pt)
+                    if cur.inter:
+                        break
+            cur = cur.neighbor
+            if _dist2(cur.pt, start.pt) < _EPS**2:
+                break
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        if len(ring) >= 4 and abs(ring_area(ring)) > _EPS**2:
+            results.append(ring)
+        unprocessed = [v for v in unprocessed if id(v) not in done]
+    return results
+
+
+def _as_polygon_result(rings):
+    """Assemble traversal rings into POLYGON/MULTIPOLYGON. Orientation is
+    a traversal artifact, not meaning: a ring is a HOLE only if its
+    interior lies inside another ring; every other ring is a shell
+    (normalized counter-clockwise)."""
+    if not rings:
+        return ("POLYGON", None)
+
+    def ring_inside(r, other):
+        return all(_point_in_ring(p, other) != "out" for p in r) and any(
+            _point_in_ring(p, other) == "in" for p in r
+        )
+
+    holes, shells = [], []
+    for i, r in enumerate(rings):
+        depth = sum(1 for j in range(len(rings)) if j != i and ring_inside(r, rings[j]))
+        if depth % 2 == 1:
+            holes.append(r if ring_area(r) < 0 else r[::-1])
+        else:
+            shells.append(r if ring_area(r) > 0 else r[::-1])
+    if not shells:
+        return ("POLYGON", rings)
+    polys = []
+    for s in shells:
+        poly = [s]
+        for h in holes:
+            if ring_inside(h, s):
+                poly.append(h)
+        polys.append(poly)
+    if len(polys) == 1:
+        return ("POLYGON", polys[0])
+    return ("MULTIPOLYGON", polys)
+
+
+def _poly_boolean(a, b, op):
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if any(len(poly) > 1 for poly in pa + pb):
+        raise ValueError(f"ST_{op.capitalize()}: polygons with holes are not supported")
+    rings = []
+    if len(pa) == 1 and len(pb) == 1:
+        rings = _gh_clip(pa[0][0], pb[0][0], op)
+    else:
+        raise ValueError(f"ST_{op.capitalize()}: multi-polygon inputs are not supported")
+    return _as_polygon_result(rings)
+
+
+def intersection(a, b):
+    da, db = _dim(a), _dim(b)
+    if min(da, db) == 0:  # point side
+        pts_g, other = (a, b) if da == 0 else (b, a)
+        hits = [p for p in _points_of(pts_g) if locate_point(other, p) != "out"]
+        if not hits:
+            return ("POINT", None) if len(_points_of(pts_g)) <= 1 else ("MULTIPOINT", None)
+        return ("POINT", hits[0]) if len(hits) == 1 else ("MULTIPOINT", hits)
+    if da == 2 and db == 2:
+        return _poly_boolean(a, b, "intersection")
+    if da == 1 and db == 1:
+        pts = []
+        for s1 in _segments_of(a):
+            for s2 in _segments_of(b):
+                for p in _seg_intersection(*s1, *s2):
+                    if not any(_dist2(p, q) < _EPS**2 for q in pts):
+                        pts.append(p)
+        if not pts:
+            return ("POINT", None)
+        return ("POINT", pts[0]) if len(pts) == 1 else ("MULTIPOINT", pts)
+    # line ∩ polygon: clip each segment to the polygon interior
+    line, poly = (a, b) if da == 1 else (b, a)
+    pieces = []
+    for s in _segments_of(line):
+        cuts = [0.0, 1.0]
+        L = math.sqrt(_dist2(s[0], s[1]))
+        if L == 0:
+            continue
+        for ps in _segments_of(poly):
+            for p in _seg_intersection(*s, *ps):
+                cuts.append(math.sqrt(_dist2(s[0], p)) / L)
+        cuts = sorted(set(min(1.0, max(0.0, t)) for t in cuts))
+        for t0, t1 in zip(cuts, cuts[1:]):
+            tm = (t0 + t1) / 2
+            mid = (s[0][0] + tm * (s[1][0] - s[0][0]), s[0][1] + tm * (s[1][1] - s[0][1]))
+            if locate_point(poly, mid) != "out":
+                p0 = (s[0][0] + t0 * (s[1][0] - s[0][0]), s[0][1] + t0 * (s[1][1] - s[0][1]))
+                p1 = (s[0][0] + t1 * (s[1][0] - s[0][0]), s[0][1] + t1 * (s[1][1] - s[0][1]))
+                pieces.append([p0, p1])
+    if not pieces:
+        return ("LINESTRING", None)
+    merged = _merge_lines(pieces)
+    return ("LINESTRING", merged[0]) if len(merged) == 1 else ("MULTILINESTRING", merged)
+
+
+def _merge_lines(pieces):
+    merged = [list(p) for p in pieces]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(merged)):
+            for j in range(len(merged)):
+                if i == j:
+                    continue
+                if merged[i] and merged[j] and _dist2(merged[i][-1], merged[j][0]) < _EPS**2:
+                    merged[i] = merged[i] + merged[j][1:]
+                    merged[j] = []
+                    changed = True
+        merged = [m for m in merged if m]
+    return merged
+
+
+def union(a, b):
+    da, db = _dim(a), _dim(b)
+    if da == 2 and db == 2:
+        return _poly_boolean(a, b, "union")
+    if da == 0 and db == 0:
+        pts = []
+        for p in _points_of(a) + _points_of(b):
+            if not any(_dist2(p, q) < _EPS**2 for q in pts):
+                pts.append(p)
+        return ("POINT", pts[0]) if len(pts) == 1 else ("MULTIPOINT", pts)
+    if da == 1 and db == 1:
+        lines = ([_points_of(a)] if a[0] == "LINESTRING" else list(a[1] or [])) + (
+            [_points_of(b)] if b[0] == "LINESTRING" else list(b[1] or [])
+        )
+        return ("MULTILINESTRING", lines)
+    return ("GEOMETRYCOLLECTION", [a, b])
+
+
+def difference(a, b):
+    if _dim(a) == 2 and _dim(b) == 2:
+        return _poly_boolean(a, b, "difference")
+    if _dim(a) == 0:
+        keep = [p for p in _points_of(a) if locate_point(b, p) == "out"]
+        if not keep:
+            return ("POINT", None)
+        return ("POINT", keep[0]) if len(keep) == 1 else ("MULTIPOINT", keep)
+    raise ValueError("ST_Difference: unsupported geometry combination")
+
+
+def sym_difference(a, b):
+    if _dim(a) == 0 and _dim(b) == 0:
+        pa = _points_of(a)
+        pb = _points_of(b)
+        keep = [p for p in pa if not any(_dist2(p, q) < _EPS**2 for q in pb)] + [
+            q for q in pb if not any(_dist2(q, p) < _EPS**2 for p in pa)
+        ]
+        if not keep:
+            return ("POINT", None)
+        return ("POINT", keep[0]) if len(keep) == 1 else ("MULTIPOINT", keep)
+    d1 = difference(a, b)
+    d2 = difference(b, a)
+    parts = [g for g in (d1, d2) if g[1]]
+    if not parts:
+        return ("POLYGON", None)
+    if len(parts) == 1:
+        return parts[0]
+    polys = [p for g in parts for p in _polygons_of(g)]
+    return ("MULTIPOLYGON", polys)
+
+
+# ----------------------------------------------------------- constructive
+
+
+def buffer_geometry(g, dist, n=32):
+    """Round buffer. Full support for points/multipoints (N-gon circles,
+    the dominant reference usage); other inputs raise — the honest gate,
+    like the multimodal codec gates."""
+    if _dim(g) == 0:
+        circles = []
+        for (x, y) in _points_of(g):
+            ring = [
+                (x + dist * math.cos(2 * math.pi * i / n), y + dist * math.sin(2 * math.pi * i / n))
+                for i in range(n)
+            ]
+            ring.append(ring[0])
+            circles.append([ring])
+        if len(circles) == 1:
+            return ("POLYGON", circles[0])
+        return ("MULTIPOLYGON", circles)
+    raise ValueError("ST_Buffer: only point buffers are supported")
+
+
+def min_bounding_circle(pts):
+    """Welzl's algorithm (randomized expected O(n))."""
+    import random
+
+    pts = list(set(pts))
+    random.Random(7).shuffle(pts)
+
+    def circle2(a, b):
+        return ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2, math.sqrt(_dist2(a, b)) / 2)
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-30:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        return (ux, uy, math.sqrt((ax - ux) ** 2 + (ay - uy) ** 2))
+
+    def inside(c, p):
+        return c and math.sqrt((p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2) <= c[2] + 1e-9
+
+    c = None
+    for i, p in enumerate(pts):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = pts[j]
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k in range(j):
+                r = pts[k]
+                if inside(c, r):
+                    continue
+                c = circle3(p, q, r) or c
+    return c
+
+
+def line_locate(line_pts, p):
+    """Fraction of line length at the point on the line closest to p."""
+    total = sum(math.sqrt(_dist2(a, b)) for a, b in zip(line_pts, line_pts[1:]))
+    if total == 0:
+        return 0.0
+    best = (math.inf, 0.0)
+    walked = 0.0
+    for a, b in zip(line_pts, line_pts[1:]):
+        d, q = _pt_seg_dist(p, a, b)
+        if d < best[0]:
+            best = (d, walked + math.sqrt(_dist2(a, q)))
+        walked += math.sqrt(_dist2(a, b))
+    return best[1] / total
+
+
+def line_interpolate(line_pts, frac):
+    total = sum(math.sqrt(_dist2(a, b)) for a, b in zip(line_pts, line_pts[1:]))
+    target = frac * total
+    walked = 0.0
+    for a, b in zip(line_pts, line_pts[1:]):
+        seg = math.sqrt(_dist2(a, b))
+        if walked + seg >= target and seg > 0:
+            t = (target - walked) / seg
+            return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+        walked += seg
+    return line_pts[-1]
+
+
+# --------------------------------------------------------------- geodesy
+
+EARTH_RADIUS_KM = 6371.01  # GeoFunctions.java GreatCircleDistance
+
+
+def great_circle_km(lat1, lng1, lat2, lng2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lng2 - lng1)
+    h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+
+def spherical_distance_m(a, b):
+    """ST_Distance on SphericalGeography: meters between two lng/lat points."""
+    return great_circle_km(a[1], a[0], b[1], b[0]) * 1000.0
+
+
+def spherical_area_m2(g):
+    """Spherical excess (l'Huilier) polygon area in m² on the sphere."""
+    R = EARTH_RADIUS_KM * 1000.0
+    total = 0.0
+    for poly in _polygons_of(g):
+        for k, ring in enumerate(poly):
+            pts = [(math.radians(x), math.radians(y)) for x, y in ring[:-1]]
+            s = 0.0
+            for i in range(len(pts)):
+                (l1, p1), (l2, p2) = pts[i], pts[(i + 1) % len(pts)]
+                s += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
+            area_k = abs(s) / 2.0 * R * R
+            total += area_k if k == 0 else -area_k
+    return total
