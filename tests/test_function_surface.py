@@ -249,3 +249,20 @@ def test_ml_sql_surface(eng):
         " features(f1)) AS m FROM (VALUES (2.0, 1.0), (4.0, 2.0), (6.0, 3.0)) t(l, f1))",
     )
     assert abs(got - 8.0) < 1e-6
+
+
+# --------------------------------------------------------- typed literals
+
+
+def test_typed_literals(eng):
+    assert _one(eng, "SELECT REAL '1.5'") == 1.5
+    assert _one(eng, "SELECT DOUBLE '1.5'") == 1.5
+    assert _one(eng, "SELECT DOUBLE PRECISION '2.5'") == 2.5
+    assert _one(eng, "SELECT BIGINT '42'") == 42
+    assert _one(eng, "SELECT SMALLINT '4'") == 4
+    assert _one(eng, "SELECT VARCHAR 'x'") == "x"
+    assert _one(eng, "SELECT JSON '[1,2]'") == "[1,2]"
+    assert _one(eng, "SELECT to_hex(to_ieee754_32(REAL '1.0'))") == "3F800000"
+    # Spark-native typed literals keep working
+    assert str(_one(eng, "SELECT DATE '2024-01-01'")) == "2024-01-01"
+    assert float(_one(eng, "SELECT DECIMAL '1.5'")) == 1.5

@@ -1075,6 +1075,57 @@ def _rewrite_decimal_literal(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_TYPED_LIT = {  # grammar SqlBase.g4 #typeConstructor: <type> 'literal'
+    "REAL": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "BIGINT": "BIGINT",
+    "INTEGER": "INT",
+    "INT": "INT",
+    "SMALLINT": "SMALLINT",
+    "TINYINT": "TINYINT",
+    "VARCHAR": "STRING",
+    "CHAR": "STRING",
+    "BOOLEAN": "BOOLEAN",
+    "JSON": "STRING",  # JSON carrier is varchar (json_parse/json_format)
+    "UUID": "STRING",
+    "IPADDRESS": "STRING",
+}
+
+
+def _rewrite_typed_literal(toks: list[Tok]) -> list[Tok]:
+    """Typed literals `REAL '1.5'`, `BIGINT '42'`, `JSON '[1]'` ->
+    CAST('..' AS t). DATE/TIMESTAMP/TIME/DECIMAL/INTERVAL literals are
+    Spark-native (DECIMAL has its own precision-sizing pass above)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        j = next_code(toks, i + 1)
+        if (
+            t.kind == "WORD"
+            and t.text.upper() in _TYPED_LIT
+            and j < len(toks)
+            and toks[j].kind == "STR"
+        ):
+            out.extend(tokenize(f"CAST({toks[j].text} AS {_TYPED_LIT[t.text.upper()]})"))
+            i = j + 1
+            continue
+        if (
+            t.kind == "WORD"
+            and t.text.upper() == "DOUBLE"
+            and j < len(toks)
+            and toks[j].is_word("PRECISION")
+        ):
+            k = next_code(toks, j + 1)
+            if k < len(toks) and toks[k].kind == "STR":
+                out.extend(tokenize(f"CAST({toks[k].text} AS DOUBLE)"))
+                i = k + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_offset_limit(toks: list[Tok]) -> list[Tok]:
     """Trino `OFFSET n [ROW|ROWS] LIMIT m` -> Spark `LIMIT m OFFSET n`
     (Spark requires LIMIT before OFFSET)."""
@@ -1289,6 +1340,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_qident(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
+    toks = _rewrite_typed_literal(toks)
     toks = _rewrite_row(toks)
     toks = _rewrite_quantified(toks)
     toks = _rewrite_niladic(toks)
