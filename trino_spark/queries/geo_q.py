@@ -381,3 +381,51 @@ def geo_bing_tiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("parent")
     )
+
+
+@REG.add(
+    "geo_sql_surface",
+    """
+    SELECT c_custkey % 50 AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(sqrt(power((c_custkey % 17) - 8.0, 2)
+                        + power((c_custkey % 13) - 6.0, 2))) * 1e4 + 0.5) / 1e4
+             AS sum_dist,
+           CAST(sum(CASE WHEN (c_custkey % 17) > 2 AND (c_custkey % 17) < 14
+                          AND (c_custkey % 13) > 2 AND (c_custkey % 13) < 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+    FROM customer
+    GROUP BY c_custkey % 50
+    ORDER BY cell
+    """,
+)
+def geo_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-4 verbatim-SQL geospatial surface (functions/geosql.py
+    over the WKT kernel), driven end-to-end through TrinoEngine.sql:
+    ST_Point / ST_Distance / ST_GeometryFromText / ST_Contains evaluate
+    as the reference spells them (GeoFunctions.java), while the DuckDB
+    oracle recomputes the same closed forms in plain arithmetic —
+    distance via the Euclidean formula, containment via strict interval
+    bounds (matching OGC ST_Contains boundary exclusion). Integer-derived
+    coordinates keep every value exact; the distance sum is grid-snapped
+    on both sides."""
+    from trino_spark.dialect import TrinoEngine
+
+    return TrinoEngine(spark, sf).sql(
+        """
+        SELECT c_custkey % 50 AS cell,
+               count(*) AS n,
+               floor(sum(ST_Distance(
+                   ST_Point(CAST(c_custkey % 17 AS DOUBLE),
+                            CAST(c_custkey % 13 AS DOUBLE)),
+                   ST_Point(8.0, 6.0))) * 1e4 + 0.5) / 1e4 AS sum_dist,
+               sum(CASE WHEN ST_Contains(
+                   ST_GeometryFromText('POLYGON ((2 2, 14 2, 14 10, 2 10, 2 2))'),
+                   ST_Point(CAST(c_custkey % 17 AS DOUBLE),
+                            CAST(c_custkey % 13 AS DOUBLE))) THEN 1 ELSE 0 END)
+                 AS n_inside
+        FROM customer
+        GROUP BY c_custkey % 50
+        ORDER BY cell
+        """
+    )
