@@ -36,7 +36,9 @@ _RENAME = {
     "approx_distinct": "approx_count_distinct",
     "approx_percentile": "percentile_approx",
     "arbitrary": "any_value",
-    "cardinality": "size",
+    # "cardinality" handled as a template below (array/map -> size, with a
+    # sketch-expression heuristic for the cardinality(merge(approx_set(x)))
+    # HLL idiom).
     "codepoint": "ascii",
     "from_unixtime": "timestamp_seconds",
     "to_base64": "base64",
@@ -118,6 +120,29 @@ def _t_format_datetime(args: list[str]) -> str:
 
 def _t_parse_datetime(args: list[str]) -> str:
     return f"to_timestamp({args[0]}, {args[1]})"
+
+
+_TERADATA_TOKENS = [  # longest-match-first; Teradata -> java.time
+    ("HH24", "HH"), ("MI", "mm"), ("SS", "ss"), ("YYYY", "yyyy"),
+    ("YY", "yy"), ("MM", "MM"), ("DD", "dd"), ("HH", "hh"),
+]
+
+
+def _teradata_to_java(quoted: str) -> str:
+    """Translate a quoted Teradata datetime pattern literal to java.time."""
+    s = quoted.strip("'")
+    out, i = [], 0
+    up = s.upper()
+    while i < len(up):
+        for tok, java in _TERADATA_TOKENS:
+            if up.startswith(tok, i):
+                out.append(java)
+                i += len(tok)
+                break
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 def _t_wilson(sign: int):
@@ -440,6 +465,31 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     # trino-ml FeaturesFunctions: feature-vector constructor (the model
     # functions in functions/sqlagg.py consume the array form).
     "features": lambda args: f"array({', '.join(f'CAST({a} AS DOUBLE)' for a in args)})",
+    # cardinality overloads on arrays/maps AND sketches; Spark's size()
+    # only takes the former. The sketch overload is detected textually —
+    # the documented idiom is cardinality(merge(approx_set(x))).
+    "cardinality": lambda args: (
+        f"CAST(hll_sketch_estimate({args[0]}) AS BIGINT)"
+        if any(k in args[0].lower() for k in ("approx_set", "hll_", "merge("))
+        else f"size({args[0]})"
+    ),
+    # format_number: Trino's 1-arg K/M/B/T humanizer; Spark's own 2-arg
+    # decimal formatter passes through untouched.
+    "format_number": lambda args: (
+        f"format_number_short({args[0]})" if len(args) == 1 else f"format_number({', '.join(args)})"
+    ),
+    # Teradata to_timestamp/to_date (TeradataDateFunctions): translate the
+    # Teradata pattern tokens to java.time when the pattern is a literal.
+    "to_timestamp": lambda args: (
+        f"to_timestamp({args[0]}, '{_teradata_to_java(args[1])}')"
+        if len(args) == 2 and args[1].startswith("'")
+        else f"to_timestamp({', '.join(args)})"
+    ),
+    "to_date": lambda args: (
+        f"to_date({args[0]}, '{_teradata_to_java(args[1])}')"
+        if len(args) == 2 and args[1].startswith("'")
+        else f"to_date({', '.join(args)})"
+    ),
     "checksum": lambda args: (
         # Order-insensitive aggregate checksum (ChecksumAggregationFunction
         # .java): sum of per-row 64-bit hashes, overflow-wrapping. BIGINT

@@ -578,3 +578,24 @@ def register_sql_functions_r4(spark: SparkSession) -> None:
     reg("rgb", _rgb, "bigint")
     reg("render", _render, "string")
     reg("bar_interpolated", _bar_colored, "string")
+    reg("format_number_short", _format_number_short, "string")
+
+
+def _format_number_short(v):
+    """FormatNumberFunction.java: /1000 loop -> K/M/B/T/Q suffix, #.##
+    precision by magnitude, HALF_UP, trailing zeros stripped."""
+    if v is None:
+        return None
+    v = float(v)
+    units = ["", "K", "M", "B", "T", "Q"]
+    p = 0
+    a = abs(v)
+    while a >= 1000 and p < 5:
+        a /= 1000.0
+        p += 1
+    frac = v / (1000.0**p)
+    decimals = 2 if frac < 10 else (1 if frac < 100 else 0)
+    scale = 10.0**decimals
+    rounded = math.copysign(math.floor(abs(frac) * scale + 0.5) / scale, frac)
+    s = f"{rounded:.2f}".rstrip("0").rstrip(".")
+    return s + units[p]
