@@ -419,9 +419,15 @@ class TrinoEngine:
             # (shared spellings like abs/concat/sum) are not enumerated.
             from trino_spark.dialect import rewrites as _rw
 
+            udfs = sorted(
+                f.name
+                for f in self.spark.catalog.listFunctions()
+                if f.isTemporary and "." not in f.name
+            )
             rows = (
                 [(n, "scalar", "dialect-rename") for n in sorted(_rw._RENAME)]
                 + [(n, "scalar", "dialect-template") for n in sorted(_rw._TEMPLATE)]
+                + [(n, "scalar", "registered-udf") for n in udfs]
                 + [(n.lower(), "routine", "sql") for n in sorted(self.routines)]
                 + [(n.lower(), "routine", "python") for n in sorted(self.python_routines)]
             )
