@@ -95,6 +95,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "dialect_table_optimize",
         "corpus_prepare_e2e",
         "geo_sql_surface",
+        "corpus_chunk_documents",
         # round-4 NEW tpcds queries (cannot have a green row yet),
         # cheapest-first by measured sf0.01 cost
         "tpcds_q93",

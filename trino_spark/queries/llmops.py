@@ -1070,3 +1070,44 @@ def corpus_prepare_e2e(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("stage")
+
+
+@REG.add(
+    "corpus_chunk_documents",
+    """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(greatest(ceil((length(text) - 40) / 160.0), 1) AS BIGINT) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, unnest(range(0, n)) AS chunk_id, text FROM d
+    )
+    SELECT CAST(doc_id % 20 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(length(substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)))
+                AS BIGINT) AS total_chars,
+           CAST(max(chunk_id * 160 + 1) AS BIGINT) AS max_start
+    FROM c
+    GROUP BY doc_id % 20
+    ORDER BY cell
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py): 200-char windows
+    with 40-char overlap — sequence+explode+substring, all codegen, the
+    RAG/pretraining windowing step. The oracle recomputes the identical
+    windows with DuckDB range()+substring; per-bucket chunk counts,
+    character totals, and max window start pin count, slicing, and
+    stride arithmetic simultaneously."""
+    from trino_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(t(spark, sf, "documents"), "text", size=200, overlap=40)
+    return (
+        chunks.groupBy((F.col("doc_id") % 20).cast("bigint").alias("cell"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.length("chunk_text")).cast("bigint").alias("total_chars"),
+            F.max("chunk_start").cast("bigint").alias("max_start"),
+        )
+        .orderBy("cell")
+    )
