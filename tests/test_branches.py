@@ -218,3 +218,21 @@ class TestStatementSurface:
         engine.sql("DROP FUNCTION sq_fn")
         with pytest.raises(Exception, match="function not found"):
             engine.sql("SHOW CREATE FUNCTION missing_fn")
+
+
+class TestRefsAndPropertiesMetadataTables:
+    def test_refs_lists_main_and_branches(self, engine, table):
+        engine.sql(f"CREATE BRANCH audit IN TABLE {table}")
+        engine.sql(f"INSERT INTO {table}@audit SELECT k + 500, name, r FROM {table}@audit WHERE r = 1")
+        rows = {r.name: r for r in engine.sql(f'SELECT * FROM "{table}$refs" ORDER BY name').collect()}
+        assert set(rows) == {"main", "audit"}
+        assert all(r.type == "BRANCH" for r in rows.values())
+        # the branch tip advanced past main's
+        assert rows["audit"].version > rows["main"].version - 1
+
+    def test_properties_surface_set_properties(self, engine, table):
+        engine.sql(f"ALTER TABLE {table} SET PROPERTIES retention_days = '7', owner = 'etl'")
+        rows = {r.key: r.value for r in engine.sql(f'SELECT * FROM "{table}$properties"').collect()}
+        assert rows["retention_days"] == "7" and rows["owner"] == "etl"
+        # empty for a table with no properties set
+        assert engine.sql(f'SELECT count(*) AS c FROM "{table}$refs"').collect()[0].c >= 1

@@ -823,7 +823,9 @@ def _version_dir(engine, name: str, version: int) -> str:
     return os.path.join(_snap_root(name), f"v{version:05d}")
 
 
-_META_RX = re.compile(rf'"?({_IDENT})\$(snapshots|history|files|partitions)"?', re.IGNORECASE)
+_META_RX = re.compile(
+    rf'"?({_IDENT})\$(snapshots|history|files|partitions|refs|properties)"?', re.IGNORECASE
+)
 
 
 def _file_rows(path: str) -> list[tuple]:
@@ -887,6 +889,31 @@ def resolve_metadata_tables(engine, sql: str) -> str:
                 [(p, c[0], c[1], c[2]) for p, c in sorted(agg.items(), key=lambda kv: str(kv[0]))] or [],
                 "partition: string, record_count: bigint, file_count: bigint, "
                 "total_size: bigint",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "refs":
+            # Iceberg RefsTable analog: 'main' plus every branch, each with
+            # the tip version of its own snapshot log.
+            from trino_spark.dialect import branches as _br
+
+            def _tip(log_name: str) -> int:
+                return max((e["version"] for e in _read_log(log_name)), default=0)
+
+            rows = [("main", "BRANCH", _tip(name))] + [
+                (b, "BRANCH", _tip(_br._internal(name, b)))
+                for b in sorted(_br._registry(name))
+            ]
+            view = f"{name}__refs"
+            engine.spark.createDataFrame(
+                rows, "name: string, type: string, version: bigint"
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "properties":
+            # Iceberg PropertiesTable analog: SET PROPERTIES key/values.
+            props = getattr(engine, "_table_properties", {}).get(name, {})
+            view = f"{name}__properties"
+            engine.spark.createDataFrame(
+                sorted(props.items()) or [], "key: string, value: string"
             ).createOrReplaceTempView(view)
             return view
         log = _read_log(name)

@@ -175,7 +175,10 @@ class TrinoEngine:
             from trino_spark.dialect import catalogs as _cats
 
             trino_sql = _cats.resolve(self, trino_sql)
-        if any(k in trino_sql for k in ("$snapshots", "$history", "$files", "$partitions")):
+        if any(
+            k in trino_sql
+            for k in ("$snapshots", "$history", "$files", "$partitions", "$refs", "$properties")
+        ):
             # Iceberg-style metadata tables over the snapshot log / current
             # table directory (SnapshotsTable / HistoryTable / FilesTable /
             # PartitionsTable analogs).
