@@ -266,3 +266,64 @@ def test_typed_literals(eng):
     # Spark-native typed literals keep working
     assert str(_one(eng, "SELECT DATE '2024-01-01'")) == "2024-01-01"
     assert float(_one(eng, "SELECT DECIMAL '1.5'")) == 1.5
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_touches_point_inside_polygon_is_false(eng):
+    sq = "ST_GeometryFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    assert _one(eng, f"SELECT ST_Touches(ST_Point(5, 5), {sq})") is False
+    assert _one(eng, f"SELECT ST_Touches({sq}, ST_Point(5, 5))") is False
+    # boundary contact stays a touch
+    assert _one(eng, f"SELECT ST_Touches(ST_Point(0, 5), {sq})") is True
+
+
+def test_cardinality_heuristic_only_at_top_level(eng):
+    # a column merely NAMED like a sketch must still route to size()
+    got = _one(eng, "SELECT cardinality(split(hll_col, ',')) FROM (VALUES ('a,b,c')) t(hll_col)")
+    assert got == 3
+    got = _one(eng, "SELECT cardinality(approx_set(x)) FROM (VALUES 1, 2) t(x)")
+    assert got == 2
+
+
+def test_wkt_scientific_notation_roundtrip(eng):
+    got = _one(eng, "SELECT ST_X(ST_GeometryFromText(ST_AsText(ST_Point(1e-10, 3e-10))))")
+    assert got == 1e-10
+
+
+def test_show_functions_excludes_spark_builtins(eng):
+    names = {r.function_name for r in eng.sql("SHOW FUNCTIONS").collect()}
+    assert "murmur3" in names and "st_point" in names
+    assert "explode" not in names  # Spark-native spelling, not Trino surface
+
+
+def test_learn_classifier_empty_group_returns_null(eng):
+    got = _one(
+        eng,
+        "SELECT learn_classifier(l, features(f)) FROM"
+        " (VALUES (CAST(NULL AS INT), CAST(NULL AS DOUBLE))) t(l, f)",
+    )
+    assert got is None
+
+
+def test_color_degenerate_range(eng):
+    assert _one(eng, "SELECT color(5.0, 3.0, 3.0, rgb(0,0,0), rgb(255,255,255))") == 0xFFFFFF
+    assert _one(eng, "SELECT color(1.0, 3.0, 3.0, rgb(0,0,0), rgb(255,255,255))") == 0
+
+
+def test_merge_tdigest_and_qdigest(eng):
+    got = _one(
+        eng,
+        "SELECT value_at_quantile(merge_tdigest(d), 0.5) FROM (SELECT tdigest_agg(x) AS d"
+        " FROM (SELECT CAST(id AS DOUBLE) AS x, id % 4 AS g FROM"
+        " (SELECT explode(sequence(1, 1000)) AS id)) GROUP BY g)",
+    )
+    assert abs(got - 500.5) < 10
+    got = _one(
+        eng,
+        "SELECT value_at_quantile(merge_qdigest(d), 0.5) FROM (SELECT qdigest_agg(x) AS d"
+        " FROM (SELECT CAST(id AS DOUBLE) AS x, id % 4 AS g FROM"
+        " (SELECT explode(sequence(1, 1000)) AS id)) GROUP BY g)",
+    )
+    assert abs(got - 500) / 500 < 0.05

@@ -157,7 +157,10 @@ def _worth_materializing(body_toks: list[Tok], refs: int) -> bool:
                 return False
             if u == "FROM":
                 has_from = True
-            elif u == "INTERSECT":
+            elif u == "INTERSECT" and depth == 0:
+                # depth-0 only: a GROUP-BY body with a nested INTERSECT
+                # subquery must stay inline (reference-site predicates
+                # prune through the inlined plan).
                 has_intersect = True
             elif depth == 0:
                 if u in _AGG_WORDS:

@@ -155,11 +155,20 @@ class TrinoEngine:
             from trino_spark.dialect.access import map_outside_literals
 
             _role = getattr(self, "_acl", {}).get("current")
-            _lit = f"array('{_role}')" if _role else "CAST(array() AS ARRAY<STRING>)"
+            _lit = (
+                "array('" + _role.replace("'", "''") + "')"
+                if _role
+                else "CAST(array() AS ARRAY<STRING>)"
+            )
             trino_sql = map_outside_literals(
                 trino_sql,
                 lambda p: re.sub(
-                    r"\bcurrent_groups\s*\(\s*\)", _lit, p, flags=re.IGNORECASE
+                    # replacement via lambda: a role containing backslashes
+                    # must not be parsed for group references
+                    r"\bcurrent_groups\s*\(\s*\)",
+                    lambda _m: _lit,
+                    p,
+                    flags=re.IGNORECASE,
                 ),
             )
         if re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", trino_sql, re.IGNORECASE):
@@ -425,7 +434,14 @@ class TrinoEngine:
             udfs = sorted(
                 f.name
                 for f in self.spark.catalog.listFunctions()
-                if f.isTemporary and "." not in f.name
+                # Spark marks builtins isTemporary too; they resolve to
+                # catalyst expression classes, while session-registered
+                # UDFs carry an UDFRegistration/UserDefined class or none.
+                if f.isTemporary
+                and "." not in f.name
+                and not (f.className or "").startswith(
+                    ("org.apache.spark.sql.catalyst.", "org.apache.spark.sql.execution.")
+                )
             )
             rows = (
                 [(n, "scalar", "dialect-rename") for n in sorted(_rw._RENAME)]

@@ -466,11 +466,17 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     # functions in functions/sqlagg.py consume the array form).
     "features": lambda args: f"array({', '.join(f'CAST({a} AS DOUBLE)' for a in args)})",
     # cardinality overloads on arrays/maps AND sketches; Spark's size()
-    # only takes the former. The sketch overload is detected textually —
-    # the documented idiom is cardinality(merge(approx_set(x))).
+    # only takes the former. The sketch overload is detected by the
+    # argument's TOP-LEVEL call being a sketch constructor/merger (the
+    # documented idioms cardinality(approx_set(x)) / cardinality(merge(d)))
+    # — a substring match would misroute e.g. cardinality(split(hll_col, ',')).
     "cardinality": lambda args: (
         f"CAST(hll_sketch_estimate({args[0]}) AS BIGINT)"
-        if any(k in args[0].lower() for k in ("approx_set", "hll_", "merge("))
+        if re.match(
+            r"\s*(approx_set|merge|hll_union|hll_union_agg|hll_sketch_agg|empty_approx_set)\s*\(",
+            args[0],
+            re.IGNORECASE,
+        )
         else f"size({args[0]})"
     ),
     # format_number: Trino's 1-arg K/M/B/T humanizer; Spark's own 2-arg

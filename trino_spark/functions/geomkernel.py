@@ -117,7 +117,12 @@ def _close_ring(pts):
 
 def _fmt_pt(p):
     def f(v):
-        return ("%r" % v).rstrip("0").rstrip(".") if v != int(v) else str(int(v))
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v))
+        r = "%r" % v
+        # strip trailing zeros only from plain decimal reprs — rstrip on a
+        # scientific repr like '1e-10' would eat the exponent's zero
+        return r.rstrip("0").rstrip(".") if "e" not in r and "." in r else r
 
     return f"{f(p[0])} {f(p[1])}"
 
@@ -595,7 +600,7 @@ def touches(a, b):
         if ip is not None and locate_point(a, ip) == "in":
             return False
     for p in probe_a:
-        if locate_point(b, p) == "in" and _dim(a) > 0:
+        if locate_point(b, p) == "in":
             return False
     for p in probe_b:
         if locate_point(a, p) == "in":

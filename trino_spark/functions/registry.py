@@ -502,7 +502,10 @@ def _color(*args):
     elif len(args) == 5:  # (value, low, high, lowColor, highColor)
         v, lo_v, hi_v, lo, hi = (float(args[0]), float(args[1]), float(args[2]),
                                  int(args[3]), int(args[4]))
-        frac = (v - lo_v) / (hi_v - lo_v)
+        if hi_v == lo_v:  # degenerate range: clamp by side, don't divide
+            frac = 1.0 if v > lo_v else 0.0
+        else:
+            frac = (v - lo_v) / (hi_v - lo_v)
     else:
         raise ValueError("color() takes 1, 3 or 5 arguments")
     if lo < 0 or hi < 0:

@@ -217,6 +217,8 @@ def _numeric_histogram(buckets: int, vals: np.ndarray, weights: np.ndarray) -> d
 
 
 def _train(labels: np.ndarray, feats: np.ndarray, kind: str) -> str:
+    if len(labels) == 0 or feats.ndim != 2:
+        return None  # empty / all-null group: NULL model, not a crash
     dim = feats.shape[1]
     if kind == "regressor":
         X = np.hstack([feats, np.ones((len(feats), 1))])
@@ -275,6 +277,41 @@ def register_sql_aggregates(spark: SparkSession) -> None:
             hashes |= set(_sd_hashes(item))
         return _SD + json.dumps(sorted(hashes)[:_SD_K]).encode()
 
+    # Trino overloads merge() on the sketch type; the dialect's merge()
+    # name stays bound to HLL (hll_union_agg). Digest columns merge via
+    # these typed spellings (documented deviation in FUNCTIONS.md).
+    @pandas_udf("binary")
+    def merge_tdigest(d: pd.Series) -> bytes:
+        import numpy as _np
+
+        from trino_spark.operators.tdigest import compress
+
+        means, weights = [], []
+        for item in d.dropna():
+            magic, payload = _parse_digest(item)
+            if magic != _TD:
+                raise ValueError("merge_tdigest: not a tdigest")
+            means.extend(payload[0])
+            weights.extend(payload[1])
+        if not means:
+            return None
+        order = _np.argsort(means)
+        m, w = compress(_np.array(means)[order], _np.array(weights)[order], delta=200.0)
+        return _TD + json.dumps([list(map(float, m)), list(map(float, w))]).encode()
+
+    @pandas_udf("binary")
+    def merge_qdigest(d: pd.Series) -> bytes:
+        buckets: dict[int, int] = {}
+        for item in d.dropna():
+            magic, payload = _parse_digest(item)
+            if magic != _QD:
+                raise ValueError("merge_qdigest: not a qdigest")
+            for b, n in payload:
+                buckets[b] = buckets.get(b, 0) + n
+        if not buckets:
+            return None
+        return _QD + json.dumps(sorted(buckets.items())).encode()
+
     @pandas_udf("map<string,bigint>")
     def approx_most_frequent(b: pd.Series, v: pd.Series, cap: pd.Series) -> dict:
         counts = v.dropna().astype(str).value_counts()
@@ -325,6 +362,8 @@ def register_sql_aggregates(spark: SparkSession) -> None:
     reg("tdigest_agg", tdigest_agg)
     reg("make_set_digest", make_set_digest)
     reg("merge_set_digest", merge_set_digest)
+    reg("merge_tdigest", merge_tdigest)
+    reg("merge_qdigest", merge_qdigest)
     reg("approx_most_frequent", approx_most_frequent)
     reg("numeric_histogram", numeric_histogram)
     reg("learn_classifier", learn_classifier)
