@@ -96,6 +96,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "corpus_prepare_e2e",
         "geo_sql_surface",
         "corpus_chunk_documents",
+        "corpus_shuffle_buckets",
+        "corpus_mixture_sample",
         # round-4 NEW tpcds queries (cannot have a green row yet),
         # cheapest-first by measured sf0.01 cost
         "tpcds_q93",

@@ -1111,3 +1111,97 @@ def corpus_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@REG.add(
+    "corpus_shuffle_buckets",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))
+                    AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT k % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(k) AS min_key,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM keyed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corpus_shuffle_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle (operators/mixing.py): the 60-bit
+    md5(id,seed) shuffle key is reproducible ACROSS ENGINES, so the oracle
+    recomputes the identical keys in DuckDB and checks the per-bucket
+    histogram (count + min key + id checksum) of the partition assignment
+    — pinning determinism and uniformity of the one-shuffle corpus
+    shuffle. 100 TB: key depends only on row identity; one hash exchange."""
+    from trino_spark.operators.mixing import shuffle_key
+
+    d = t(spark, sf, "documents")
+    keyed = d.select("doc_id", shuffle_key(F.col("doc_id"), 42).alias("k"))
+    return (
+        keyed.groupBy(F.pmod("k", F.lit(64)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("k").alias("min_key"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@REG.add(
+    "corpus_mixture_sample",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS _tokens
+        FROM documents
+    ),
+    budget AS (
+        SELECT CAST(0.4 AS DOUBLE) * sum(_tokens) AS b FROM toks
+    ),
+    ranked AS (
+        SELECT source, _tokens,
+               CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.025 AS DOUBLE) END
+                 * (SELECT b FROM budget) AS _target,
+               coalesce(sum(_tokens) OVER (
+                   PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prior
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_tokens) AS BIGINT) AS sum_tokens
+    FROM ranked
+    WHERE _prior < _target
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling (operators/mixing.py): four head sources
+    weighted 0.15, the sixteen tail sources 0.025, filled greedily in
+    md5-ranked order until each source's share of a 40%-of-corpus token
+    budget is reached. The oracle replays the identical window-prefix rule
+    in DuckDB; per-source doc counts and token sums pin rank order, the
+    running-sum boundary, and the weight map. 100 TB: one window pass per
+    source partition, no iteration, scalar-only driver traffic."""
+    from trino_spark.operators.mixing import mixture_sample, token_count
+
+    d = t(spark, sf, "documents")
+    total = d.select(F.sum(token_count(F.col("text")).cast("long"))).collect()[0][0]
+    weights = {f"src{i}": (0.15 if i < 4 else 0.025) for i in range(20)}
+    sel = mixture_sample(d, "source", weights, 0.4 * float(total))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
