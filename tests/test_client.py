@@ -168,3 +168,94 @@ def test_cli_error_exit_code(server):
     out = io.StringIO()
     rc = cli.main(["--server", server.url(), "-e", "SELECT * FROM missing_tbl"], stdout=out)
     assert rc == 1 and "Query failed" in out.getvalue()
+
+
+# ------------------------------------------------- session-property headers
+
+
+def test_session_header_applies_per_request(server):
+    with dbapi.connect(server.url(),
+                       session_properties={"query_max_run_time": "1h"}) as c:
+        rows = dict(c.execute("SHOW SESSION").fetchall())
+        assert rows.get("query_max_run_time") == "1h"
+    # without the header the property is gone (restored after the request)
+    with dbapi.connect(server.url()) as c2:
+        rows = dict(c2.execute("SHOW SESSION").fetchall())
+        assert "query_max_run_time" not in rows
+
+
+def test_set_session_response_header_updates_client(server):
+    with dbapi.connect(server.url()) as c:
+        c.execute("SET SESSION join_distribution_type = 'BROADCAST'").fetchall()
+        assert c.session_properties.get("join_distribution_type") == "BROADCAST"
+        # the carried property now reaches later statements
+        rows = dict(c.execute("SHOW SESSION").fetchall())
+        assert rows.get("join_distribution_type") == "BROADCAST"
+        c.execute("RESET SESSION join_distribution_type").fetchall()
+        assert "join_distribution_type" not in c.session_properties
+
+
+# ----------------------------------------------------- event listener SPI
+
+
+class _Recorder:
+    def __init__(self):
+        self.created = []
+        self.completed = []
+
+    def query_created(self, ev):
+        self.created.append(ev)
+
+    def query_completed(self, ev):
+        self.completed.append(ev)
+
+
+def test_event_listener_lifecycle(server):
+    eng = server.engine
+    rec = _Recorder()
+    eng.add_event_listener(rec)
+    try:
+        eng.sql("SELECT 1 AS one").collect()
+        assert rec.created and rec.completed
+        ev = rec.completed[-1]
+        assert ev["state"] == "FINISHED" and ev["error"] is None
+        assert ev["query_id"] == rec.created[-1]["query_id"]
+        assert ev["wall_ms"] >= 0
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM nope_nope")
+        assert rec.completed[-1]["state"] == "FAILED"
+        assert rec.completed[-1]["error"]
+    finally:
+        eng.remove_event_listener(rec)
+
+
+def test_event_listener_isolated_and_callable_form(server):
+    eng = server.engine
+    seen = []
+
+    def fn(kind, ev):
+        seen.append(kind)
+
+    class Bomb:
+        def query_created(self, ev):
+            raise RuntimeError("boom")
+
+    bomb = Bomb()
+    eng.add_event_listener(bomb)
+    eng.add_event_listener(fn)
+    try:
+        eng.sql("SELECT 2").collect()  # bomb must not break the query
+        assert "query_created" in seen and "query_completed" in seen
+    finally:
+        eng.remove_event_listener(bomb)
+        eng.remove_event_listener(fn)
+
+
+def test_http_statements_emit_events(server, conn):
+    rec = _Recorder()
+    server.engine.add_event_listener(rec)
+    try:
+        conn.execute("SELECT count(*) AS n FROM region").fetchall()
+        assert any("region" in e["query"] for e in rec.completed)
+    finally:
+        server.engine.remove_event_listener(rec)

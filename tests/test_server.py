@@ -261,3 +261,70 @@ def test_encoding_negotiation_falls_back_to_json(server):
     assert server._negotiate_encoding("json+unknown,json+spooled") == "json"
     if "json+zstd" not in srv_codecs:
         assert server._negotiate_encoding("json+zstd,json") == "json"
+
+
+# --------------------------------------------------- resource groups
+
+
+def test_resource_group_queue_and_reject(spark, sf_dir):
+    """hardConcurrencyLimit blocks, maxQueued rejects (QUERY_QUEUE_FULL)."""
+    import threading
+    import time
+
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.server import ResourceGroup, TrinoHttpServer, fetch_all
+
+    eng = TrinoEngine(spark, sf_dir)
+    groups = {
+        "global": ResourceGroup("global", max_concurrent=1, max_queued=1),
+        "vip": ResourceGroup("vip", max_concurrent=4, max_queued=16),
+    }
+    srv = TrinoHttpServer(
+        eng,
+        resource_groups=groups,
+        group_selector=lambda user: "vip" if user == "alice" else "global",
+    ).start()
+    try:
+        # hold the single global slot with a manual acquire, then submit:
+        groups["global"].acquire()
+        results = {}
+
+        def worker(name):
+            try:
+                results[name] = srv._submit("SELECT 1 AS x", user="bob")
+            except Exception as exc:  # pragma: no cover
+                results[name] = {"error": {"message": str(exc)}}
+
+        t1 = threading.Thread(target=worker, args=("q1",))
+        t1.start()
+        deadline = time.time() + 5
+        while groups["global"].queued < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert groups["global"].queued == 1  # q1 is waiting, not failed
+        # queue is now full: next submit is rejected immediately
+        rej = srv._submit("SELECT 2 AS x", user="bob")
+        assert rej["stats"]["state"] == "FAILED"
+        assert rej["error"]["errorName"] == "QUERY_QUEUE_FULL"
+        # vip group is unaffected
+        ok = srv._submit("SELECT 3 AS x", user="alice")
+        assert "error" not in ok
+        # release the held slot: q1 drains and succeeds
+        groups["global"].release()
+        t1.join(timeout=10)
+        assert "error" not in results["q1"]
+        stats = {g["name"]: g for g in srv.resource_group_stats()}
+        assert stats["global"]["totalAdmitted"] >= 2  # manual + q1
+        assert stats["vip"]["totalAdmitted"] == 1
+        assert stats["global"]["running"] == 0 and stats["global"]["queued"] == 0
+    finally:
+        srv.stop()
+
+
+def test_resource_group_stats_endpoint(server):
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server.url()}/v1/resourceGroups") as r:
+        payload = json.loads(r.read())
+    names = {g["name"] for g in payload["groups"]}
+    assert "global" in names

@@ -293,11 +293,22 @@ class Cursor:
 class Connection:
     """One engine endpoint; cursors share it (threadsafety=2)."""
 
-    def __init__(self, url: str, spooled: bool = False, encoding: str | None = None):
+    def __init__(
+        self,
+        url: str,
+        spooled: bool = False,
+        encoding: str | None = None,
+        session_properties: dict[str, str] | None = None,
+    ):
         self._url = url.rstrip("/")
         self._spooled = spooled
         self._encoding = encoding
         self._closed = False
+        # Client-held session state, sent as X-Trino-Session on every
+        # request and updated from X-Trino-Set-Session / X-Trino-Clear-
+        # Session response headers — the reference protocol's stateless-
+        # server session flow (ProtocolHeaders / StatementClientV1).
+        self.session_properties: dict[str, str] = dict(session_properties or {})
 
     def cursor(self) -> Cursor:
         if self._closed:
@@ -336,6 +347,10 @@ class Connection:
             prefs.append("json+spooled")
         if prefs:
             h["X-Trino-Query-Data-Encoding"] = ",".join(prefs)
+        if self.session_properties:
+            h["X-Trino-Session"] = ",".join(
+                f"{k}={v}" for k, v in self.session_properties.items()
+            )
         return h
 
     def _post(self, sql: str) -> dict:
@@ -369,6 +384,13 @@ class Connection:
     def _do(self, req: urllib.request.Request) -> dict:
         try:
             with urllib.request.urlopen(req) as r:
+                ss = r.headers.get("X-Trino-Set-Session")
+                if ss and "=" in ss:
+                    k, _, v = ss.partition("=")
+                    self.session_properties[k.strip()] = v.strip()
+                cs = r.headers.get("X-Trino-Clear-Session")
+                if cs:
+                    self.session_properties.pop(cs.strip(), None)
                 return json.loads(r.read())
         except urllib.error.HTTPError as exc:
             try:
@@ -387,11 +409,20 @@ class Connection:
         return TrinoHttpServer.segment_codecs()
 
 
-def connect(url: str, spooled: bool = False, encoding: str | None = None) -> Connection:
+def connect(
+    url: str,
+    spooled: bool = False,
+    encoding: str | None = None,
+    session_properties: dict[str, str] | None = None,
+) -> Connection:
     """PEP 249 module-level constructor.
 
     `url` is the server base (e.g. `http://127.0.0.1:8080`); `spooled=True`
     requests the spooled-segment protocol, `encoding` a preferred segment
     encoding ('json+zstd' / 'json+zlib') — both negotiated, never required.
+    `session_properties` seed the client-held session state sent as
+    X-Trino-Session on every request.
     """
-    return Connection(url, spooled=spooled, encoding=encoding)
+    return Connection(
+        url, spooled=spooled, encoding=encoding, session_properties=session_properties
+    )

@@ -86,17 +86,76 @@ class TrinoEngine:
         self._sql_depth = depth + 1
         t0 = time.perf_counter()
         qid = _uuid.uuid4().hex[:16]
+        if depth == 0:
+            self.emit_event(
+                "query_created",
+                {
+                    "query_id": qid,
+                    "query": trino_sql.strip()[:1000],
+                    "user": getattr(self, "session_user", "trino"),
+                    "create_time": time.time(),
+                },
+            )
         try:
             out = self._sql_inner(trino_sql)
             if depth == 0:
-                self._log_query(qid, trino_sql, "FINISHED", time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                self._log_query(qid, trino_sql, "FINISHED", dt)
+                self._emit_completed(qid, trino_sql, "FINISHED", dt, None)
             return out
-        except Exception:
+        except Exception as exc:
             if depth == 0:
-                self._log_query(qid, trino_sql, "FAILED", time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                self._log_query(qid, trino_sql, "FAILED", dt)
+                self._emit_completed(
+                    qid, trino_sql, "FAILED", dt, str(exc).split("\n")[0][:500]
+                )
             raise
         finally:
             self._sql_depth = depth
+
+    # ---- EventListener SPI (io.trino.spi.eventlistener.EventListener:
+    # queryCreated/queryCompleted; listeners are isolated — a throwing
+    # listener never fails the query, as in the reference's dedicated
+    # listener executor). A listener is an object with `query_created` /
+    # `query_completed` methods (either optional) or a plain callable
+    # receiving (kind, event).
+    def add_event_listener(self, listener) -> None:
+        if not hasattr(self, "_event_listeners"):
+            self._event_listeners: list = []
+        self._event_listeners.append(listener)
+
+    def remove_event_listener(self, listener) -> None:
+        try:
+            getattr(self, "_event_listeners", []).remove(listener)
+        except ValueError:
+            pass
+
+    def emit_event(self, kind: str, event: dict) -> None:
+        for ls in getattr(self, "_event_listeners", []):
+            try:
+                fn = getattr(ls, kind, None)
+                if fn is not None:
+                    fn(dict(event))
+                elif callable(ls):
+                    ls(kind, dict(event))
+            except Exception:
+                pass  # never let a listener break the query path
+
+    def _emit_completed(
+        self, qid: str, sql: str, state: str, elapsed_s: float, error: str | None
+    ) -> None:
+        self.emit_event(
+            "query_completed",
+            {
+                "query_id": qid,
+                "query": sql.strip()[:1000],
+                "user": getattr(self, "session_user", "trino"),
+                "state": state,
+                "wall_ms": round(elapsed_s * 1000, 3),
+                "error": error,
+            },
+        )
 
     def _log_query(self, qid: str, sql: str, state: str, elapsed_s: float) -> None:
         log = getattr(self, "_query_log", None)

@@ -96,13 +96,64 @@ class _QueryState:
         self.segments: list[dict] = []  # spooled-mode segment descriptors
 
 
+class ResourceGroup:
+    """Admission-control group (reference: resource-groups plugin,
+    io.trino.execution.resourcegroups.InternalResourceGroup): a hard
+    concurrency limit plus a bounded FIFO wait queue. `hardConcurrencyLimit`
+    / `maxQueued` are the two knobs every reference deployment sets."""
+
+    def __init__(self, name: str, max_concurrent: int = 16, max_queued: int = 64):
+        self.name = name
+        self.max_concurrent = max_concurrent
+        self.max_queued = max_queued
+        self.running = 0
+        self.queued = 0
+        self.total_admitted = 0
+        self._cv = threading.Condition()
+
+    def acquire(self) -> None:
+        """Block until a slot frees; raise when the wait queue is full
+        (QUERY_QUEUE_FULL — QueuedStatementResource rejects, not waits)."""
+        with self._cv:
+            if self.running >= self.max_concurrent:
+                if self.queued >= self.max_queued:
+                    raise RuntimeError(
+                        f"Too many queued queries for resource group {self.name!r} "
+                        f"(maxQueued {self.max_queued}) [QUERY_QUEUE_FULL]"
+                    )
+                self.queued += 1
+                try:
+                    self._cv.wait_for(lambda: self.running < self.max_concurrent)
+                finally:
+                    self.queued -= 1
+            self.running += 1
+            self.total_admitted += 1
+
+    def release(self) -> None:
+        with self._cv:
+            self.running = max(0, self.running - 1)
+            self._cv.notify()
+
+
 class TrinoHttpServer:
     """Minimal /v1/statement server over a TrinoEngine."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        resource_groups: dict[str, ResourceGroup] | None = None,
+        group_selector=None,
+    ):
         self.engine = engine
         self._queries: dict[str, _QueryState] = {}
         self._lock = threading.Lock()
+        # Admission control: selector maps the request user to a group
+        # name (reference: resource-group selector rules on user/source);
+        # default routes everyone to 'global'.
+        self.resource_groups = resource_groups or {"global": ResourceGroup("global")}
+        self._group_selector = group_selector or (lambda user: "global")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -117,6 +168,16 @@ class TrinoHttpServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_h(self, code: int, payload: dict, headers: dict | None = None):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
                 if self.path != "/v1/statement":
                     self._send(404, {"error": "not found"})
@@ -124,17 +185,24 @@ class TrinoHttpServer:
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode()
                 enc = self.headers.get("X-Trino-Query-Data-Encoding", "")
-                self._send(
-                    200,
-                    outer._submit(
-                        sql,
-                        spooled="spooled" in enc,
-                        encoding=outer._negotiate_encoding(enc),
+                resp = outer._submit(
+                    sql,
+                    spooled="spooled" in enc,
+                    encoding=outer._negotiate_encoding(enc),
+                    session=outer._parse_session_header(
+                        self.headers.get("X-Trino-Session", "")
                     ),
+                    user=self.headers.get("X-Trino-User", "trino"),
                 )
+                self._send_h(200, resp, resp.pop("_http_headers", None))
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
+                # /v1/resourceGroups: admission stats (reference: the
+                # resource-group JMX/system surface)
+                if parts == ["v1", "resourceGroups"]:
+                    self._send(200, {"groups": outer.resource_group_stats()})
+                    return
                 # /v1/statement/executing/<qid>/<token>
                 if len(parts) >= 4 and parts[:3] == ["v1", "statement", "executing"]:
                     page = outer._page(parts[3])
@@ -297,9 +365,71 @@ class TrinoHttpServer:
             return
         shutil.rmtree(d, ignore_errors=True)
 
+    def resource_group_stats(self) -> list[dict]:
+        return [
+            {
+                "name": g.name,
+                "maxConcurrent": g.max_concurrent,
+                "maxQueued": g.max_queued,
+                "running": g.running,
+                "queued": g.queued,
+                "totalAdmitted": g.total_admitted,
+            }
+            for g in self.resource_groups.values()
+        ]
+
+    # -- session properties over headers ------------------------------------
+    @staticmethod
+    def _parse_session_header(header: str) -> dict[str, str]:
+        """X-Trino-Session: k=v,k2=v2 (ProtocolHeaders.requestSession) —
+        the client-side session state the reference protocol carries on
+        every request (the server is stateless per-request there)."""
+        props: dict[str, str] = {}
+        for part in header.split(","):
+            part = part.strip()
+            if part and "=" in part:
+                k, _, v = part.partition("=")
+                props[k.strip()] = v.strip()
+        return props
+
+    def _session_response_headers(self, sql: str) -> dict:
+        """SET/RESET SESSION statements answer with X-Trino-Set-Session /
+        X-Trino-Clear-Session so the CLIENT carries the state forward
+        (QueryResource / ProtocolHeaders.responseSetSession semantics)."""
+        toks = sql.strip().split()
+        up = [t.upper() for t in toks[:3]]
+        if up[:2] == ["SET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
+            key, _, val = " ".join(toks[2:]).partition("=")
+            return {"X-Trino-Set-Session": f"{key.strip()}={val.strip().strip(chr(39))}"}
+        if up[:2] == ["RESET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
+            return {"X-Trino-Clear-Session": toks[2]}
+        return {}
+
     # -- protocol ----------------------------------------------------------
-    def _submit(self, sql: str, spooled: bool = False, encoding: str = "json") -> dict:
+    def _submit(
+        self,
+        sql: str,
+        spooled: bool = False,
+        encoding: str = "json",
+        session: dict[str, str] | None = None,
+        user: str = "trino",
+    ) -> dict:
         qid = uuid.uuid4().hex[:16]
+        # Admission control: route to the user's resource group and take a
+        # slot (blocks while the group is at hardConcurrencyLimit; rejects
+        # when its wait queue is full — QUERY_QUEUE_FULL).
+        group = self.resource_groups.get(
+            self._group_selector(user)
+        ) or self.resource_groups.get("global")
+        if group is not None:
+            try:
+                group.acquire()
+            except RuntimeError as exc:
+                st = _QueryState(qid, [], [])
+                st.error = {"message": str(exc), "errorName": "QUERY_QUEUE_FULL"}
+                with self._lock:
+                    self._queries[qid] = st
+                return {"id": qid, "stats": {"state": "FAILED"}, "error": st.error}
         # Run under a Spark job group named by the query id so
         # system.runtime.kill_query(qid) can cancel the running jobs from
         # another request thread (KillQueryProcedure.java semantics).
@@ -316,6 +446,15 @@ class TrinoHttpServer:
             if qid in getattr(self.engine, "_killed_queries", ()):
                 raise RuntimeError("Query killed by operator via kill_query")
 
+        # Per-request session properties from X-Trino-Session: applied for
+        # this statement, restored after (the reference's per-request
+        # session construction from protocol headers).
+        saved: dict[str, str | None] = {}
+        for k, v in (session or {}).items():
+            saved[k] = self.engine.session_properties.get(k)
+            self.engine.session_properties[k] = v
+            if k.startswith("spark."):
+                self.engine.spark.conf.set(k, v)
         try:
             _check_killed()
             df = self.engine.sql(sql)
@@ -332,6 +471,18 @@ class TrinoHttpServer:
             st = _QueryState(qid, [], [])
             st.error = {"message": str(exc).split("\n")[0][:500], "errorName": type(exc).__name__}
         finally:
+            if group is not None:
+                group.release()
+            for k, old in saved.items():
+                if old is None:
+                    self.engine.session_properties.pop(k, None)
+                else:
+                    self.engine.session_properties[k] = old
+                if k.startswith("spark."):
+                    if old is None:
+                        self.engine.spark.conf.unset(k)
+                    else:
+                        self.engine.spark.conf.set(k, old)
             running.pop(qid, None)
             killed = getattr(self.engine, "_killed_queries", None)
             if killed is not None:
@@ -347,6 +498,10 @@ class TrinoHttpServer:
             resp["error"] = st.error
         else:
             resp["nextUri"] = f"{self.url()}/v1/statement/executing/{qid}/0"
+        if st.error is None:
+            hdrs = self._session_response_headers(sql)
+            if hdrs:
+                resp["_http_headers"] = hdrs
         return resp
 
     def _page(self, qid: str) -> dict | None:
