@@ -259,3 +259,9 @@ def test_http_statements_emit_events(server, conn):
         assert any("region" in e["query"] for e in rec.completed)
     finally:
         server.engine.remove_event_listener(rec)
+
+
+def test_use_statement_updates_client_catalog_schema(server):
+    with dbapi.connect(server.url()) as c:
+        c.execute("USE default").fetchall()
+        assert c.schema == "default" and c.catalog is None

@@ -309,6 +309,9 @@ class Connection:
         # Session response headers — the reference protocol's stateless-
         # server session flow (ProtocolHeaders / StatementClientV1).
         self.session_properties: dict[str, str] = dict(session_properties or {})
+        # USE responses update these (X-Trino-Set-Catalog/Schema).
+        self.catalog: str | None = None
+        self.schema: str | None = None
 
     def cursor(self) -> Cursor:
         if self._closed:
@@ -391,6 +394,10 @@ class Connection:
                 cs = r.headers.get("X-Trino-Clear-Session")
                 if cs:
                     self.session_properties.pop(cs.strip(), None)
+                if r.headers.get("X-Trino-Set-Catalog"):
+                    self.catalog = r.headers["X-Trino-Set-Catalog"]
+                if r.headers.get("X-Trino-Set-Schema"):
+                    self.schema = r.headers["X-Trino-Set-Schema"]
                 return json.loads(r.read())
         except urllib.error.HTTPError as exc:
             try:

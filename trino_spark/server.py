@@ -403,6 +403,14 @@ class TrinoHttpServer:
             return {"X-Trino-Set-Session": f"{key.strip()}={val.strip().strip(chr(39))}"}
         if up[:2] == ["RESET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
             return {"X-Trino-Clear-Session": toks[2]}
+        if up[:1] == ["USE"] and len(toks) == 2:
+            # USE [catalog.]schema answers X-Trino-Set-Catalog/Schema
+            # (UseTask.java + ProtocolHeaders.responseSetCatalog/Schema).
+            target = toks[1].strip('"')
+            if "." in target:
+                cat, _, sch = target.partition(".")
+                return {"X-Trino-Set-Catalog": cat, "X-Trino-Set-Schema": sch}
+            return {"X-Trino-Set-Schema": target}
         return {}
 
     # -- protocol ----------------------------------------------------------
