@@ -202,3 +202,55 @@ def test_stream_stream_interval_join_left_outer(spark, sf_dir):
         & (F2.col("ts") >= F2.lit(max_ts) - F2.expr("INTERVAL 90 MINUTES"))
     ).count()
     assert total_views - tail <= n_left <= total_views
+
+
+# ---------------------------------------------------- CDC upsert sink
+
+
+class TestUpsertSink:
+    def _mk_target(self, tmp_path):
+        return str(tmp_path / "state")
+
+    def test_batches_merge_and_replay_is_idempotent(self, spark, tmp_path):
+        import json
+        import os
+
+        from trino_spark.streaming import read_upsert_state, run_upsert_sink
+
+        target = self._mk_target(tmp_path)
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+
+        def batch(rows):
+            return spark.createDataFrame(rows, "user_id long, value double")
+
+        def stream():
+            return spark.readStream.schema("user_id long, value double").parquet(src)
+
+        # incremental files through ONE checkpoint: monotonic batch ids
+        batch([(1, 1.0), (2, 2.0)]).coalesce(1).write.mode("append").parquet(src)
+        run_upsert_sink(stream(), target, ckpt)
+        batch([(1, 3.0), (3, 4.0)]).coalesce(1).write.mode("append").parquet(src)
+        run_upsert_sink(stream(), target, ckpt)
+
+        def snapshot():
+            return {r.user_id: (r.n_events, r.value_sum)
+                    for r in read_upsert_state(spark, target).collect()}
+
+        state = snapshot()
+        assert state[1][0] == 2 and abs(state[1][1] - 4.0) < 1e-9
+        assert state[2] == (1, 2.0) and state[3] == (1, 4.0)
+        # at-least-once replay: a FRESH checkpoint re-delivers everything
+        # as batch 0 — the applied-batch manifest must skip it
+        run_upsert_sink(stream(), target, str(tmp_path / "ckpt_replay"))
+        assert snapshot() == state
+        manifest = json.load(open(os.path.join(target, "_manifest.json")))
+        assert manifest["current"].startswith("v")
+        assert 0 in manifest["applied"] and 1 in manifest["applied"]
+
+    def test_empty_state_reader(self, spark, tmp_path):
+        from trino_spark.streaming import read_upsert_state
+
+        df = read_upsert_state(spark, str(tmp_path / "nowhere"))
+        assert df.count() == 0
+        assert [f.name for f in df.schema] == ["user_id", "n_events", "value_sum"]

@@ -197,3 +197,47 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@REG.add(
+    "streaming_upsert_sink",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-apply / MERGE-upsert sink (streaming.run_upsert_sink): the
+    events source is split into 6 files so AvailableNow delivers REAL
+    successive micro-batches (maxFilesPerTrigger=1); each batch's per-user
+    deltas are merged into a snapshot-committed parquet state table with
+    an applied-batch manifest (exactly-once on at-least-once foreachBatch).
+    The oracle is the batch aggregation over the whole source — equality
+    proves the incremental merge chain reproduces the global group-by."""
+    import os
+    import tempfile
+
+    from trino_spark import streaming
+    from trino_spark.catalog import load
+
+    src_dir = tempfile.mkdtemp(prefix="upsert_src_")
+    load(spark, sf, "events").select("user_id", "value").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = tempfile.mkdtemp(prefix="upsert_state_")
+    streaming.run_upsert_sink(stream, target, tempfile.mkdtemp(prefix="ckpt_"))
+    out = streaming.read_upsert_state(spark, target)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 6).alias("value_sum"),
+    ).orderBy("user_id")
