@@ -265,3 +265,26 @@ def test_use_statement_updates_client_catalog_schema(server):
     with dbapi.connect(server.url()) as c:
         c.execute("USE default").fetchall()
         assert c.schema == "default" and c.catalog is None
+
+
+def test_prepared_statement_header_flow(server):
+    """PREPARE flows to the client via X-Trino-Added-Prepare; the client
+    re-sends it so EXECUTE works on the stateless server; DEALLOCATE
+    clears it (reference protocol prepared-statement flow)."""
+    with dbapi.connect(server.url()) as c:
+        c.execute("PREPARE q_client FROM SELECT n_name FROM nation WHERE n_nationkey = ?").fetchall()
+        assert "q_client" in c.prepared_statements
+        rows = c.execute("EXECUTE q_client USING 3").fetchall()
+        assert len(rows) == 1
+        c.execute("DEALLOCATE PREPARE q_client").fetchall()
+        assert "q_client" not in c.prepared_statements
+    # the header path alone suffices: a FRESH connection whose client-held
+    # map is seeded with a definition the server never saw can EXECUTE it
+    with dbapi.connect(server.url()) as fresh:
+        fresh.prepared_statements["q_headeronly"] = (
+            "SELECT r_name FROM region WHERE r_regionkey = ?"
+        )
+        rows = fresh.execute("EXECUTE q_headeronly USING 1").fetchall()
+        assert rows == [["AMERICA"]]
+        # and it was per-request only: engine-side state was restored
+        assert "Q_HEADERONLY" not in server.engine.prepared

@@ -29,6 +29,7 @@ import datetime as _dt
 import decimal as _dec
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 apilevel = "2.0"
@@ -312,6 +313,9 @@ class Connection:
         # USE responses update these (X-Trino-Set-Catalog/Schema).
         self.catalog: str | None = None
         self.schema: str | None = None
+        # Client-held prepared statements (X-Trino-Added-Prepare /
+        # X-Trino-Deallocated-Prepare), re-sent on every request.
+        self.prepared_statements: dict[str, str] = {}
 
     def cursor(self) -> Cursor:
         if self._closed:
@@ -353,6 +357,11 @@ class Connection:
         if self.session_properties:
             h["X-Trino-Session"] = ",".join(
                 f"{k}={v}" for k, v in self.session_properties.items()
+            )
+        if self.prepared_statements:
+            h["X-Trino-Prepared-Statement"] = ",".join(
+                f"{k}={urllib.parse.quote_plus(v)}"
+                for k, v in self.prepared_statements.items()
             )
         return h
 
@@ -398,6 +407,13 @@ class Connection:
                     self.catalog = r.headers["X-Trino-Set-Catalog"]
                 if r.headers.get("X-Trino-Set-Schema"):
                     self.schema = r.headers["X-Trino-Set-Schema"]
+                ap = r.headers.get("X-Trino-Added-Prepare")
+                if ap and "=" in ap:
+                    k, _, v = ap.partition("=")
+                    self.prepared_statements[k.strip()] = urllib.parse.unquote_plus(v)
+                dp = r.headers.get("X-Trino-Deallocated-Prepare")
+                if dp:
+                    self.prepared_statements.pop(dp.strip(), None)
                 return json.loads(r.read())
         except urllib.error.HTTPError as exc:
             try:

@@ -193,6 +193,9 @@ class TrinoHttpServer:
                         self.headers.get("X-Trino-Session", "")
                     ),
                     user=self.headers.get("X-Trino-User", "trino"),
+                    prepared=outer._parse_prepared_header(
+                        self.headers.get("X-Trino-Prepared-Statement", "")
+                    ),
                 )
                 self._send_h(200, resp, resp.pop("_http_headers", None))
 
@@ -392,6 +395,22 @@ class TrinoHttpServer:
                 props[k.strip()] = v.strip()
         return props
 
+    @staticmethod
+    def _parse_prepared_header(header: str) -> dict[str, str]:
+        """X-Trino-Prepared-Statement: name=urlencoded_sql,... — the
+        client-held prepared statements (ProtocolHeaders
+        requestPreparedStatement; the reference server is stateless, so
+        clients re-send definitions on every request)."""
+        import urllib.parse
+
+        out: dict[str, str] = {}
+        for part in header.split(","):
+            part = part.strip()
+            if part and "=" in part:
+                k, _, v = part.partition("=")
+                out[k.strip().upper()] = urllib.parse.unquote_plus(v.strip())
+        return out
+
     def _session_response_headers(self, sql: str) -> dict:
         """SET/RESET SESSION statements answer with X-Trino-Set-Session /
         X-Trino-Clear-Session so the CLIENT carries the state forward
@@ -403,6 +422,24 @@ class TrinoHttpServer:
             return {"X-Trino-Set-Session": f"{key.strip()}={val.strip().strip(chr(39))}"}
         if up[:2] == ["RESET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
             return {"X-Trino-Clear-Session": toks[2]}
+        if up[:1] == ["PREPARE"] and len(toks) >= 4:
+            # PREPARE name FROM stmt → X-Trino-Added-Prepare so the CLIENT
+            # holds the definition (responseAddedPrepare).
+            import urllib.parse
+
+            from trino_spark.dialect import prepared as _prep
+
+            try:
+                parsed = _prep.parse_prepare(sql)
+            except ValueError:
+                parsed = None
+            if parsed:
+                name, body = parsed
+                return {
+                    "X-Trino-Added-Prepare": f"{name.lower()}={urllib.parse.quote_plus(body)}"
+                }
+        if up[:2] == ["DEALLOCATE", "PREPARE"] and len(toks) == 3:
+            return {"X-Trino-Deallocated-Prepare": toks[2].lower()}
         if up[:1] == ["USE"] and len(toks) == 2:
             # USE [catalog.]schema answers X-Trino-Set-Catalog/Schema
             # (UseTask.java + ProtocolHeaders.responseSetCatalog/Schema).
@@ -421,6 +458,7 @@ class TrinoHttpServer:
         encoding: str = "json",
         session: dict[str, str] | None = None,
         user: str = "trino",
+        prepared: dict[str, str] | None = None,
     ) -> dict:
         qid = uuid.uuid4().hex[:16]
         # Admission control: route to the user's resource group and take a
@@ -463,6 +501,13 @@ class TrinoHttpServer:
             self.engine.session_properties[k] = v
             if k.startswith("spark."):
                 self.engine.spark.conf.set(k, v)
+        # Client-held prepared statements (X-Trino-Prepared-Statement):
+        # installed for this request so EXECUTE name resolves, restored
+        # after — the stateless-server flow of the reference protocol.
+        saved_prep: dict[str, str | None] = {}
+        for k, v in (prepared or {}).items():
+            saved_prep[k] = self.engine.prepared.get(k)
+            self.engine.prepared[k] = v
         try:
             _check_killed()
             df = self.engine.sql(sql)
@@ -481,6 +526,11 @@ class TrinoHttpServer:
         finally:
             if group is not None:
                 group.release()
+            for k, old in saved_prep.items():
+                if old is None:
+                    self.engine.prepared.pop(k, None)
+                else:
+                    self.engine.prepared[k] = old
             for k, old in saved.items():
                 if old is None:
                     self.engine.session_properties.pop(k, None)
