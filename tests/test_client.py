@@ -288,3 +288,14 @@ def test_prepared_statement_header_flow(server):
         assert rows == [["AMERICA"]]
         # and it was per-request only: engine-side state was restored
         assert "Q_HEADERONLY" not in server.engine.prepared
+
+
+def test_cli_session_and_user_flags(server):
+    out = io.StringIO()
+    rc = cli.main(
+        ["--server", server.url(), "--user", "alice",
+         "--session", "query_priority=5",
+         "-e", "SHOW SESSION", "--output-format", "TSV"],
+        stdout=out,
+    )
+    assert rc == 0 and "query_priority\t5" in out.getvalue()

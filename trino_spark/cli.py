@@ -154,6 +154,9 @@ def main(argv: list[str] | None = None, stdin=None, stdout=None) -> int:
                    help="parquet dir for the in-process engine")
     p.add_argument("-e", "--execute", help="run these ;-separated statements and exit")
     p.add_argument("-f", "--file", help="run statements from this file and exit")
+    p.add_argument("--user", help="request user (X-Trino-User)")
+    p.add_argument("--session", action="append", default=[], metavar="KEY=VALUE",
+                   help="session property, repeatable (X-Trino-Session)")
     p.add_argument("--output-format", default="ALIGNED",
                    choices=["ALIGNED", "CSV", "CSV_HEADER", "TSV", "TSV_HEADER", "JSON"])
     args = p.parse_args(argv)
@@ -161,7 +164,8 @@ def main(argv: list[str] | None = None, stdin=None, stdout=None) -> int:
     stdout = stdout or sys.stdout
 
     url = args.server or _inprocess_url(args.sf_dir)
-    conn = dbapi.connect(url)
+    props = dict(kv.split("=", 1) for kv in args.session if "=" in kv)
+    conn = dbapi.connect(url, session_properties=props or None, user=args.user)
 
     script = None
     if args.execute is not None:

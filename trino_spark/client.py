@@ -300,11 +300,15 @@ class Connection:
         spooled: bool = False,
         encoding: str | None = None,
         session_properties: dict[str, str] | None = None,
+        user: str | None = None,
     ):
         self._url = url.rstrip("/")
         self._spooled = spooled
         self._encoding = encoding
         self._closed = False
+        # X-Trino-User: identifies the request for resource-group
+        # selection and access control (ProtocolHeaders.requestUser).
+        self.user = user
         # Client-held session state, sent as X-Trino-Session on every
         # request and updated from X-Trino-Set-Session / X-Trino-Clear-
         # Session response headers — the reference protocol's stateless-
@@ -347,6 +351,8 @@ class Connection:
     # -- HTTP --------------------------------------------------------------
     def _headers(self) -> dict:
         h = {}
+        if self.user:
+            h["X-Trino-User"] = self.user
         prefs = []
         if self._encoding:
             prefs.append(self._encoding)
@@ -437,6 +443,7 @@ def connect(
     spooled: bool = False,
     encoding: str | None = None,
     session_properties: dict[str, str] | None = None,
+    user: str | None = None,
 ) -> Connection:
     """PEP 249 module-level constructor.
 
@@ -447,5 +454,9 @@ def connect(
     X-Trino-Session on every request.
     """
     return Connection(
-        url, spooled=spooled, encoding=encoding, session_properties=session_properties
+        url,
+        spooled=spooled,
+        encoding=encoding,
+        session_properties=session_properties,
+        user=user,
     )
