@@ -181,7 +181,12 @@ def stream_stream_interval_join(
     return l.join(r, cond, how)
 
 
-def run_upsert_sink(events: DataFrame, target_dir: str, checkpoint_dir: str) -> None:
+def run_upsert_sink(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int = 1,
+) -> None:
     """CDC-apply sink: per-user deltas of each micro-batch are merged into
     a parquet state table via foreachBatch — the lakehouse upsert pattern
     (stream → MERGE INTO target) that Kafka-fed deployments run against
@@ -233,7 +238,13 @@ def run_upsert_sink(events: DataFrame, target_dir: str, checkpoint_dir: str) -> 
         else:
             merged = delta
         version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(target_dir, version))
+        # The per-key state table is orders of magnitude smaller than the
+        # stream; write it with `state_partitions` files (default 1) so a
+        # micro-batch doesn't pay a 32-task write for a few thousand rows.
+        # A huge key space raises this (and bucket-partitions the state).
+        merged.coalesce(state_partitions).write.mode("overwrite").parquet(
+            os.path.join(target_dir, version)
+        )
         manifest = {
             "applied": sorted(set(manifest["applied"]) | {batch_id}),
             "current": version,
