@@ -299,3 +299,18 @@ def test_cli_session_and_user_flags(server):
         stdout=out,
     )
     assert rc == 0 and "query_priority\t5" in out.getvalue()
+
+
+def test_pandas_read_sql_over_dbapi(server):
+    """pandas consumes the DBAPI connection directly — the practical
+    payoff of PEP 249 compliance."""
+    import warnings
+
+    import pandas as pd
+
+    with dbapi.connect(server.url()) as c:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # pandas warns on non-SQLAlchemy DBAPI
+            df = pd.read_sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey", c)
+    assert list(df.columns) == ["r_regionkey", "r_name"]
+    assert len(df) == 5 and df.r_regionkey.tolist() == [0, 1, 2, 3, 4]
