@@ -68,3 +68,26 @@ def test_mixture_deterministic(spark, sf_dir):
     sel1 = mixture_sample(d, "source", {"src2": 1.0}, 500.0).select("doc_id").collect()
     sel2 = mixture_sample(d, "source", {"src2": 1.0}, 500.0).select("doc_id").collect()
     assert sorted(r.doc_id for r in sel1) == sorted(r.doc_id for r in sel2)
+
+
+def test_shard_by_token_budget_balance_and_order(spark, sf_dir):
+    from trino_spark.operators.mixing import shard_by_token_budget
+
+    d = _docs(spark, sf_dir)
+    sharded = shard_by_token_budget(d, "doc_id", 2000.0)
+    rows = (
+        sharded.groupBy("_shard")
+        .agg(F.sum("_tokens").alias("tok"), F.count(F.lit(1)).alias("n"))
+        .orderBy("_shard")
+        .collect()
+    )
+    shard_ids = [r._shard for r in rows]
+    assert shard_ids == list(range(len(rows)))  # contiguous from 0
+    max_doc = sharded.agg(F.max("_tokens")).collect()[0][0]
+    for r in rows[:-1]:  # every full shard lands within one doc of capacity
+        assert 2000.0 - max_doc <= r.tok <= 2000.0 + max_doc
+    # determinism
+    again = shard_by_token_budget(d, "doc_id", 2000.0)
+    a = {r.doc_id: r._shard for r in sharded.select("doc_id", "_shard").collect()}
+    b = {r.doc_id: r._shard for r in again.select("doc_id", "_shard").collect()}
+    assert a == b

@@ -90,3 +90,43 @@ def mixture_sample(
         .filter(F.col("_prior_tokens") < F.col("_target"))
         .drop("_target", "_rank_key", "_prior_tokens")
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame, id_col: str, capacity: float, text_col: str = "text"
+) -> DataFrame:
+    """Assign documents to contiguous token-budget shards (`_shard`) in a
+    deterministic md5 order — the balanced-output-files step of a corpus
+    pipeline (each shard holds ~`capacity` tokens, in rank order, so
+    training shards are uniformly sized regardless of document skew).
+
+    Scale shape: the global running sum is computed WITHOUT a single-
+    partition sort — rows are bucketed by the first hex digit of their
+    rank key (16 buckets, each a window partition), bucket totals (16
+    scalars — metadata-scale driver traffic) become bucket offsets, and
+    global_prior = bucket_offset + within-bucket prefix sum. Because the
+    bucket is a PREFIX of the rank key, (bucket, key) order IS global key
+    order. At 100 TB widen to 2 hex digits (256 buckets)."""
+    d = (
+        df.withColumn("_tokens", token_count(F.col(text_col)).cast("long"))
+        .withColumn("_rk", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_bucket", F.substring("_rk", 1, 1))
+    )
+    totals = {
+        r[0]: r[1]
+        for r in d.groupBy("_bucket").agg(F.sum("_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    win = (
+        W.partitionBy("_bucket")
+        .orderBy("_rk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("_tokens").over(win), F.lit(0)) + omap[F.col("_bucket")]
+    return d.withColumn(
+        "_shard", F.floor(prior / F.lit(float(capacity))).cast("long")
+    ).drop("_rk", "_bucket")

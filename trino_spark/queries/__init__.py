@@ -98,6 +98,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "corpus_chunk_documents",
         "corpus_shuffle_buckets",
         "corpus_mixture_sample",
+        "corpus_shard_balanced",
         "streaming_upsert_sink",
         # round-4 NEW tpcds queries (cannot have a green row yet),
         # cheapest-first by measured sf0.01 cost

@@ -1205,3 +1205,47 @@ def corpus_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REG.add(
+    "corpus_shard_balanced",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS rk,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS _tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT _tokens,
+               coalesce(sum(_tokens) OVER (
+                   ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM toks
+    )
+    SELECT CAST(floor(prior / 4000.0) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_tokens) AS BIGINT) AS sum_tokens
+    FROM w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corpus_shard_balanced(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget-balanced sharding (operators/mixing.py
+    shard_by_token_budget): contiguous ~4000-token shards in deterministic
+    md5 rank order, computed with bucket-prefix sums instead of a global
+    single-partition sort. The oracle replays the global running-sum
+    formula in DuckDB — equality proves the 16-bucket offset
+    decomposition reproduces the exact global prefix sums."""
+    from trino_spark.operators.mixing import shard_by_token_budget
+
+    d = t(spark, sf, "documents")
+    sharded = shard_by_token_budget(d, "doc_id", 4000.0)
+    return (
+        sharded.groupBy(F.col("_shard").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("shard_id")
+    )
