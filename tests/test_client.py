@@ -314,3 +314,74 @@ def test_pandas_read_sql_over_dbapi(server):
             df = pd.read_sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey", c)
     assert list(df.columns) == ["r_regionkey", "r_name"]
     assert len(df) == 5 and df.r_regionkey.tolist() == [0, 1, 2, 3, 4]
+
+
+# --------------------------------------------- review-fix regression tests
+
+
+def test_fetchmany_zero_returns_empty(conn):
+    cur = conn.execute("SELECT n_nationkey FROM nation")
+    assert cur.fetchmany(0) == []
+    assert len(cur.fetchall()) == 25
+
+
+def test_bind_skips_quoted_idents_and_block_comments():
+    bound = dbapi._bind('SELECT c AS "total?" /* was ? */ FROM t WHERE a = ?', [7])
+    assert '"total?"' in bound and "/* was ? */" in bound and bound.endswith("a = 7")
+    with pytest.raises(dbapi.ProgrammingError):
+        dbapi._bind("SELECT ? /* ? */", [1, 2])
+    with pytest.raises(dbapi.ProgrammingError):
+        dbapi._bind("SELECT ?", [float("nan")])
+
+
+def test_session_value_with_comma_roundtrips(server):
+    with dbapi.connect(server.url(),
+                       session_properties={"path_list": "a,b=c"}) as c:
+        rows = dict(c.execute("SHOW SESSION").fetchall())
+        assert rows.get("path_list") == "a,b=c"
+
+
+def test_set_session_does_not_leak_across_connections(server):
+    with dbapi.connect(server.url()) as a:
+        a.execute("SET SESSION leaky_prop = 'zzz'").fetchall()
+        # A's next request still sees it (carried by A's header)
+        assert dict(a.execute("SHOW SESSION").fetchall()).get("leaky_prop") == "zzz"
+    with dbapi.connect(server.url()) as b:  # stateless server: B must not
+        assert "leaky_prop" not in dict(b.execute("SHOW SESSION").fetchall())
+    assert "leaky_prop" not in server.engine.session_properties
+
+
+def test_failed_session_overlay_releases_admission_slot(server):
+    # a Spark-static conf cannot be set at runtime: the overlay apply fails
+    with dbapi.connect(server.url(),
+                       session_properties={"spark.executor.cores": "4"}) as c:
+        with pytest.raises(dbapi.DatabaseError):
+            c.execute("SELECT 1").fetchall()
+    g = server.resource_groups["global"]
+    assert g.running == 0 and g.queued == 0  # slot released despite failure
+    # and the server still serves plain requests
+    with dbapi.connect(server.url()) as c2:
+        assert c2.execute("SELECT 2 AS x").fetchall() == [[2]]
+
+
+def test_unmatched_resource_group_rejects(spark, sf_dir):
+    from trino_spark.server import ResourceGroup, TrinoHttpServer
+
+    eng = TrinoEngine(spark, sf_dir)
+    srv = TrinoHttpServer(
+        eng,
+        resource_groups={"adhoc": ResourceGroup("adhoc", 2, 4)},
+        group_selector=lambda user: "etl",
+    ).start()
+    try:
+        resp = srv._submit("SELECT 1", user="bob")
+        assert resp["error"]["errorName"] == "QUERY_REJECTED"
+    finally:
+        srv.stop()
+
+
+def test_cli_eof_runs_trailing_statement(server):
+    out = io.StringIO()
+    stdin = io.StringIO("SELECT r_name FROM region WHERE r_regionkey = 1\n")  # no ';'
+    rc = cli.main(["--server", server.url()], stdin=stdin, stdout=out)
+    assert rc == 0 and "AMERICA" in out.getvalue()

@@ -34,7 +34,7 @@ def test_escaped_string_roundtrips_quote_structure(s):
             i += 1
 
 
-@given(st.lists(st.one_of(st.integers(), st.floats(allow_nan=False), st.text(max_size=10), st.none()), max_size=4))
+@given(st.lists(st.one_of(st.integers(), st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=10), st.none()), max_size=4))
 @settings(max_examples=100, deadline=None)
 def test_bind_consumes_exactly_the_placeholders(params):
     sql = "SELECT " + ", ".join(["?"] * len(params)) + (" 1" if not params else "")

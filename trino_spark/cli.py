@@ -192,8 +192,11 @@ def main(argv: list[str] | None = None, stdin=None, stdout=None) -> int:
             stdout.flush()
         line = stdin.readline()
         if not line:
+            # EOF: run any trailing statement without a ';' (piped input)
+            if buf.strip():
+                ok = run_statement(conn, buf.strip(), args.output_format, stdout) and ok
             break
-        if not buf and line.strip().lower() in ("quit", "exit", "quit;", "exit;"):
+        if not buf.strip() and line.strip().lower() in ("quit", "exit", "quit;", "exit;"):
             break
         buf += line
         stmts, buf = split_statements(buf)

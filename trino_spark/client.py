@@ -99,6 +99,8 @@ def _escape_param(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        raise ProgrammingError("cannot bind non-finite float parameter")
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dec.Decimal):
@@ -117,7 +119,8 @@ def _escape_param(v) -> str:
 
 
 def _bind(sql: str, params) -> str:
-    """Substitute `?` placeholders outside string literals/comments."""
+    """Substitute `?` placeholders outside string literals, quoted
+    identifiers, and line/block comments."""
     if params is None:
         return sql
     params = list(params)
@@ -127,12 +130,13 @@ def _bind(sql: str, params) -> str:
     n_bound = 0
     while i < n:
         c = sql[i]
-        if c == "'":  # skip string literal ('' escapes)
+        if c in ("'", '"'):  # skip string literal / quoted ident ('' escapes)
+            q = c
             j = i + 1
             while j < n:
-                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                if sql[j] == q and j + 1 < n and sql[j + 1] == q:
                     j += 2
-                elif sql[j] == "'":
+                elif sql[j] == q:
                     break
                 else:
                     j += 1
@@ -141,6 +145,11 @@ def _bind(sql: str, params) -> str:
         elif c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
             j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
             out.append(sql[i:j])
             i = j
         elif c == "?":
@@ -210,7 +219,7 @@ class Cursor:
         return self._buffer.pop(0)
 
     def fetchmany(self, size: int | None = None) -> list:
-        size = size or self.arraysize
+        size = self.arraysize if size is None else size
         rows = []
         while len(rows) < size:
             r = self.fetchone()
@@ -361,8 +370,10 @@ class Connection:
         if prefs:
             h["X-Trino-Query-Data-Encoding"] = ",".join(prefs)
         if self.session_properties:
+            # values URL-encoded so ',' / '=' survive the comma-joined header
             h["X-Trino-Session"] = ",".join(
-                f"{k}={v}" for k, v in self.session_properties.items()
+                f"{k}={urllib.parse.quote_plus(v)}"
+                for k, v in self.session_properties.items()
             )
         if self.prepared_statements:
             h["X-Trino-Prepared-Statement"] = ",".join(
@@ -405,7 +416,9 @@ class Connection:
                 ss = r.headers.get("X-Trino-Set-Session")
                 if ss and "=" in ss:
                     k, _, v = ss.partition("=")
-                    self.session_properties[k.strip()] = v.strip()
+                    self.session_properties[k.strip()] = urllib.parse.unquote_plus(
+                        v.strip()
+                    )
                 cs = r.headers.get("X-Trino-Clear-Session")
                 if cs:
                     self.session_properties.pop(cs.strip(), None)

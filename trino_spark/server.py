@@ -154,6 +154,10 @@ class TrinoHttpServer:
         # default routes everyone to 'global'.
         self.resource_groups = resource_groups or {"global": ResourceGroup("global")}
         self._group_selector = group_selector or (lambda user: "global")
+        # Serializes requests whose per-request state overlay (session
+        # properties / prepared statements / SET SESSION statements)
+        # mutates shared engine state — see _submit.
+        self._state_mutex = threading.RLock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -384,15 +388,18 @@ class TrinoHttpServer:
     # -- session properties over headers ------------------------------------
     @staticmethod
     def _parse_session_header(header: str) -> dict[str, str]:
-        """X-Trino-Session: k=v,k2=v2 (ProtocolHeaders.requestSession) —
-        the client-side session state the reference protocol carries on
-        every request (the server is stateless per-request there)."""
+        """X-Trino-Session: k=urlencoded_v,k2=... (ProtocolHeaders
+        requestSession) — the client-side session state carried on every
+        request. Values are URL-encoded (as in the reference client) so a
+        value containing ',' or '=' survives the comma-joined header."""
+        import urllib.parse
+
         props: dict[str, str] = {}
         for part in header.split(","):
             part = part.strip()
             if part and "=" in part:
                 k, _, v = part.partition("=")
-                props[k.strip()] = v.strip()
+                props[k.strip()] = urllib.parse.unquote_plus(v.strip())
         return props
 
     @staticmethod
@@ -415,12 +422,29 @@ class TrinoHttpServer:
         """SET/RESET SESSION statements answer with X-Trino-Set-Session /
         X-Trino-Clear-Session so the CLIENT carries the state forward
         (QueryResource / ProtocolHeaders.responseSetSession semantics)."""
+        import urllib.parse
+
         toks = sql.strip().split()
         up = [t.upper() for t in toks[:3]]
-        if up[:2] == ["SET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
+        if (
+            up[:2] == ["SET", "SESSION"]
+            and len(toks) >= 3
+            and up[2] != "AUTHORIZATION"
+            and "=" in " ".join(toks[2:])
+        ):
             key, _, val = " ".join(toks[2:]).partition("=")
-            return {"X-Trino-Set-Session": f"{key.strip()}={val.strip().strip(chr(39))}"}
-        if up[:2] == ["RESET", "SESSION"] and (len(up) < 3 or up[2] != "AUTHORIZATION"):
+            # mirror the engine's own value normalization (engine.py SET
+            # SESSION path) so the client re-sends EXACTLY the stored value;
+            # URL-encode so ',' / '=' in the value survive the header.
+            val = val.strip().strip("'")
+            return {
+                "X-Trino-Set-Session": f"{key.strip()}={urllib.parse.quote_plus(val)}"
+            }
+        if (
+            up[:2] == ["RESET", "SESSION"]
+            and len(toks) >= 3
+            and up[2] != "AUTHORIZATION"
+        ):
             return {"X-Trino-Clear-Session": toks[2]}
         if up[:1] == ["PREPARE"] and len(toks) >= 4:
             # PREPARE name FROM stmt → X-Trino-Added-Prepare so the CLIENT
@@ -461,71 +485,122 @@ class TrinoHttpServer:
         prepared: dict[str, str] | None = None,
     ) -> dict:
         qid = uuid.uuid4().hex[:16]
+
+        def _fail(msg: str, errname: str) -> dict:
+            st = _QueryState(qid, [], [])
+            st.error = {"message": msg, "errorName": errname}
+            with self._lock:
+                self._queries[qid] = st
+            return {"id": qid, "stats": {"state": "FAILED"}, "error": st.error}
+
         # Admission control: route to the user's resource group and take a
         # slot (blocks while the group is at hardConcurrencyLimit; rejects
-        # when its wait queue is full — QUERY_QUEUE_FULL).
-        group = self.resource_groups.get(
-            self._group_selector(user)
-        ) or self.resource_groups.get("global")
+        # when its wait queue is full — QUERY_QUEUE_FULL). A selector that
+        # resolves to no configured group (and no 'global' default) REJECTS
+        # the query — the reference likewise fails a query matching no
+        # resource-group selector rather than silently skipping admission.
+        gname = self._group_selector(user)
+        group = self.resource_groups.get(gname) or self.resource_groups.get("global")
+        if group is None and self.resource_groups:
+            return _fail(
+                f"Query did not match any resource group (selector -> {gname!r})",
+                "QUERY_REJECTED",
+            )
         if group is not None:
             try:
                 group.acquire()
             except RuntimeError as exc:
-                st = _QueryState(qid, [], [])
-                st.error = {"message": str(exc), "errorName": "QUERY_QUEUE_FULL"}
-                with self._lock:
-                    self._queries[qid] = st
-                return {"id": qid, "stats": {"state": "FAILED"}, "error": st.error}
-        # Run under a Spark job group named by the query id so
-        # system.runtime.kill_query(qid) can cancel the running jobs from
-        # another request thread (KillQueryProcedure.java semantics).
+                return _fail(str(exc), "QUERY_QUEUE_FULL")
+
+        # Statement-level session effects (SET/RESET SESSION) answer via
+        # response headers and must NOT leak into the shared engine — the
+        # protocol is stateless-server: the CLIENT carries the property
+        # forward. Pre-compute the affected key so the restore loop also
+        # reverts the engine-global mutation the statement performs.
+        stmt_hdrs = self._session_response_headers(sql)
         sc = self.engine.spark.sparkContext
         running = getattr(self.engine, "_running_queries", None)
         if running is None:
             running = self.engine._running_queries = {}
-        running[qid] = sql.strip()[:200]
-        sc.setJobGroup(qid, sql.strip()[:80], interruptOnCancel=True)
-        def _check_killed() -> None:
-            # kill_query records qids here so a kill that landed while the
-            # query was still planning (no active Spark job to cancel)
-            # still terminates it at the next checkpoint.
-            if qid in getattr(self.engine, "_killed_queries", ()):
-                raise RuntimeError("Query killed by operator via kill_query")
-
-        # Per-request session properties from X-Trino-Session: applied for
-        # this statement, restored after (the reference's per-request
-        # session construction from protocol headers).
         saved: dict[str, str | None] = {}
-        for k, v in (session or {}).items():
-            saved[k] = self.engine.session_properties.get(k)
-            self.engine.session_properties[k] = v
-            if k.startswith("spark."):
-                self.engine.spark.conf.set(k, v)
-        # Client-held prepared statements (X-Trino-Prepared-Statement):
-        # installed for this request so EXECUTE name resolves, restored
-        # after — the stateless-server flow of the reference protocol.
         saved_prep: dict[str, str | None] = {}
-        for k, v in (prepared or {}).items():
-            saved_prep[k] = self.engine.prepared.get(k)
-            self.engine.prepared[k] = v
+        st: _QueryState | None = None
+        # Requests carrying per-request state (session properties, prepared
+        # statements, or a SET/RESET SESSION statement) serialize among
+        # themselves: the overlay save/apply/restore mutates shared engine
+        # and Spark-conf state, and two concurrent overlays would restore
+        # each other's values (header-less requests stay fully concurrent).
+        needs_mutex = bool(session or prepared or stmt_hdrs)
+        if needs_mutex:
+            self._state_mutex.acquire()
         try:
-            _check_killed()
-            df = self.engine.sql(sql)
-            _check_killed()
-            columns = [
-                {"name": f.name, "type": _trino_type(f.dataType)} for f in df.schema
-            ]
-            rows = [[_json_cell(v) for v in row] for row in df.collect()]
-            _check_killed()
-            st = _QueryState(qid, columns, rows, spooled=spooled, encoding=encoding)
-            if spooled:
-                self._spool(st)
-        except Exception as exc:  # surface as a Trino-style error payload
+            running[qid] = sql.strip()[:200]
+            sc.setJobGroup(qid, sql.strip()[:80], interruptOnCancel=True)
+
+            def _check_killed() -> None:
+                # kill_query records qids here so a kill that landed while
+                # the query was still planning (no active Spark job to
+                # cancel) still terminates it at the next checkpoint.
+                if qid in getattr(self.engine, "_killed_queries", ()):
+                    raise RuntimeError("Query killed by operator via kill_query")
+
+            # Per-request session properties from X-Trino-Session: applied
+            # for this statement, restored after (the reference's
+            # per-request session construction from protocol headers).
+            for k, v in (session or {}).items():
+                saved[k] = self.engine.session_properties.get(k)
+                self.engine.session_properties[k] = v
+                if k.startswith("spark."):
+                    self.engine.spark.conf.set(k, v)
+            skey = None
+            if "X-Trino-Set-Session" in stmt_hdrs:
+                skey = stmt_hdrs["X-Trino-Set-Session"].partition("=")[0]
+            elif "X-Trino-Clear-Session" in stmt_hdrs:
+                skey = stmt_hdrs["X-Trino-Clear-Session"]
+            if skey is not None and skey not in saved:
+                saved[skey] = self.engine.session_properties.get(skey)
+            # Client-held prepared statements (X-Trino-Prepared-Statement):
+            # installed for this request so EXECUTE name resolves, restored
+            # after — the stateless-server flow of the reference protocol.
+            for k, v in (prepared or {}).items():
+                saved_prep[k] = self.engine.prepared.get(k)
+                self.engine.prepared[k] = v
+            try:
+                _check_killed()
+                df = self.engine.sql(sql)
+                _check_killed()
+                columns = [
+                    {"name": f.name, "type": _trino_type(f.dataType)} for f in df.schema
+                ]
+                rows = [[_json_cell(v) for v in row] for row in df.collect()]
+                _check_killed()
+                st = _QueryState(qid, columns, rows, spooled=spooled, encoding=encoding)
+                if spooled:
+                    self._spool(st)
+            except Exception as exc:  # surface as a Trino-style error payload
+                st = _QueryState(qid, [], [])
+                st.error = {
+                    "message": str(exc).split("\n")[0][:500],
+                    "errorName": type(exc).__name__,
+                }
+            running.pop(qid, None)
+            killed = getattr(self.engine, "_killed_queries", None)
+            if killed is not None:
+                killed.discard(qid)
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        except Exception as exc:
+            # setup failures (e.g. a session property Spark refuses to set)
+            # — the inner try already converts QUERY errors; this converts
+            # OVERLAY errors so the handler never crashes and the finally
+            # below still restores state and releases the admission slot.
             st = _QueryState(qid, [], [])
-            st.error = {"message": str(exc).split("\n")[0][:500], "errorName": type(exc).__name__}
+            st.error = {
+                "message": str(exc).split("\n")[0][:500],
+                "errorName": type(exc).__name__,
+            }
         finally:
-            if group is not None:
-                group.release()
+            # Restore order: prepared, then session (covers partially-
+            # applied overlays — `saved*` only holds what was applied).
             for k, old in saved_prep.items():
                 if old is None:
                     self.engine.prepared.pop(k, None)
@@ -537,15 +612,19 @@ class TrinoHttpServer:
                 else:
                     self.engine.session_properties[k] = old
                 if k.startswith("spark."):
-                    if old is None:
-                        self.engine.spark.conf.unset(k)
-                    else:
-                        self.engine.spark.conf.set(k, old)
-            running.pop(qid, None)
-            killed = getattr(self.engine, "_killed_queries", None)
-            if killed is not None:
-                killed.discard(qid)
-            sc.setLocalProperty("spark.jobGroup.id", None)
+                    try:
+                        if old is None:
+                            self.engine.spark.conf.unset(k)
+                        else:
+                            self.engine.spark.conf.set(k, old)
+                    except Exception:
+                        # a static conf that refused the SET also refuses
+                        # the restore — nothing was applied, nothing to undo
+                        pass
+            if needs_mutex:
+                self._state_mutex.release()
+            if group is not None:
+                group.release()
         with self._lock:
             self._queries[qid] = st
         # QUEUED-style first response: no data yet, client follows nextUri
@@ -556,10 +635,8 @@ class TrinoHttpServer:
             resp["error"] = st.error
         else:
             resp["nextUri"] = f"{self.url()}/v1/statement/executing/{qid}/0"
-        if st.error is None:
-            hdrs = self._session_response_headers(sql)
-            if hdrs:
-                resp["_http_headers"] = hdrs
+            if stmt_hdrs:
+                resp["_http_headers"] = stmt_hdrs
         return resp
 
     def _page(self, qid: str) -> dict | None:

@@ -253,6 +253,21 @@ def run_upsert_sink(
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, manifest_path)  # atomic commit
+        # Retention: superseded state versions are dead after the commit —
+        # keep only the new current (readers that raced the swap still see
+        # the previous manifest's files until their read completes, and
+        # AvailableNow applies are sequential, so pruning prior versions
+        # here is safe; a multi-reader deployment keeps a retention window
+        # like dialect/dml.py expire_snapshots).
+        import shutil
+
+        for entry in os.listdir(target_dir):
+            if (
+                entry.startswith("v")
+                and entry != version
+                and entry[1:].isdigit()
+            ):
+                shutil.rmtree(os.path.join(target_dir, entry), ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(apply_batch)
