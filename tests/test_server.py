@@ -328,3 +328,30 @@ def test_resource_group_stats_endpoint(server):
         payload = json.loads(r.read())
     names = {g["name"] for g in payload["groups"]}
     assert "global" in names
+
+
+def test_info_endpoint(server):
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server.url()}/v1/info") as r:
+        payload = json.loads(r.read())
+    assert payload["coordinator"] is True
+    assert payload["nodeVersion"]["version"]
+    assert payload["starting"] is False
+
+
+def test_stats_carry_elapsed_and_rows(server):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{server.url()}/v1/statement",
+        data=b"SELECT n_nationkey FROM nation",
+        method="POST",
+    )
+    resp = json.loads(urllib.request.urlopen(req).read())
+    page = json.loads(urllib.request.urlopen(resp["nextUri"]).read())
+    assert page["stats"]["state"] == "FINISHED"
+    assert page["stats"]["processedRows"] == 25
+    assert page["stats"]["elapsedTimeMillis"] > 0

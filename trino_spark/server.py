@@ -94,6 +94,17 @@ class _QueryState:
         self.spooled = spooled
         self.encoding = encoding  # negotiated spooled-segment encoding
         self.segments: list[dict] = []  # spooled-mode segment descriptors
+        self.elapsed_ms: float = 0.0  # execution wall time (stats surface)
+        self.total_rows: int = len(rows)
+
+    def stats(self, state: str) -> dict:
+        """Trino-shaped stats block (QueryResults.stats: state, elapsed,
+        processed rows — the fields interactive clients render)."""
+        return {
+            "state": state,
+            "elapsedTimeMillis": round(self.elapsed_ms, 3),
+            "processedRows": self.total_rows,
+        }
 
 
 class ResourceGroup:
@@ -205,6 +216,22 @@ class TrinoHttpServer:
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
+                # /v1/info: server identity + liveness (reference:
+                # ServerInfoResource — the endpoint every client pings)
+                if parts == ["v1", "info"]:
+                    import time as _time
+
+                    self._send(
+                        200,
+                        {
+                            "nodeVersion": {"version": outer.engine_version()},
+                            "environment": "spark",
+                            "coordinator": True,
+                            "starting": False,
+                            "uptime": f"{_time.time() - outer._started_at:.2f}s",
+                        },
+                    )
+                    return
                 # /v1/resourceGroups: admission stats (reference: the
                 # resource-group JMX/system surface)
                 if parts == ["v1", "resourceGroups"]:
@@ -248,6 +275,15 @@ class TrinoHttpServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        import time as _time
+
+        self._started_at = _time.time()
+
+    @staticmethod
+    def engine_version() -> str:
+        from trino_spark import __version__
+
+        return __version__
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> "TrinoHttpServer":
@@ -565,6 +601,9 @@ class TrinoHttpServer:
             for k, v in (prepared or {}).items():
                 saved_prep[k] = self.engine.prepared.get(k)
                 self.engine.prepared[k] = v
+            import time as _time
+
+            t0 = _time.perf_counter()
             try:
                 _check_killed()
                 df = self.engine.sql(sql)
@@ -583,6 +622,7 @@ class TrinoHttpServer:
                     "message": str(exc).split("\n")[0][:500],
                     "errorName": type(exc).__name__,
                 }
+            st.elapsed_ms = (_time.perf_counter() - t0) * 1000.0
             running.pop(qid, None)
             killed = getattr(self.engine, "_killed_queries", None)
             if killed is not None:
@@ -655,7 +695,7 @@ class TrinoHttpServer:
                 "id": qid,
                 "columns": st.columns,
                 "data": {"encoding": st.encoding, "segments": st.segments},
-                "stats": {"state": "FINISHED"},
+                "stats": st.stats("FINISHED"),
             }
         page = st.rows[st.offset : st.offset + PAGE_ROWS]
         st.offset += len(page)
@@ -663,7 +703,7 @@ class TrinoHttpServer:
             "id": qid,
             "columns": st.columns,
             "data": page,
-            "stats": {"state": "FINISHED" if st.offset >= len(st.rows) else "RUNNING"},
+            "stats": st.stats("FINISHED" if st.offset >= len(st.rows) else "RUNNING"),
         }
         if st.offset < len(st.rows):
             resp["nextUri"] = f"{self.url()}/v1/statement/executing/{qid}/{st.offset}"
