@@ -207,3 +207,28 @@ def test_partitioned_ctas_scan_prunes_partitions(spark, sf_dir):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "r" in pf and "2" in pf
     eng.sql("DROP TABLE pp_t")
+
+
+def test_mixture_sample_no_cartesian_one_window(spark, sf_dir):
+    """mixture_sample is ONE window pass per source partition — no joins,
+    no cartesian products, scalar-only driver traffic."""
+    from trino_spark.operators.mixing import mixture_sample
+    from trino_spark.queries.base import t
+
+    d = t(spark, sf_dir, "documents")
+    plan = _plan(mixture_sample(d, "source", {"src0": 0.5, "src1": 0.5}, 1000.0))
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_shard_by_token_budget_bounded_exchanges(spark, sf_dir):
+    """Bucket-prefix sharding: one window over 16 hash buckets, no global
+    single-partition sort (no Exchange SinglePartition in the final plan)."""
+    from trino_spark.operators.mixing import shard_by_token_budget
+    from trino_spark.queries.base import t
+
+    d = t(spark, sf_dir, "documents")
+    plan = _plan(shard_by_token_budget(d, "doc_id", 2000.0))
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
