@@ -355,3 +355,14 @@ def test_stats_carry_elapsed_and_rows(server):
     assert page["stats"]["state"] == "FINISHED"
     assert page["stats"]["processedRows"] == 25
     assert page["stats"]["elapsedTimeMillis"] > 0
+
+
+def test_version_scalar(server):
+    from trino_spark import __version__
+    from trino_spark.server import fetch_all
+
+    cols, rows = fetch_all(server.url(), "SELECT version() AS v")
+    assert rows == [[__version__]]
+    # inside a string literal it is untouched
+    cols, rows = fetch_all(server.url(), "SELECT 'version()' AS v")
+    assert rows == [["version()"]]

@@ -207,6 +207,18 @@ class TrinoEngine:
                 trino_sql,
                 lambda p: re.sub(r"\bCURRENT_USER\b", f"'{_user}'", p, flags=re.IGNORECASE),
             )
+        if re.search(r"\bversion\s*\(\s*\)", trino_sql, re.IGNORECASE):
+            # version() (#version, ServerInfoResource analog): the engine
+            # release string as a literal, like the reference's scalar.
+            from trino_spark import __version__
+            from trino_spark.dialect.access import map_outside_literals
+
+            trino_sql = map_outside_literals(
+                trino_sql,
+                lambda p: re.sub(
+                    r"\bversion\s*\(\s*\)", f"'{__version__}'", p, flags=re.IGNORECASE
+                ),
+            )
         if re.search(r"\bcurrent_groups\s*\(\s*\)", trino_sql, re.IGNORECASE):
             # current_groups() (#currentGroups): the identity's group set.
             # Our session identity model is roles, so the group list is the
