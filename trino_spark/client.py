@@ -245,6 +245,12 @@ class Cursor:
                 return
             yield r
 
+    def setinputsizes(self, sizes) -> None:  # PEP 249 mandated no-op
+        pass
+
+    def setoutputsize(self, size, column=None) -> None:  # PEP 249 no-op
+        pass
+
     def cancel(self) -> None:
         """Abandon remaining pages (DELETE nextUri — Query.java cancel)."""
         if self._next_uri:
