@@ -500,3 +500,26 @@ class TestRealMultimodalDecode:
         d = spark.range(1).withColumnRenamed("id", "doc_id")
         with _pytest.raises(NotImplementedError):
             mm.decode_images(mm.attach_fake_binary(d.withColumn("text", d.doc_id.cast("string"))), impl="pil")
+
+
+def test_boilerplate_ngrams_flags_injected_template(spark):
+    """A template span shared by many docs is flagged; unique text is not."""
+    from pyspark.sql import functions as F
+
+    from trino_spark.operators.text import boilerplate_ngrams
+
+    rows = [(i, f"unique {i} words here now really truly " +
+             "subscribe to our newsletter for more updates") for i in range(10)]
+    rows += [(100 + i, f"totally distinct document number{i} alpha beta gamma delta")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.n_boilerplate)
+           for r in boilerplate_ngrams(df, n=5, min_docs=8).collect()}
+    for i in range(10):  # template docs: the shared span's grams flagged
+        assert out[i][1] >= 3
+    for i in range(5):  # unique docs: nothing flagged
+        assert out[100 + i][1] == 0
+    # short doc yields zero grams, present with (0, 0)
+    short = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    r = boilerplate_ngrams(short, n=5, min_docs=2).collect()[0]
+    assert (r.n_grams, r.n_boilerplate) == (0, 0)

@@ -258,3 +258,51 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .join(bigram_stats, id_col, "left")
         .na.fill(0.0, ["dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"])
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection: an n-gram appearing in
+    >= min_docs DISTINCT documents marks a repeated span (navigation
+    chrome, license footers, template text — the spans web-corpus
+    pipelines strip before training). Returns one row per document with
+    `n_grams` (distinct n-grams) and `n_boilerplate` (how many of them
+    are corpus-frequent).
+
+    Scale shape: explode(distinct n-grams) → one hash aggregation keyed
+    by gram for the document-frequency table, then a broadcast-friendly
+    semi-join back onto the exploded grams — no all-pairs comparison;
+    the frequent-gram table is tiny (corpus-wide repeated spans) and the
+    rest is codegen expressions."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    freq = (
+        per_doc.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    from pyspark.sql.functions import broadcast
+
+    flagged = per_doc.join(
+        broadcast(freq.withColumn("_freq", F.lit(1))), "gram", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("_freq").alias("n_boilerplate"),
+    )

@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "corpus_shuffle_buckets",
         "corpus_mixture_sample",
         "corpus_shard_balanced",
+        "text_boilerplate_ngrams",
         "streaming_upsert_sink",
         # round-4 NEW tpcds queries (cannot have a green row yet),
         # cheapest-first by measured sf0.01 cost

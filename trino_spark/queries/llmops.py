@@ -1249,3 +1249,57 @@ def corpus_shard_balanced(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@REG.add(
+    "text_boilerplate_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        FROM toks, unnest(range(1, len(w)-3)) AS t(i)
+    ),
+    freq AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3
+    ),
+    per_doc AS (
+        SELECT toks.doc_id,
+               count(g.gram) AS n_grams,
+               count(freq.gram) AS n_boilerplate
+        FROM toks
+        LEFT JOIN g ON toks.doc_id = g.doc_id
+        LEFT JOIN freq ON g.gram = freq.gram
+        GROUP BY toks.doc_id
+    )
+    SELECT CAST(doc_id % 20 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS grams,
+           CAST(sum(n_boilerplate) AS BIGINT) AS boiler
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate spans (operators/text.py
+    boilerplate_ngrams): 5-grams appearing in >= 3 distinct documents are
+    corpus-frequent template text; per-doc distinct-gram and flagged-gram
+    counts are bucket-aggregated. The oracle rebuilds the identical
+    n-grams, document-frequency table, and flag join in DuckDB. Scale:
+    explode -> one gram-keyed hash agg -> broadcast semi-join back."""
+    from trino_spark.operators.text import boilerplate_ngrams
+
+    d = t(spark, sf, "documents")
+    per_doc = boilerplate_ngrams(d, n=5, min_docs=3)
+    return (
+        per_doc.groupBy((F.col("doc_id") % 20).cast("bigint").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("grams"),
+            F.sum("n_boilerplate").cast("bigint").alias("boiler"),
+        )
+        .orderBy("cell")
+    )
