@@ -1,0 +1,147 @@
+"""Differential expression fuzzer: random typed scalar expressions run
+through the dialect engine (Trino SQL → translate → Spark) AND DuckDB on
+the same text, values compared strictly.
+
+The function sweep (scripts/function_sweep.py) probes functions one at a
+time; this fuzzer stresses COMPOSITION — nesting, NULL propagation,
+CASE/COALESCE typing, operator precedence — where translator bugs hide.
+
+Grammar restriction: only constructs whose semantics are identical in
+Trino/Spark/DuckDB (integer arithmetic without division, string ops with
+positive indices, three-valued logic); known cross-engine divergences
+(integer '/', round() on binary doubles, negative substr) are excluded by
+construction, so any mismatch is an ENGINE bug, not an oracle artifact.
+
+Usage: python scripts/expr_fuzz.py [n_exprs] [seed]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+BATCH = 20  # expressions per SELECT (amortizes per-query engine cost)
+
+_INT_ATOMS = ["n_nationkey", "n_regionkey", "3", "7", "0", "CAST(NULL AS BIGINT)"]
+_STR_ATOMS = ["n_name", "'abc'", "'_X'", "''", "CAST(NULL AS VARCHAR)"]
+
+
+def gen(rng: random.Random, typ: str, depth: int) -> str:
+    """One random expression of SQL type `typ` ('int' | 'str' | 'bool')."""
+    if depth <= 0:
+        if typ == "int":
+            return rng.choice(_INT_ATOMS)
+        if typ == "str":
+            return rng.choice(_STR_ATOMS)
+        return rng.choice(
+            [f"{rng.choice(_INT_ATOMS)} > {rng.randint(0, 20)}", "TRUE", "FALSE"]
+        )
+    d = depth - 1
+    i = lambda: gen(rng, "int", d)  # noqa: E731
+    s = lambda: gen(rng, "str", d)  # noqa: E731
+    b = lambda: gen(rng, "bool", d)  # noqa: E731
+    if typ == "int":
+        return rng.choice(
+            [
+                lambda: f"abs({i()})",
+                lambda: f"greatest({i()}, {i()})",
+                lambda: f"least({i()}, {i()})",
+                lambda: f"({i()} + {i()})",
+                lambda: f"({i()} - {i()})",
+                lambda: f"({i()} * {rng.randint(0, 5)})",
+                lambda: f"mod({i()}, {rng.randint(1, 9)})",
+                lambda: f"length({s()})",
+                lambda: f"CASE WHEN {b()} THEN {i()} ELSE {i()} END",
+                lambda: f"coalesce({i()}, {i()})",
+                lambda: f"nullif({i()}, {i()})",
+            ]
+        )()
+    if typ == "str":
+        return rng.choice(
+            [
+                lambda: f"lower({s()})",
+                lambda: f"upper({s()})",
+                lambda: f"substr({s()}, {rng.randint(1, 4)}, {rng.randint(1, 5)})",
+                lambda: f"({s()} || {s()})",
+                lambda: f"trim({s()})",
+                lambda: f"replace({s()}, 'a', '_')",
+                lambda: f"coalesce({s()}, {s()})",
+                lambda: f"CASE WHEN {b()} THEN {s()} ELSE {s()} END",
+                lambda: f"reverse({s()})",
+            ]
+        )()
+    return rng.choice(
+        [
+            lambda: f"({i()} > {i()})",
+            lambda: f"({i()} = {i()})",
+            lambda: f"({s()} = {s()})",
+            lambda: f"({b()} AND {b()})",
+            lambda: f"({b()} OR {b()})",
+            lambda: f"(NOT {b()})",
+            lambda: f"({i()} BETWEEN {rng.randint(0, 5)} AND {rng.randint(6, 30)})",
+            lambda: f"({i()} IN ({rng.randint(0, 9)}, {rng.randint(10, 24)}))",
+            lambda: f"({s()} LIKE 'a%')",
+            lambda: f"({s()} IS NULL)",
+        ]
+    )()
+
+
+def fuzz(n_exprs: int = 200, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):
+    """Returns the list of mismatching expressions (empty = clean)."""
+    import duckdb
+
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+    from trino_spark.testing import duckdb_connection
+
+    rng = random.Random(seed)
+    exprs = []
+    for k in range(n_exprs):
+        typ = ("int", "str", "bool")[k % 3]
+        exprs.append(gen(rng, typ, rng.randint(1, 4)))
+
+    spark = get_spark(app_name="expr_fuzz")
+    eng = TrinoEngine(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    bad: list[str] = []
+    for ofs in range(0, len(exprs), BATCH):
+        chunk = exprs[ofs : ofs + BATCH]
+        cols = ", ".join(f"{e} AS e{j}" for j, e in enumerate(chunk))
+        sql = f"SELECT n_nationkey, {cols} FROM nation ORDER BY n_nationkey"
+        try:
+            got = eng.sql(sql).toPandas()
+            want = con.execute(sql).fetch_df()
+        except Exception as exc:  # a whole-batch failure: bisect by expr
+            for e in chunk:
+                single = f"SELECT n_nationkey, {e} AS e0 FROM nation ORDER BY n_nationkey"
+                try:
+                    eng.sql(single).toPandas()
+                    con.execute(single).fetch_df()
+                except Exception:
+                    bad.append(f"ERROR {e}: {str(exc).splitlines()[0][:120]}")
+            continue
+        for j, e in enumerate(chunk):
+            a, o = got[f"e{j}"], want[f"e{j}"]
+            for av, ov in zip(a.tolist(), o.tolist()):
+                # NaN-safe equality; bools compare as ints across engines
+                if av is None or (isinstance(av, float) and av != av):
+                    ok = ov is None or (isinstance(ov, float) and ov != ov)
+                else:
+                    ok = av == ov
+                if not ok:
+                    bad.append(f"MISMATCH {e}: spark={av!r} duckdb={ov!r}")
+                    break
+    return bad
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    bad = fuzz(n, seed)
+    for line in bad:
+        print(line)
+    print(f"\n{n} expressions, {len(bad)} mismatches (seed {seed})")
+    sys.exit(1 if bad else 0)
