@@ -89,6 +89,46 @@ def gen(rng: random.Random, typ: str, depth: int) -> str:
     )()
 
 
+def gen_agg(rng: random.Random, depth: int = 2) -> str:
+    """Aggregate call over a generated int expression (GROUP BY fuzz)."""
+    e = gen(rng, "int", depth)
+    return rng.choice(
+        [
+            f"sum({e})",
+            f"min({e})",
+            f"max({e})",
+            f"count({e})",
+            f"count(DISTINCT {e})",
+            f"sum(CASE WHEN {gen(rng, 'bool', depth)} THEN 1 ELSE 0 END)",
+        ]
+    )
+
+
+def gen_window(rng: random.Random, depth: int = 2) -> str:
+    """Window call with a deterministic frame (ordered by the unique key)."""
+    e = gen(rng, "int", depth)
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+        ]
+    )
+    over = f"OVER (PARTITION BY n_regionkey ORDER BY n_nationkey {frame})"
+    plain = f"OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)"
+    return rng.choice(
+        [
+            f"sum({e}) {over}",
+            f"min({e}) {over}",
+            f"max({e}) {over}",
+            f"row_number() {plain}",
+            f"rank() {plain}",
+            f"lag({e}, 1) {plain}",
+            f"lead({e}, 1) {plain}",
+        ]
+    )
+
+
 def fuzz(n_exprs: int = 200, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):
     """Returns the list of mismatching expressions (empty = clean)."""
     import duckdb
@@ -137,11 +177,60 @@ def fuzz(n_exprs: int = 200, seed: int = 42, sf_dir: str = "/root/testdata/sf0.0
     return bad
 
 
+def _values_equal(av, ov) -> bool:
+    if av is None or (isinstance(av, float) and av != av):
+        return ov is None or (isinstance(ov, float) and ov != ov)
+    try:
+        return av == ov or int(av) == int(ov)  # HUGEINT vs int64 etc.
+    except (TypeError, ValueError, OverflowError):
+        return av == ov
+
+
+def fuzz_agg(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01",
+             window: bool = False):
+    """GROUP BY aggregate (or window) differential fuzz. Returns mismatches."""
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+    from trino_spark.testing import duckdb_connection
+
+    rng = random.Random(seed)
+    gen_one = gen_window if window else gen_agg
+    exprs = [gen_one(rng, rng.randint(1, 3)) for _ in range(n_exprs)]
+    spark = get_spark(app_name="expr_fuzz")
+    eng = TrinoEngine(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    bad: list[str] = []
+    for ofs in range(0, len(exprs), BATCH):
+        chunk = exprs[ofs : ofs + BATCH]
+        cols = ", ".join(f"{e} AS e{j}" for j, e in enumerate(chunk))
+        if window:
+            sql = f"SELECT n_nationkey, {cols} FROM nation ORDER BY n_nationkey"
+        else:
+            sql = (
+                f"SELECT n_regionkey, {cols} FROM nation "
+                "GROUP BY n_regionkey ORDER BY n_regionkey"
+            )
+        try:
+            got = eng.sql(sql).toPandas()
+            want = con.execute(sql).fetch_df()
+        except Exception as exc:
+            bad.append(f"ERROR batch@{ofs}: {str(exc).splitlines()[0][:160]}")
+            continue
+        for j, e in enumerate(chunk):
+            for av, ov in zip(got[f"e{j}"].tolist(), want[f"e{j}"].tolist()):
+                if not _values_equal(av, ov):
+                    bad.append(f"MISMATCH {e}: spark={av!r} duckdb={ov!r}")
+                    break
+    return bad
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     bad = fuzz(n, seed)
+    bad += fuzz_agg(max(20, n // 3), seed)
+    bad += fuzz_agg(max(20, n // 3), seed + 1, window=True)
     for line in bad:
         print(line)
-    print(f"\n{n} expressions, {len(bad)} mismatches (seed {seed})")
+    print(f"\n{n} scalar + 2x{max(20, n // 3)} agg/window, {len(bad)} mismatches (seed {seed})")
     sys.exit(1 if bad else 0)

@@ -26,3 +26,15 @@ def test_generator_produces_all_types():
     assert isinstance(gen(rng, "int", 3), str)
     assert isinstance(gen(rng, "str", 3), str)
     assert isinstance(gen(rng, "bool", 3), str)
+
+
+def test_aggregate_differential(spark, sf_dir):
+    from expr_fuzz import fuzz_agg
+
+    assert fuzz_agg(n_exprs=30, seed=42, sf_dir=sf_dir) == []
+
+
+def test_window_differential(spark, sf_dir):
+    from expr_fuzz import fuzz_agg
+
+    assert fuzz_agg(n_exprs=30, seed=43, sf_dir=sf_dir, window=True) == []
