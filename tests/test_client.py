@@ -385,3 +385,14 @@ def test_cli_eof_runs_trailing_statement(server):
     stdin = io.StringIO("SELECT r_name FROM region WHERE r_regionkey = 1\n")  # no ';'
     rc = cli.main(["--server", server.url()], stdin=stdin, stdout=out)
     assert rc == 0 and "AMERICA" in out.getvalue()
+
+
+def test_cli_inprocess_mode(spark, sf_dir):
+    """No --server: the CLI spins an in-process engine over --sf-dir."""
+    out = io.StringIO()
+    rc = cli.main(
+        ["--sf-dir", sf_dir, "-e", "SELECT count(*) AS n FROM region",
+         "--output-format", "CSV_HEADER"],
+        stdout=out,
+    )
+    assert rc == 0 and "5" in out.getvalue()
