@@ -61,12 +61,13 @@ def ts_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     WITH expanded AS (
       SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
-             event_type, value
+             event_type,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
       FROM events
     )
     SELECT ws, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST((2 * sum(v6) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_value_micros
     FROM expanded
     GROUP BY ws, event_type
     ORDER BY ws, event_type
@@ -74,12 +75,29 @@ def ts_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ts_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes (each event lands in two
-    windows — Spark's window() expands map-side, no self-join)."""
+    windows — Spark's window() expands map-side, no self-join).
+
+    The windowed average is surfaced as half-up integer MICROS computed
+    from an exact integer sum (floor(v*1e6+0.5) per value, then
+    floor((2S+n)/(2n))): a rounded double avg differs between engines in
+    the last ulp on ~1 in 2000 groups at sf0.1 (round(43.4728125, 6)
+    landed 43.472812 vs 43.472813 — the half-way class the playbook's
+    exact-integer rule exists for). Values are non-negative so integer
+    division semantics agree across engines."""
     e = t(spark, sf, "events")
+    v6 = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "avg_value")
+        e.withColumn("v6", v6)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("(2 * sum(v6) + count(*)) div (2 * count(*))").alias(
+                "avg_value_micros"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("ws"), "event_type", "n_events", "avg_value_micros"
+        )
         .orderBy("ws", "event_type")
     )
 
