@@ -244,7 +244,8 @@ def agg_reduce_product(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS cnt,
            round(min(l_extendedprice), 2) AS lo,
            round(max(l_extendedprice), 2) AS hi,
-           round(avg(l_extendedprice), 6) AS mean
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mean_cents
     FROM lineitem
     GROUP BY bucket
     ORDER BY bucket
@@ -252,7 +253,11 @@ def agg_reduce_product(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_numeric_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """numeric_histogram / width_bucket binning: fixed-width price buckets
-    with per-bucket stats (single shuffle on the computed bucket)."""
+    with per-bucket stats (single shuffle on the computed bucket). The
+    bucket mean is a half-up integer CENTS average from an exact integer
+    sum — `round(avg(double), 6)` is the half-way-ulp class the sf0.1
+    audit flagged on ts_sliding_window (min/max rounding is safe: both
+    engines round the IDENTICAL double)."""
     li = t(spark, sf, "lineitem")
     bucket = F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9)).cast("int")
     return (
@@ -261,7 +266,10 @@ def agg_numeric_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
-            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+            F.expr(
+                "(2 * sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) + count(*))"
+                " div (2 * count(*))"
+            ).alias("mean_cents"),
         )
         .orderBy("bucket")
     )
