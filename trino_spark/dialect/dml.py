@@ -230,6 +230,14 @@ def _commit(
     if partition_by is not None:
         layouts[name] = partition_by
     part_cols = layouts.get(name)
+    # Record the LOGICAL column order (hive-partitioned parquet reads put
+    # partition columns last; _read restores this order so positional
+    # INSERT and SELECT * keep the declared layout). Every commit's df is
+    # already logical: CTAS builds it, mutations derive from _read.
+    logical = getattr(engine, "_dml_logical_cols", None)
+    if logical is None:
+        logical = engine._dml_logical_cols = {}
+    logical[name] = list(df.columns)
     w = df.write.mode("overwrite")
     if part_cols:
         w = w.partitionBy(*part_cols)
@@ -296,6 +304,11 @@ def _commit(
     except Exception:
         pass
     stored = reader.parquet(path)
+    # The registered view presents the DECLARED column order, not the
+    # partition-last physical layout (SELECT * parity with the reference).
+    lcols = logical.get(name)
+    if lcols and lcols != stored.columns and set(lcols) == set(stored.columns):
+        stored = stored.select(*lcols)
     stored.createOrReplaceTempView(name)
     refresh_infoschema(engine, changed=name)
     return _written_rows(path)
@@ -307,7 +320,13 @@ def _ensure_dir(d: str) -> str:
 
 
 def _read(engine, name: str) -> DataFrame:
-    return engine.spark.read.parquet(_require_managed(engine, name))
+    df = engine.spark.read.parquet(_require_managed(engine, name))
+    # Restore the declared column order (partitioned layouts read the
+    # partition columns last).
+    logical = getattr(engine, "_dml_logical_cols", {}).get(name)
+    if logical and logical != df.columns and set(logical) == set(df.columns):
+        df = df.select(*logical)
+    return df
 
 
 def _translate_fragment(engine, text: str) -> str:
@@ -341,6 +360,7 @@ def _ctas(engine, sql: str) -> DataFrame:
     # A fresh table must not inherit a stale layout from a same-named
     # predecessor (layouts are popped at DROP, but be defensive).
     getattr(engine, "_dml_layouts", {}).pop(name, None)
+    getattr(engine, "_dml_logical_cols", {}).pop(name, None)
     partition_by = _parse_with_props(m.group(2))
     df = engine.sql(m.group(3))
     n = _commit(engine, name, df, partition_by=partition_by, operation="ctas")
@@ -381,6 +401,7 @@ def _drop(engine, sql: str) -> DataFrame:
         # A later CREATE TABLE with this name must not inherit the old
         # partition layout (stale _dml_layouts entry).
         getattr(engine, "_dml_layouts", {}).pop(name, None)
+        getattr(engine, "_dml_logical_cols", {}).pop(name, None)
         engine.spark.catalog.dropTempView(name)
         refresh_infoschema(engine, dropped=name)
     elif engine.spark.catalog.tableExists(name):
@@ -964,7 +985,11 @@ def resolve_time_travel(engine, sql: str) -> str:
                 )
             version = max(e["version"] for e in older)
         view = f"{name}__v{version}"
-        engine.spark.read.parquet(_version_dir(engine, name, version)).createOrReplaceTempView(view)
+        snap = engine.spark.read.parquet(_version_dir(engine, name, version))
+        lcols = getattr(engine, "_dml_logical_cols", {}).get(name)
+        if lcols and lcols != snap.columns and set(lcols) == set(snap.columns):
+            snap = snap.select(*lcols)
+        snap.createOrReplaceTempView(view)
         return view
 
     return _TT_RX.sub(repl, sql)
@@ -1042,13 +1067,18 @@ def txn_rollback(engine) -> None:
                 )
         _write_log(name, [e for e in log if e["version"] <= pin])
         _managed(engine)[name] = path
-        engine.spark.read.parquet(path).createOrReplaceTempView(name)
+        rolled = engine.spark.read.parquet(path)
+        lcols = getattr(engine, "_dml_logical_cols", {}).get(name)
+        if lcols and lcols != rolled.columns and set(lcols) == set(rolled.columns):
+            rolled = rolled.select(*lcols)
+        rolled.createOrReplaceTempView(name)
     for name in txn["created"]:
         path = _managed(engine).pop(name, None)
         if path:
             shutil.rmtree(path, ignore_errors=True)
             shutil.rmtree(_snap_root(name), ignore_errors=True)
             getattr(engine, "_dml_layouts", {}).pop(name, None)
+            getattr(engine, "_dml_logical_cols", {}).pop(name, None)
             engine.spark.catalog.dropTempView(name)
     engine._txn = None
 
@@ -1376,6 +1406,9 @@ def _alter_table(engine, sql: str) -> DataFrame:
         layouts = getattr(engine, "_dml_layouts", {})
         if name in layouts:
             layouts[new] = layouts.pop(name)
+        logical = getattr(engine, "_dml_logical_cols", {})
+        if name in logical:
+            logical[new] = logical.pop(name)
         engine.spark.catalog.dropTempView(name)
         engine.spark.read.parquet(newpath).createOrReplaceTempView(new)
         refresh_infoschema(engine, changed=new, dropped=name)
