@@ -25,27 +25,80 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 _CATS = ["'red'", "'green'", "'blue'", "'gold'"]
 
 
-def gen_op(rng: random.Random, table: str, next_k: list[int]) -> str:
-    """One random DML statement (shared Trino/DuckDB grammar)."""
-    kind = rng.choice(["insert", "insert", "update_v", "update_cat", "delete"])
+def gen_op(
+    rng: random.Random, table: str, next_k: list[int], added: list[str]
+) -> tuple[str, list[str]]:
+    """One random DML/DDL statement → (engine_sql, duckdb_sqls).
+
+    Most ops share one text; MERGE is emulated on the DuckDB side with
+    UPDATE..FROM + anti-join INSERT (DuckDB 1.0 has no MERGE)."""
+    choices = ["insert", "insert", "update_v", "update_cat", "delete", "merge",
+               "alter_add"]
+    if added:
+        choices += ["alter_drop", "update_added"]
+    kind = rng.choice(choices)
     if kind == "insert":
         rows = []
         for _ in range(rng.randint(1, 4)):
             k = next_k[0]
             next_k[0] += 1
-            rows.append(f"({k}, {rng.choice(_CATS)}, {rng.randint(0, 99)})")
-        return f"INSERT INTO {table} VALUES " + ", ".join(rows)
+            vals = [str(k), rng.choice(_CATS), str(rng.randint(0, 99))]
+            vals += [str(rng.randint(0, 9)) for _ in added]
+            rows.append("(" + ", ".join(vals) + ")")
+        stmt = f"INSERT INTO {table} VALUES " + ", ".join(rows)
+        return stmt, [stmt]
     if kind == "update_v":
         m, r = rng.choice([(2, 0), (2, 1), (3, 0), (3, 2), (5, 1)])
-        return (
+        stmt = (
             f"UPDATE {table} SET v = v + {rng.randint(1, 9)} "
             f"WHERE k % {m} = {r}"
         )
+        return stmt, [stmt]
     if kind == "update_cat":
         a, b = rng.sample(_CATS, 2)
-        return f"UPDATE {table} SET cat = {a} WHERE cat = {b} AND v < {rng.randint(20, 90)}"
+        stmt = f"UPDATE {table} SET cat = {a} WHERE cat = {b} AND v < {rng.randint(20, 90)}"
+        return stmt, [stmt]
+    if kind == "update_added":
+        col = rng.choice(added)
+        stmt = f"UPDATE {table} SET {col} = k % {rng.randint(2, 7)} WHERE v > {rng.randint(10, 60)}"
+        return stmt, [stmt]
+    if kind == "alter_add":
+        col = f"x{len(added)}_{rng.randint(0, 999)}"
+        added.append(col)
+        stmt = f"ALTER TABLE {table} ADD COLUMN {col} BIGINT"
+        return stmt, [stmt]
+    if kind == "alter_drop":
+        col = added.pop(rng.randrange(len(added)))
+        stmt = f"ALTER TABLE {table} DROP COLUMN {col}"
+        return stmt, [stmt]
+    if kind == "merge":
+        src_rows = []
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.5 and next_k[0] > 0:
+                k = rng.randrange(next_k[0])  # may or may not still exist
+            else:
+                k = next_k[0]
+                next_k[0] += 1
+            src_rows.append(f"({k}, {rng.choice(_CATS)}, {rng.randint(0, 99)})")
+        vals = ", ".join(src_rows)
+        src_rel = f"(SELECT * FROM (VALUES {vals}) AS z(k, cat, v)) s"
+        ins_cols = "(k, cat, v)"
+        engine_stmt = (
+            f"MERGE INTO {table} t USING {src_rel} ON t.k = s.k "
+            f"WHEN MATCHED THEN UPDATE SET v = s.v + 1 "
+            f"WHEN NOT MATCHED THEN INSERT {ins_cols} VALUES (s.k, s.cat, s.v)"
+        )
+        duck = [
+            f"UPDATE {table} SET v = s.v + 1 FROM (VALUES {vals}) AS s(k, cat, v) "
+            f"WHERE {table}.k = s.k",
+            f"INSERT INTO {table} {ins_cols} SELECT k, cat, v "
+            f"FROM (VALUES {vals}) AS s(k, cat, v) "
+            f"WHERE k NOT IN (SELECT k FROM {table})",
+        ]
+        return engine_stmt, duck
     lo = rng.randint(0, next_k[0])
-    return f"DELETE FROM {table} WHERE k BETWEEN {lo} AND {lo + rng.randint(0, 6)}"
+    stmt = f"DELETE FROM {table} WHERE k BETWEEN {lo} AND {lo + rng.randint(0, 6)}"
+    return stmt, [stmt]
 
 
 def fuzz_dml(
@@ -76,23 +129,34 @@ def fuzz_dml(
     con.execute(f"CREATE TABLE {table} AS {seed_sel}")
     next_k = [30]
 
-    def state_engine():
-        pdf = eng.sql(f"SELECT k, cat, v FROM {table}").toPandas()
-        return sorted(map(tuple, pdf.itertuples(index=False)))
-
-    def state_duck():
-        return sorted(map(tuple, con.execute(f"SELECT k, cat, v FROM {table}").fetchall()))
+    def states():
+        a_df = eng.sql(f"SELECT * FROM {table}").toPandas()
+        o_cols = [d[0] for d in con.execute(f"SELECT * FROM {table} LIMIT 0").description]
+        o_rows = con.execute(f"SELECT * FROM {table}").fetchall()
+        key = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+        a_raw = [
+            tuple(None if (isinstance(x, float) and x != x) else x for x in r)
+            for r in map(tuple, a_df.itertuples(index=False))
+        ]  # NaN→None BEFORE sorting so both sides order nulls identically
+        return list(a_df.columns), sorted(a_raw, key=key), o_cols, sorted(
+            map(tuple, o_rows), key=key
+        )
 
     bad: list[str] = []
+    added: list[str] = []
     for i in range(n_ops):
-        op = gen_op(rng, table, next_k)
+        op, duck_ops = gen_op(rng, table, next_k, added)
         try:
             eng.sql(op)
         except Exception as exc:
             bad.append(f"op{i} ENGINE ERROR {op}: {str(exc).splitlines()[0][:160]}")
             break
-        con.execute(op)
-        a, o = state_engine(), state_duck()
+        for d in duck_ops:
+            con.execute(d)
+        a_cols, a, o_cols, o = states()
+        if a_cols != o_cols:
+            bad.append(f"op{i} COLUMNS after {op!r}: engine={a_cols} duck={o_cols}")
+            break
         if a != o:
             only_a = [r for r in a if r not in o][:3]
             only_o = [r for r in o if r not in a][:3]
