@@ -144,6 +144,10 @@ def fuzz_dml(
 
     bad: list[str] = []
     added: list[str] = []
+    # version → (columns, duck state) recorded after each committed op;
+    # the engine's snapshot log assigns v1 to the CTAS, one version per op.
+    history: dict[int, tuple[list, list]] = {}
+    version = 1
     for i in range(n_ops):
         op, duck_ops = gen_op(rng, table, next_k, added)
         try:
@@ -153,7 +157,9 @@ def fuzz_dml(
             break
         for d in duck_ops:
             con.execute(d)
+        version += 1
         a_cols, a, o_cols, o = states()
+        history[version] = (o_cols, o)
         if a_cols != o_cols:
             bad.append(f"op{i} COLUMNS after {op!r}: engine={a_cols} duck={o_cols}")
             break
@@ -165,6 +171,46 @@ def fuzz_dml(
                 f"(sizes {len(a)} vs {len(o)})"
             )
             break
+    if not bad:
+        # Time-travel audit: every RETAINED snapshot must reproduce the
+        # recorded post-op state (snapshot-log pointer/carry correctness).
+        key = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+        retained = [
+            r.version
+            for r in eng.sql(f'SELECT version FROM "{table}$snapshots"').collect()
+            if r.version in history
+        ]
+        for v in retained:
+            want_cols, want_rows = history[v]
+            try:
+                tt = eng.sql(f"SELECT * FROM {table} FOR VERSION AS OF {v}").toPandas()
+            except ValueError:
+                continue  # expired by snapshot retention (listed but pruned)
+            if sorted(tt.columns) != sorted(want_cols):
+                bad.append(
+                    f"TIME TRAVEL v{v} COLUMNS: engine={sorted(tt.columns)} "
+                    f"recorded={sorted(want_cols)}"
+                )
+                break
+            if list(tt.columns) != want_cols:
+                bad.append(
+                    f"TIME TRAVEL v{v} COLUMN ORDER: engine={list(tt.columns)} "
+                    f"declared={want_cols}"
+                )
+                break
+            got = sorted(
+                (
+                    tuple(None if (isinstance(x, float) and x != x) else x for x in r)
+                    for r in map(tuple, tt.itertuples(index=False))
+                ),
+                key=key,
+            )
+            if got != want_rows:
+                bad.append(
+                    f"TIME TRAVEL v{v} DIVERGED: engine rows {len(got)} vs "
+                    f"recorded {len(want_rows)}"
+                )
+                break
     eng.sql(f"DROP TABLE IF EXISTS {table}")
     return bad
 

@@ -277,6 +277,10 @@ def _commit(
             "committed_at": now.timestamp(),
             "committed_at_iso": now.isoformat(),
             "operation": operation,
+            # Column order AS DECLARED at this version (time-travel reads
+            # restore it; the live _dml_logical_cols map only tracks the
+            # current schema, which later ALTERs may have changed).
+            "columns": list(df.columns),
         }
     )
     live = [e for e in log if not e.get("expired")]
@@ -986,7 +990,12 @@ def resolve_time_travel(engine, sql: str) -> str:
             version = max(e["version"] for e in older)
         view = f"{name}__v{version}"
         snap = engine.spark.read.parquet(_version_dir(engine, name, version))
-        lcols = getattr(engine, "_dml_logical_cols", {}).get(name)
+        # Restore THAT version's declared column order (recorded in its
+        # log entry; fall back to the live map for pre-recording logs).
+        entry = next((e for e in log if e["version"] == version), {})
+        lcols = entry.get("columns") or getattr(
+            engine, "_dml_logical_cols", {}
+        ).get(name)
         if lcols and lcols != snap.columns and set(lcols) == set(snap.columns):
             snap = snap.select(*lcols)
         snap.createOrReplaceTempView(view)
