@@ -142,13 +142,33 @@ def fuzz_dml(
             map(tuple, o_rows), key=key
         )
 
+    def current_version() -> int:
+        return eng.sql(
+            f'SELECT max(version) AS v FROM "{table}$snapshots"'
+        ).collect()[0].v
+
     bad: list[str] = []
     added: list[str] = []
-    # version → (columns, duck state) recorded after each committed op;
-    # the engine's snapshot log assigns v1 to the CTAS, one version per op.
+    # version → (columns, duck state) recorded after each RESOLVED op;
+    # keyed by the engine's own snapshot version (self-aligning across
+    # transactions and rollbacks).
     history: dict[int, tuple[list, list]] = {}
-    version = 1
+    txn_until = -1  # op index at which the open transaction resolves
+    txn_rollback = False
+    txn_added_mark = 0
+    use_txns = n_ops >= 10  # small runs stay plain-op (regression speed)
     for i in range(n_ops):
+        # Randomly open a transaction spanning the next 1-3 ops, resolved
+        # by COMMIT or ROLLBACK on both engines (engine: snapshot-pinned
+        # log rewind; DuckDB: native). A rollback span replays the `added`
+        # column bookkeeping so later ops match the reverted schema.
+        if use_txns and txn_until < i and rng.random() < 0.25:
+            span = rng.randint(1, 3)
+            txn_until = i + span - 1
+            txn_rollback = rng.random() < 0.5
+            txn_added_mark = len(added)
+            eng.sql("START TRANSACTION")
+            con.execute("BEGIN")
         op, duck_ops = gen_op(rng, table, next_k, added)
         try:
             eng.sql(op)
@@ -157,9 +177,20 @@ def fuzz_dml(
             break
         for d in duck_ops:
             con.execute(d)
-        version += 1
+        in_txn = txn_until > i
+        if txn_until == i:
+            if txn_rollback:
+                eng.sql("ROLLBACK")
+                con.execute("ROLLBACK")
+                del added[txn_added_mark:]
+            else:
+                eng.sql("COMMIT")
+                con.execute("COMMIT")
+        # State compare runs EVERY op — mid-transaction both sides see the
+        # uncommitted state; after ROLLBACK both revert.
         a_cols, a, o_cols, o = states()
-        history[version] = (o_cols, o)
+        if not in_txn:
+            history[current_version()] = (o_cols, o)
         if a_cols != o_cols:
             bad.append(f"op{i} COLUMNS after {op!r}: engine={a_cols} duck={o_cols}")
             break
@@ -167,7 +198,8 @@ def fuzz_dml(
             only_a = [r for r in a if r not in o][:3]
             only_o = [r for r in o if r not in a][:3]
             bad.append(
-                f"op{i} DIVERGED after {op!r}: engine-only={only_a} duck-only={only_o} "
+                f"op{i} DIVERGED after {op!r} (in_txn={in_txn}): "
+                f"engine-only={only_a} duck-only={only_o} "
                 f"(sizes {len(a)} vs {len(o)})"
             )
             break

@@ -1077,7 +1077,18 @@ def txn_rollback(engine) -> None:
         _write_log(name, [e for e in log if e["version"] <= pin])
         _managed(engine)[name] = path
         rolled = engine.spark.read.parquet(path)
-        lcols = getattr(engine, "_dml_logical_cols", {}).get(name)
+        # The pinned version's recorded column order wins: an in-transaction
+        # ALTER updated the live logical map, and the rollback must rewind
+        # that bookkeeping along with the data.
+        pinned = next((e for e in log if e["version"] == pin), {})
+        lcols = pinned.get("columns") or getattr(
+            engine, "_dml_logical_cols", {}
+        ).get(name)
+        if lcols:
+            logical = getattr(engine, "_dml_logical_cols", None)
+            if logical is None:
+                logical = engine._dml_logical_cols = {}
+            logical[name] = list(lcols)
         if lcols and lcols != rolled.columns and set(lcols) == set(rolled.columns):
             rolled = rolled.select(*lcols)
         rolled.createOrReplaceTempView(name)
