@@ -54,6 +54,7 @@ def gen(rng: random.Random, typ: str, depth: int) -> str:
                 lambda: f"({i()} * {rng.randint(0, 5)})",
                 lambda: f"mod({i()}, {rng.randint(1, 9)})",
                 lambda: f"length({s()})",
+                lambda: f"strpos({s()}, '{rng.choice('AEIRST_')}')",
                 lambda: f"CASE WHEN {b()} THEN {i()} ELSE {i()} END",
                 lambda: f"coalesce({i()}, {i()})",
                 lambda: f"nullif({i()}, {i()})",
@@ -71,6 +72,17 @@ def gen(rng: random.Random, typ: str, depth: int) -> str:
                 lambda: f"coalesce({s()}, {s()})",
                 lambda: f"CASE WHEN {b()} THEN {s()} ELSE {s()} END",
                 lambda: f"reverse({s()})",
+                # DuckDB's split_part(NULL, ...) returns '' where Trino (and
+                # the engine) propagate NULL — a DuckDB divergence, not an
+                # engine bug; keep the argument non-null so the oracle holds.
+                lambda: f"split_part(coalesce({s()}, 'nil'), '{rng.choice('AE_')}', {rng.randint(1, 4)})",
+                lambda: f"substr({s()}, {rng.randint(1, 5)})",
+                lambda: f"concat_ws('-', {s()}, {s()})",
+                lambda: f"lpad({s()}, {rng.randint(1, 14)}, '.')",
+                lambda: f"rpad({s()}, {rng.randint(1, 14)}, '.')",
+                lambda: f"translate({s()}, 'AEI', 'aei')",
+                lambda: f"greatest({s()}, {s()})",
+                lambda: f"least({s()}, {s()})",
             ]
         )()
     return rng.choice(
