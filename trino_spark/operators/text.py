@@ -279,6 +279,13 @@ def boilerplate_ngrams(
     semi-join back onto the exploded grams — no all-pairs comparison;
     the frequent-gram table is tiny (corpus-wide repeated spans) and the
     rest is codegen expressions."""
+    # The n-gram projection is the dominant CPU cost; a small local input
+    # (one parquet file → one partition) would run it single-threaded, so
+    # spread it first. At scale inputs arrive in many files/partitions and
+    # this is a no-op branch.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        df = df.repartition(min(target, 16))
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(
         F.size(w) >= n,
