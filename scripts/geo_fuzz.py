@@ -1,0 +1,161 @@
+"""Geometry-kernel differential fuzzer: random CONVEX polygon pairs, the
+engine's Greiner–Hormann boolean ops (functions/geomkernel.py) compared
+against an INDEPENDENT Sutherland–Hodgman convex-clip reference.
+
+Why convex: S–H clipping is exact and trivially correct for convex
+subject/clip pairs, giving a true oracle for intersection AREA; union and
+difference areas then follow by inclusion–exclusion
+(|A∪B| = |A|+|B|−|A∩B|, |A\\B| = |A|−|A∩B|), so all three G–H operations
+are checked from one reference clip. Invariants checked per pair:
+  - area(A∩B) == SH reference area
+  - area(A∪B) == |A|+|B|−|A∩B|
+  - area(A\\B) == |A|−|A∩B|
+  - containment/ordering sanity: 0 ≤ |A∩B| ≤ min(|A|,|B|) ≤ max ≤ |A∪B|
+
+Usage: python scripts/geo_fuzz.py [n_pairs] [seed]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from trino_spark.functions import geomkernel as gk  # noqa: E402
+
+EPS = 1e-7
+
+
+def convex_polygon(rng: random.Random, cx: float, cy: float, r: float) -> list:
+    """Random convex polygon: convex hull of random points in a disc."""
+    pts = []
+    for _ in range(rng.randint(5, 12)):
+        a = rng.uniform(0, 6.283185307)
+        d = r * (0.3 + 0.7 * rng.random())
+        pts.append((cx + d * _cos(a), cy + d * _sin(a)))
+    hull = gk.convex_hull(pts)
+    ring = hull[1][0] if hull[0] == "polygon" else None
+    return ring
+
+
+def _cos(a):
+    import math
+
+    return math.cos(a)
+
+
+def _sin(a):
+    import math
+
+    return math.sin(a)
+
+
+def sh_clip(subject: list, clip: list) -> list:
+    """Sutherland–Hodgman: clip convex `subject` ring by convex `clip`
+    ring (both closed, CCW or CW — orientation handled via signed side)."""
+
+    def _ccw(ring):
+        s = sum(
+            (ring[i + 1][0] - ring[i][0]) * (ring[i + 1][1] + ring[i][1])
+            for i in range(len(ring) - 1)
+        )
+        return list(ring) if s < 0 else list(reversed(ring))
+
+    out = _ccw(subject)[:-1]
+    clip_r = _ccw(clip)
+    for i in range(len(clip_r) - 1):
+        a, b = clip_r[i], clip_r[i + 1]
+        if not out:
+            return []
+        inp, out = out, []
+
+        def inside(p):
+            return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= -EPS
+
+        def isect(p, q):
+            x1, y1, x2, y2 = a[0], a[1], b[0], b[1]
+            x3, y3, x4, y4 = p[0], p[1], q[0], q[1]
+            den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+            t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+            return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+        for j in range(len(inp)):
+            p, q = inp[j], inp[(j + 1) % len(inp)]
+            if inside(q):
+                if not inside(p):
+                    out.append(isect(p, q))
+                out.append(q)
+            elif inside(p):
+                out.append(isect(p, q))
+    return out
+
+
+def ring_area(pts: list) -> float:
+    if len(pts) < 3:
+        return 0.0
+    s = 0.0
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def fuzz_geo(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
+    """Returns mismatch descriptions (empty = clean)."""
+    rng = random.Random(seed)
+    bad: list[str] = []
+    for i in range(n_pairs):
+        # overlapping, disjoint, and nested configurations
+        mode = rng.choice(["overlap", "overlap", "disjoint", "nested"])
+        ra = rng.uniform(1.0, 3.0)
+        a_ring = convex_polygon(rng, 0.0, 0.0, ra)
+        if mode == "disjoint":
+            b_ring = convex_polygon(rng, 10.0 + rng.random(), 10.0, 1.5)
+        elif mode == "nested":
+            b_ring = convex_polygon(rng, 0.0, 0.0, 0.25 * ra)
+        else:
+            b_ring = convex_polygon(rng, rng.uniform(0.5, 2.0), rng.uniform(-1, 1), 2.0)
+        if a_ring is None or b_ring is None:
+            continue
+        A = ("polygon", [a_ring])
+        B = ("polygon", [b_ring])
+        area_a, area_b = gk.area(A), gk.area(B)
+        ref_int = ring_area(sh_clip(a_ring, b_ring))
+        try:
+            got_int = gk.area(gk.intersection(A, B))
+            got_uni = gk.area(gk.union(A, B))
+            got_dif = gk.area(gk.difference(A, B))
+        except Exception as exc:
+            bad.append(f"pair{i} ({mode}) KERNEL ERROR: {str(exc).splitlines()[0][:140]}")
+            continue
+        scale = max(area_a, area_b, 1.0)
+        checks = [
+            ("intersection", got_int, ref_int),
+            ("union", got_uni, area_a + area_b - ref_int),
+            ("difference", got_dif, area_a - ref_int),
+        ]
+        for op, got, want in checks:
+            if abs(got - want) > tol * scale:
+                bad.append(
+                    f"pair{i} ({mode}) {op} DIVERGED: kernel={got:.9f} "
+                    f"reference={want:.9f} (areas A={area_a:.6f} B={area_b:.6f})"
+                )
+        if not (
+            -tol <= got_int <= min(area_a, area_b) + tol * scale
+            and max(area_a, area_b) - tol * scale <= got_uni
+        ):
+            bad.append(f"pair{i} ({mode}) ORDERING violated")
+    return bad
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    bad = fuzz_geo(n, seed)
+    for line in bad:
+        print(line)
+    print(f"\n{n} convex pairs, {len(bad)} mismatches (seed {seed})")
+    sys.exit(1 if bad else 0)
