@@ -29,15 +29,17 @@ EPS = 1e-7
 
 
 def convex_polygon(rng: random.Random, cx: float, cy: float, r: float) -> list:
-    """Random convex polygon: convex hull of random points in a disc."""
+    """Random convex polygon ring: closed convex hull of random points in
+    a disc (gk.convex_hull returns a bare CCW point list)."""
     pts = []
     for _ in range(rng.randint(5, 12)):
         a = rng.uniform(0, 6.283185307)
         d = r * (0.3 + 0.7 * rng.random())
         pts.append((cx + d * _cos(a), cy + d * _sin(a)))
     hull = gk.convex_hull(pts)
-    ring = hull[1][0] if hull[0] == "polygon" else None
-    return ring
+    if len(hull) < 3:
+        return None
+    return list(hull) + [hull[0]]
 
 
 def _cos(a):
@@ -107,6 +109,7 @@ def fuzz_geo(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
     """Returns mismatch descriptions (empty = clean)."""
     rng = random.Random(seed)
     bad: list[str] = []
+    tested = 0
     for i in range(n_pairs):
         # overlapping, disjoint, and nested configurations
         mode = rng.choice(["overlap", "overlap", "disjoint", "nested"])
@@ -120,8 +123,9 @@ def fuzz_geo(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
             b_ring = convex_polygon(rng, rng.uniform(0.5, 2.0), rng.uniform(-1, 1), 2.0)
         if a_ring is None or b_ring is None:
             continue
-        A = ("polygon", [a_ring])
-        B = ("polygon", [b_ring])
+        tested += 1
+        A = ("POLYGON", [a_ring])
+        B = ("POLYGON", [b_ring])
         area_a, area_b = gk.area(A), gk.area(B)
         ref_int = ring_area(sh_clip(a_ring, b_ring))
         try:
@@ -148,6 +152,63 @@ def fuzz_geo(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
             and max(area_a, area_b) - tol * scale <= got_uni
         ):
             bad.append(f"pair{i} ({mode}) ORDERING violated")
+    if tested < n_pairs // 2:
+        bad.append(f"VACUOUS: only {tested}/{n_pairs} pairs produced valid rings")
+    return bad
+
+
+def star_polygon(rng: random.Random, cx: float, cy: float, r: float) -> list:
+    """Random simple CONCAVE polygon: radius varies per angle (star-shaped
+    around its center → always simple, usually non-convex)."""
+    import math
+
+    n = rng.randint(6, 14)
+    ring = []
+    for k in range(n):
+        a = 2 * math.pi * k / n + rng.uniform(-0.2, 0.2) / n
+        d = r * rng.uniform(0.35, 1.0)
+        ring.append((cx + d * math.cos(a), cy + d * math.sin(a)))
+    ring.append(ring[0])
+    return ring
+
+
+def fuzz_geo_concave(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
+    """Concave pairs have no simple external oracle; instead check the
+    inclusion–exclusion IDENTITIES that independent G–H runs (different
+    flag configurations per op) must jointly satisfy:
+      |A∩B| + |A\\B| = |A|      |A∪B| + |A∩B| = |A| + |B|
+      |A∩B| = |B∩A|             |A∪B| = |B∪A|
+    A bookkeeping bug in any one op breaks a joint identity."""
+    rng = random.Random(seed)
+    bad: list[str] = []
+    for i in range(n_pairs):
+        a_ring = star_polygon(rng, 0.0, 0.0, rng.uniform(1.5, 3.0))
+        b_ring = star_polygon(rng, rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5), 2.0)
+        A = ("POLYGON", [a_ring])
+        B = ("POLYGON", [b_ring])
+        try:
+            ai, bi = gk.area(A), gk.area(B)
+            i_ab = gk.area(gk.intersection(A, B))
+            i_ba = gk.area(gk.intersection(B, A))
+            u_ab = gk.area(gk.union(A, B))
+            u_ba = gk.area(gk.union(B, A))
+            d_ab = gk.area(gk.difference(A, B))
+        except Exception as exc:
+            bad.append(f"concave{i} KERNEL ERROR: {str(exc).splitlines()[0][:140]}")
+            continue
+        scale = max(ai, bi, 1.0)
+        checks = [
+            ("symmetry ∩", i_ab, i_ba),
+            ("symmetry ∪", u_ab, u_ba),
+            ("A = A∩B + A\\B", ai, i_ab + d_ab),
+            ("A+B = A∪B + A∩B", ai + bi, u_ab + i_ab),
+        ]
+        for label, x, y in checks:
+            if abs(x - y) > tol * scale:
+                bad.append(
+                    f"concave{i} IDENTITY {label} broken: {x:.9f} vs {y:.9f} "
+                    f"(|A|={ai:.6f} |B|={bi:.6f} ∩={i_ab:.6f} ∪={u_ab:.6f})"
+                )
     return bad
 
 
@@ -155,6 +216,7 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     bad = fuzz_geo(n, seed)
+    bad += [f"[concave] {x}" for x in fuzz_geo_concave(n, seed + 1)]
     for line in bad:
         print(line)
     print(f"\n{n} convex pairs, {len(bad)} mismatches (seed {seed})")

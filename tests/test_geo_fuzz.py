@@ -22,3 +22,19 @@ def test_geo_boolean_differential():
     from geo_fuzz import fuzz_geo
 
     assert fuzz_geo(n_pairs=60, seed=42) == []
+
+
+def test_geo_concave_identities():
+    from geo_fuzz import fuzz_geo_concave
+
+    assert fuzz_geo_concave(n_pairs=40, seed=43) == []
+
+
+def test_convex_generator_not_vacuous():
+    import random
+
+    from geo_fuzz import convex_polygon
+
+    rng = random.Random(0)
+    rings = [convex_polygon(rng, 0, 0, 2.0) for _ in range(10)]
+    assert all(r is not None and len(r) >= 4 and r[0] == r[-1] for r in rings)
