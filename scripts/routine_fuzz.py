@@ -81,7 +81,8 @@ def gen_block(
             c = f"c{counters[0]}"
             vars_.append(c)
             body = gen_block(rng, vars_, depth - 1, counters, assignable)
-            out.append(("while", c, rng.randint(1, 6), body))
+            loop_kind = rng.choice(["while", "repeat"])
+            out.append((loop_kind, c, rng.randint(1, 6), body))
     return out
 
 
@@ -111,10 +112,15 @@ def block_sql(block: list) -> str:
                 txt += f" ELSE {block_sql(els)}"
             txt += " END IF;"
             parts.append(txt)
-        else:  # while
+        elif st[0] == "while":
             _, c, lim, body = st
             parts.append(
                 f"WHILE {c} < {lim} DO {block_sql(body)} SET {c} = {c} + 1; END WHILE;"
+            )
+        else:  # repeat: body runs at least once, UNTIL exits when true
+            _, c, lim, body = st
+            parts.append(
+                f"REPEAT {block_sql(body)} SET {c} = {c} + 1; UNTIL {c} >= {lim} END REPEAT;"
             )
     return " ".join(parts)
 
@@ -144,11 +150,18 @@ def block_py(block: list, env: dict) -> None:
             else:
                 if els:
                     block_py(els, env)
-        else:
+        elif st[0] == "while":
             _, c, lim, body = st
             while env[c] < lim:
                 block_py(body, env)
                 env[c] = env[c] + 1
+        else:  # repeat: post-condition loop, body runs at least once
+            _, c, lim, body = st
+            while True:
+                block_py(body, env)
+                env[c] = env[c] + 1
+                if env[c] >= lim:
+                    break
 
 
 def gen_program(rng: random.Random):
