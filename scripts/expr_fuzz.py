@@ -242,7 +242,70 @@ if __name__ == "__main__":
     bad = fuzz(n, seed)
     bad += fuzz_agg(max(20, n // 3), seed)
     bad += fuzz_agg(max(20, n // 3), seed + 1, window=True)
+    bad += fuzz_datetime(max(20, n // 5), seed + 2)
     for line in bad:
         print(line)
     print(f"\n{n} scalar + 2x{max(20, n // 3)} agg/window, {len(bad)} mismatches (seed {seed})")
     sys.exit(1 if bad else 0)
+
+
+# ------------------------------------------------------- datetime patterns
+# (trino date_format MySQL-token, duckdb strftime token) pairs whose output
+# is engine-independent; the generator composes random format strings.
+_DT_TOKENS = [
+    ("%Y", "%Y"), ("%y", "%y"), ("%m", "%m"), ("%d", "%d"),
+    ("%H", "%H"), ("%h", "%I"), ("%i", "%M"), ("%s", "%S"),
+    ("%j", "%j"), ("%p", "%p"), ("%a", "%a"), ("%W", "%A"), ("%M", "%B"),
+]
+# (format_datetime Joda token, duckdb strftime token)
+_JODA_TOKENS = [
+    ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+]
+_SEPS = ["-", "/", " ", ":", "."]
+
+
+def fuzz_datetime(n_formats: int = 40, seed: int = 42,
+                  sf_dir: str = "/root/testdata/sf0.01"):
+    """date_format (MySQL tokens) and format_datetime (Joda tokens) through
+    the dialect's pattern translator vs DuckDB strftime on paired formats.
+    Returns mismatches."""
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+    from trino_spark.testing import duckdb_connection
+
+    rng = random.Random(seed)
+    spark = get_spark(app_name="expr_fuzz")
+    eng = TrinoEngine(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    bad: list[str] = []
+    for i in range(n_formats):
+        joda = rng.random() < 0.4
+        table = _JODA_TOKENS if joda else _DT_TOKENS
+        pairs = [rng.choice(table) for _ in range(rng.randint(2, 5))]
+        sep = rng.choice(_SEPS)
+        t_fmt = sep.join(p[0] for p in pairs)
+        d_fmt = sep.join(p[1] for p in pairs)
+        fn = "format_datetime" if joda else "date_format"
+        esql = (
+            f"SELECT o_orderkey, {fn}(CAST(o_orderdate AS TIMESTAMP), '{t_fmt}') AS e "
+            "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+        )
+        dsql = (
+            f"SELECT o_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '{d_fmt}') AS e "
+            "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
+        )
+        try:
+            got = [r.e for r in eng.sql(esql).collect()]
+            want = [r[1] for r in con.execute(dsql).fetchall()]
+        except Exception as exc:
+            bad.append(f"fmt{i} {fn}('{t_fmt}') ERROR: {str(exc).splitlines()[0][:140]}")
+            continue
+        for a, o in zip(got, want):
+            if a != o:
+                bad.append(
+                    f"fmt{i} {fn}('{t_fmt}' vs '{d_fmt}') DIVERGED: "
+                    f"engine={a!r} duckdb={o!r}"
+                )
+                break
+    return bad

@@ -38,3 +38,9 @@ def test_window_differential(spark, sf_dir):
     from expr_fuzz import fuzz_agg
 
     assert fuzz_agg(n_exprs=30, seed=43, sf_dir=sf_dir, window=True) == []
+
+
+def test_datetime_pattern_differential(spark, sf_dir):
+    from expr_fuzz import fuzz_datetime
+
+    assert fuzz_datetime(n_formats=20, seed=42, sf_dir=sf_dir) == []
