@@ -309,3 +309,62 @@ def fuzz_datetime(n_formats: int = 40, seed: int = 42,
                 )
                 break
     return bad
+
+
+# ------------------------------------------------------------- SQL/JSON
+def _gen_json(rng: random.Random, depth: int):
+    """Random JSON value; returns (python value, list of paths to leaves)."""
+    kind = rng.choice(["obj", "arr", "leaf"] if depth > 0 else ["leaf"])
+    if kind == "leaf":
+        v = rng.choice([rng.randint(0, 99), f"s{rng.randint(0, 9)}", True, False, 2.5, 0.25])
+        return v, [""]
+    if kind == "arr":
+        items, paths = [], []
+        for idx in range(rng.randint(1, 3)):
+            v, sub = _gen_json(rng, depth - 1)
+            items.append(v)
+            paths += [f"[{idx}]{p}" for p in sub]
+        return items, paths
+    obj, paths = {}, []
+    for k in range(rng.randint(1, 3)):
+        key = f"k{k}"
+        v, sub = _gen_json(rng, depth - 1)
+        obj[key] = v
+        paths += [f".{key}{p}" for p in sub]
+    return obj, paths
+
+
+def fuzz_json(n_docs: int = 30, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):
+    """json_value over random nested documents and leaf paths (plus missing
+    paths) vs DuckDB's ->> on the same doc/path. Returns mismatches."""
+    import json as _json
+
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+    from trino_spark.testing import duckdb_connection
+
+    rng = random.Random(seed)
+    spark = get_spark(app_name="expr_fuzz")
+    eng = TrinoEngine(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    bad: list[str] = []
+    for i in range(n_docs):
+        doc, paths = _gen_json(rng, 3)
+        if not isinstance(doc, (dict, list)):
+            continue
+        txt = _json.dumps(doc)
+        probe = [p for p in paths if p] + [".nope", ".k0.nope"]
+        for p in rng.sample(probe, min(4, len(probe))):
+            try:
+                a = eng.sql(
+                    f"SELECT json_value('{txt}', 'lax ${p}') AS v"
+                ).collect()[0].v
+                o = con.execute(f"SELECT '{txt}'->>'${p}' AS v").fetchone()[0]
+            except Exception as exc:
+                bad.append(f"doc{i} path ${p} ERROR: {str(exc).splitlines()[0][:140]}")
+                continue
+            if a != o:
+                bad.append(
+                    f"doc{i} path ${p} DIVERGED: engine={a!r} duckdb={o!r} doc={txt[:120]}"
+                )
+    return bad

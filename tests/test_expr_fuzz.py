@@ -44,3 +44,9 @@ def test_datetime_pattern_differential(spark, sf_dir):
     from expr_fuzz import fuzz_datetime
 
     assert fuzz_datetime(n_formats=20, seed=42, sf_dir=sf_dir) == []
+
+
+def test_json_path_differential(spark, sf_dir):
+    from expr_fuzz import fuzz_json
+
+    assert fuzz_json(n_docs=15, seed=42, sf_dir=sf_dir) == []
