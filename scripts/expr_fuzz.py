@@ -368,3 +368,80 @@ def fuzz_json(n_docs: int = 30, seed: int = 42, sf_dir: str = "/root/testdata/sf
                     f"doc{i} path ${p} DIVERGED: engine={a!r} duckdb={o!r} doc={txt[:120]}"
                 )
     return bad
+
+
+# --------------------------------------------------------------- arrays
+def _gen_array_pair(rng: random.Random, depth: int) -> tuple[str, str]:
+    """(trino_expr, duck_expr) both evaluating to the same integer array."""
+    if depth <= 0:
+        vals = [str(rng.randint(0, 9)) for _ in range(rng.randint(1, 6))]
+        return f"ARRAY[{', '.join(vals)}]", f"[{', '.join(vals)}]"
+    t, d = _gen_array_pair(rng, depth - 1)
+    op = rng.choice(["sort", "distinct", "slice", "concat", "identity"])
+    if op == "sort":
+        return f"array_sort({t})", f"list_sort({d})"
+    if op == "distinct":
+        # DuckDB's list_distinct does not preserve order — sort both sides
+        return f"array_sort(array_distinct({t}))", f"list_sort(list_distinct({d}))"
+    if op == "slice":
+        a, b = rng.randint(1, 3), rng.randint(1, 3)
+        return f"slice({t}, {a}, {b})", f"({d})[{a}:{a + b - 1}]"
+    if op == "concat":
+        t2, d2 = _gen_array_pair(rng, 0)
+        return f"concat({t}, {t2})", f"list_concat({d}, {d2})"
+    return t, d
+
+
+def _gen_array_scalar(rng: random.Random) -> tuple[str, str]:
+    """(trino_expr, duck_expr) scalar over a generated array pair."""
+    t, d = _gen_array_pair(rng, rng.randint(0, 2))
+    k = rng.choice(["at", "card", "max", "min", "pos", "sum", "join", "contains"])
+    if k == "at":
+        i = rng.randint(1, 2)
+        return (
+            f"element_at(concat({t}, ARRAY[0, 0]), {i})",
+            f"list_extract(list_concat({d}, [0, 0]), {i})",
+        )
+    if k == "card":
+        return f"cardinality({t})", f"len({d})"
+    if k == "max":
+        return f"array_max({t})", f"list_max({d})"
+    if k == "min":
+        return f"array_min({t})", f"list_min({d})"
+    if k == "pos":
+        v = rng.randint(0, 9)
+        return f"array_position({t}, {v})", f"coalesce(list_position({d}, {v}), 0)"
+    if k == "sum":
+        return f"reduce({t}, 0, (s, x) -> s + x, s -> s)", f"list_sum({d})"
+    if k == "contains":
+        v = rng.randint(0, 9)
+        return (
+            f"CASE WHEN contains({t}, {v}) THEN 1 ELSE 0 END",
+            f"CASE WHEN list_contains({d}, {v}) THEN 1 ELSE 0 END",
+        )
+    return f"array_join({t}, ',')", f"array_to_string({d}, ',')"
+
+
+def fuzz_arrays(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):
+    """Array-function compositions with paired Trino/DuckDB rendering."""
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+    from trino_spark.testing import duckdb_connection
+
+    rng = random.Random(seed)
+    spark = get_spark(app_name="expr_fuzz")
+    eng = TrinoEngine(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    bad: list[str] = []
+    for i in range(n_exprs):
+        t, d = _gen_array_scalar(rng)
+        try:
+            a = eng.sql(f"SELECT {t} AS v").collect()[0].v
+            o = con.execute(f"SELECT {d} AS v").fetchone()[0]
+        except Exception as exc:
+            bad.append(f"arr{i} ERROR {t}: {str(exc).splitlines()[0][:140]}")
+            continue
+        ok = (a is None and o is None) or str(a) == str(o)
+        if not ok:
+            bad.append(f"arr{i} DIVERGED: trino[{t}]={a!r} duck[{d}]={o!r}")
+    return bad

@@ -50,3 +50,9 @@ def test_json_path_differential(spark, sf_dir):
     from expr_fuzz import fuzz_json
 
     assert fuzz_json(n_docs=15, seed=42, sf_dir=sf_dir) == []
+
+
+def test_array_function_differential(spark, sf_dir):
+    from expr_fuzz import fuzz_arrays
+
+    assert fuzz_arrays(n_exprs=25, seed=42, sf_dir=sf_dir) == []
