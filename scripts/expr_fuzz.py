@@ -236,17 +236,7 @@ def fuzz_agg(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata/sf
     return bad
 
 
-if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
-    bad = fuzz(n, seed)
-    bad += fuzz_agg(max(20, n // 3), seed)
-    bad += fuzz_agg(max(20, n // 3), seed + 1, window=True)
-    bad += fuzz_datetime(max(20, n // 5), seed + 2)
-    for line in bad:
-        print(line)
-    print(f"\n{n} scalar + 2x{max(20, n // 3)} agg/window, {len(bad)} mismatches (seed {seed})")
-    sys.exit(1 if bad else 0)
+
 
 
 # ------------------------------------------------------- datetime patterns
@@ -445,3 +435,21 @@ def fuzz_arrays(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata
         if not ok:
             bad.append(f"arr{i} DIVERGED: trino[{t}]={a!r} duck[{d}]={o!r}")
     return bad
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    bad = fuzz(n, seed)
+    bad += fuzz_agg(max(20, n // 3), seed)
+    bad += fuzz_agg(max(20, n // 3), seed + 1, window=True)
+    bad += fuzz_datetime(max(20, n // 5), seed + 2)
+    bad += fuzz_json(max(15, n // 10), seed + 3)
+    bad += fuzz_arrays(max(20, n // 6), seed + 4)
+    for line in bad:
+        print(line)
+    print(
+        f"\n{n} scalar + agg/window/datetime/json/array families, "
+        f"{len(bad)} mismatches (seed {seed})"
+    )
+    sys.exit(1 if bad else 0)
