@@ -33,7 +33,7 @@ def gen_op(
     Most ops share one text; MERGE is emulated on the DuckDB side with
     UPDATE..FROM + anti-join INSERT (DuckDB 1.0 has no MERGE)."""
     choices = ["insert", "insert", "update_v", "update_cat", "delete", "merge",
-               "alter_add"]
+               "alter_add", "insert_cols"]
     if added:
         choices += ["alter_drop", "update_added"]
     kind = rng.choice(choices)
@@ -46,6 +46,12 @@ def gen_op(
             vals += [str(rng.randint(0, 9)) for _ in added]
             rows.append("(" + ", ".join(vals) + ")")
         stmt = f"INSERT INTO {table} VALUES " + ", ".join(rows)
+        return stmt, [stmt]
+    if kind == "insert_cols":
+        # column-list INSERT: unmentioned columns (v + any added) get NULL
+        k = next_k[0]
+        next_k[0] += 1
+        stmt = f"INSERT INTO {table} (k, cat) VALUES ({k}, {rng.choice(_CATS)})"
         return stmt, [stmt]
     if kind == "update_v":
         m, r = rng.choice([(2, 0), (2, 1), (3, 0), (3, 2), (5, 1)])
@@ -155,7 +161,7 @@ def fuzz_dml(
     history: dict[int, tuple[list, list]] = {}
     txn_until = -1  # op index at which the open transaction resolves
     txn_rollback = False
-    txn_added_mark = 0
+    txn_added_snapshot: list[str] = []
     use_txns = n_ops >= 10  # small runs stay plain-op (regression speed)
     for i in range(n_ops):
         # Randomly open a transaction spanning the next 1-3 ops, resolved
@@ -166,7 +172,7 @@ def fuzz_dml(
             span = rng.randint(1, 3)
             txn_until = i + span - 1
             txn_rollback = rng.random() < 0.5
-            txn_added_mark = len(added)
+            txn_added_snapshot = list(added)
             eng.sql("START TRANSACTION")
             con.execute("BEGIN")
         op, duck_ops = gen_op(rng, table, next_k, added)
@@ -182,7 +188,7 @@ def fuzz_dml(
             if txn_rollback:
                 eng.sql("ROLLBACK")
                 con.execute("ROLLBACK")
-                del added[txn_added_mark:]
+                added[:] = txn_added_snapshot  # full replay: drops too
             else:
                 eng.sql("COMMIT")
                 con.execute("COMMIT")
