@@ -79,12 +79,17 @@ def gen_op(
         return stmt, [stmt]
     if kind == "merge":
         src_rows = []
+        used: set[int] = set()
         for _ in range(rng.randint(1, 3)):
             if rng.random() < 0.5 and next_k[0] > 0:
                 k = rng.randrange(next_k[0])  # may or may not still exist
+                if k in used:  # duplicate source keys make MERGE ill-defined
+                    k = next_k[0]
+                    next_k[0] += 1
             else:
                 k = next_k[0]
                 next_k[0] += 1
+            used.add(k)
             src_rows.append(f"({k}, {rng.choice(_CATS)}, {rng.randint(0, 99)})")
         vals = ", ".join(src_rows)
         src_rel = f"(SELECT * FROM (VALUES {vals}) AS z(k, cat, v)) s"

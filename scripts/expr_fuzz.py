@@ -47,8 +47,8 @@ def gen(rng: random.Random, typ: str, depth: int) -> str:
         return rng.choice(
             [
                 lambda: f"abs({i()})",
-                lambda: f"greatest({i()}, {i()})",
-                lambda: f"least({i()}, {i()})",
+                lambda: f"greatest(coalesce({i()}, 0), coalesce({i()}, 0))",
+                lambda: f"least(coalesce({i()}, 0), coalesce({i()}, 0))",
                 lambda: f"({i()} + {i()})",
                 lambda: f"({i()} - {i()})",
                 lambda: f"({i()} * {rng.randint(0, 5)})",
@@ -81,8 +81,8 @@ def gen(rng: random.Random, typ: str, depth: int) -> str:
                 lambda: f"lpad({s()}, {rng.randint(1, 14)}, '.')",
                 lambda: f"rpad({s()}, {rng.randint(1, 14)}, '.')",
                 lambda: f"translate({s()}, 'AEI', 'aei')",
-                lambda: f"greatest({s()}, {s()})",
-                lambda: f"least({s()}, {s()})",
+                lambda: f"greatest(coalesce({s()}, 'z'), coalesce({s()}, 'z'))",
+                lambda: f"least(coalesce({s()}, 'z'), coalesce({s()}, 'z'))",
             ]
         )()
     return rng.choice(
@@ -141,6 +141,15 @@ def gen_window(rng: random.Random, depth: int = 2) -> str:
     )
 
 
+def _values_equal(av, ov) -> bool:
+    if av is None or (isinstance(av, float) and av != av):
+        return ov is None or (isinstance(ov, float) and ov != ov)
+    try:
+        return av == ov or int(av) == int(ov)  # HUGEINT vs int64 etc.
+    except (TypeError, ValueError, OverflowError):
+        return av == ov
+
+
 def fuzz(n_exprs: int = 200, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):
     """Returns the list of mismatching expressions (empty = clean)."""
     import duckdb
@@ -166,36 +175,32 @@ def fuzz(n_exprs: int = 200, seed: int = 42, sf_dir: str = "/root/testdata/sf0.0
         try:
             got = eng.sql(sql).toPandas()
             want = con.execute(sql).fetch_df()
-        except Exception as exc:  # a whole-batch failure: bisect by expr
+        except Exception:  # a whole-batch failure: bisect by expr
+            n_before = len(bad)
             for e in chunk:
                 single = f"SELECT n_nationkey, {e} AS e0 FROM nation ORDER BY n_nationkey"
                 try:
-                    eng.sql(single).toPandas()
-                    con.execute(single).fetch_df()
-                except Exception:
-                    bad.append(f"ERROR {e}: {str(exc).splitlines()[0][:120]}")
+                    g1 = eng.sql(single).toPandas()
+                    w1 = con.execute(single).fetch_df()
+                except Exception as sexc:
+                    bad.append(f"ERROR {e}: {str(sexc).splitlines()[0][:120]}")
+                    continue
+                for av, ov in zip(g1["e0"].tolist(), w1["e0"].tolist()):
+                    if not _values_equal(av, ov):
+                        bad.append(f"MISMATCH {e}: spark={av!r} duckdb={ov!r}")
+                        break
+            if len(bad) == n_before:
+                # every expression passed alone: the combination itself
+                # failed — record it, never silently count the batch clean
+                bad.append(f"BATCH-ONLY FAILURE at offset {ofs} (exprs pass alone)")
             continue
         for j, e in enumerate(chunk):
             a, o = got[f"e{j}"], want[f"e{j}"]
             for av, ov in zip(a.tolist(), o.tolist()):
-                # NaN-safe equality; bools compare as ints across engines
-                if av is None or (isinstance(av, float) and av != av):
-                    ok = ov is None or (isinstance(ov, float) and ov != ov)
-                else:
-                    ok = av == ov
-                if not ok:
+                if not _values_equal(av, ov):
                     bad.append(f"MISMATCH {e}: spark={av!r} duckdb={ov!r}")
                     break
     return bad
-
-
-def _values_equal(av, ov) -> bool:
-    if av is None or (isinstance(av, float) and av != av):
-        return ov is None or (isinstance(ov, float) and ov != ov)
-    try:
-        return av == ov or int(av) == int(ov)  # HUGEINT vs int64 etc.
-    except (TypeError, ValueError, OverflowError):
-        return av == ov
 
 
 def fuzz_agg(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01",
@@ -409,7 +414,9 @@ def _gen_array_scalar(rng: random.Random) -> tuple[str, str]:
             f"CASE WHEN contains({t}, {v}) THEN 1 ELSE 0 END",
             f"CASE WHEN list_contains({d}, {v}) THEN 1 ELSE 0 END",
         )
-    return f"array_join({t}, ',')", f"array_to_string({d}, ',')"
+    # DuckDB's array_to_string([]) yields NULL where Trino's array_join
+    # (and the engine) return '' — normalize the duck side
+    return f"array_join({t}, ',')", f"coalesce(array_to_string({d}, ','), '')"
 
 
 def fuzz_arrays(n_exprs: int = 60, seed: int = 42, sf_dir: str = "/root/testdata/sf0.01"):

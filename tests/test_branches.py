@@ -236,3 +236,61 @@ class TestRefsAndPropertiesMetadataTables:
         assert rows["retention_days"] == "7" and rows["owner"] == "etl"
         # empty for a table with no properties set
         assert engine.sql(f'SELECT count(*) AS c FROM "{table}$refs"').collect()[0].c >= 1
+
+
+class TestBranchColumnOrder:
+    """Branches of PARTITIONED tables keep the declared column order —
+    fork registration, t@branch DML, and fast-forward commits must not
+    adopt the partition-last physical parquet layout (review findings on
+    the round-4 _dml_logical_cols mechanism)."""
+
+    @pytest.fixture()
+    def ptable(self, engine):
+        name = f"brp_{os.getpid()}"
+        engine.sql(f"DROP TABLE IF EXISTS {name}")
+        engine.sql(
+            f"CREATE TABLE {name} WITH (partitioned_by = ARRAY['cat']) AS "
+            "SELECT * FROM (VALUES (1, 'a', 10), (2, 'b', 20)) AS t(k, cat, v)"
+        )
+        yield name
+        engine.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_fork_presents_declared_order(self, engine, ptable):
+        engine.sql(f"CREATE BRANCH dev IN TABLE {ptable}")
+        assert engine.sql(f"SELECT * FROM {ptable}@dev").columns == ["k", "cat", "v"]
+
+    def test_branch_positional_insert(self, engine, ptable):
+        engine.sql(f"CREATE BRANCH dev IN TABLE {ptable}")
+        engine.sql(f"INSERT INTO {ptable}@dev VALUES (3, 'c', 30)")
+        rows = {tuple(r) for r in engine.sql(
+            f"SELECT k, cat, v FROM {ptable}@dev").collect()}
+        assert (3, "c", 30) in rows
+        # main unaffected
+        assert engine.sql(f"SELECT count(*) AS n FROM {ptable}").collect()[0].n == 2
+
+    def test_fast_forward_keeps_declared_order(self, engine, ptable):
+        engine.sql(f"CREATE BRANCH dev IN TABLE {ptable}")
+        engine.sql(f"INSERT INTO {ptable}@dev VALUES (3, 'c', 30)")
+        engine.sql(f"ALTER BRANCH main IN TABLE {ptable} FAST FORWARD TO dev")
+        assert engine.sql(f"SELECT * FROM {ptable}").columns == ["k", "cat", "v"]
+        rows = {tuple(r) for r in engine.sql(f"SELECT k, cat, v FROM {ptable}").collect()}
+        assert rows == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+        # positional INSERT still maps by declared order after fast-forward
+        engine.sql(f"INSERT INTO {ptable} VALUES (4, 'd', 40)")
+        rows = {tuple(r) for r in engine.sql(f"SELECT k, cat, v FROM {ptable}").collect()}
+        assert (4, "d", 40) in rows
+
+
+def test_rename_to_keeps_declared_order(engine):
+    name = f"rnp_{os.getpid()}"
+    engine.sql(f"DROP TABLE IF EXISTS {name}")
+    engine.sql(f"DROP TABLE IF EXISTS {name}_2")
+    engine.sql(
+        f"CREATE TABLE {name} WITH (partitioned_by = ARRAY['cat']) AS "
+        "SELECT * FROM (VALUES (1, 'a', 10)) AS t(k, cat, v)"
+    )
+    engine.sql(f"ALTER TABLE {name} RENAME TO {name}_2")
+    try:
+        assert engine.sql(f"SELECT * FROM {name}_2").columns == ["k", "cat", "v"]
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {name}_2")

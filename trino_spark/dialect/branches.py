@@ -128,7 +128,18 @@ def try_execute(engine, stripped: str) -> DataFrame | None:
         layouts = getattr(engine, "_dml_layouts", None) or {}
         if table in layouts:
             layouts[internal] = list(layouts[table])
-        spark.read.parquet(dst).createOrReplaceTempView(internal)
+        # The fork inherits the base table's DECLARED column order too —
+        # otherwise positional INSERT INTO t@branch and SELECT * would map
+        # against the partition-last physical layout (same class of bug
+        # the DML fuzzer caught on main tables).
+        logical = getattr(engine, "_dml_logical_cols", None) or {}
+        fork = spark.read.parquet(dst)
+        lcols = logical.get(table)
+        if lcols:
+            logical[internal] = list(lcols)
+            if lcols != fork.columns and set(lcols) == set(fork.columns):
+                fork = fork.select(*lcols)
+        fork.createOrReplaceTempView(internal)
         refresh_infoschema(engine, changed=internal)
         base_version = max((e["version"] for e in _read_log(table)), default=0)
         reg[branch] = {"created_from_version": base_version}
@@ -159,6 +170,14 @@ def try_execute(engine, stripped: str) -> DataFrame | None:
         dest = table if src == "main" else _internal(table, src)
         if src != "main" and src not in _registry(table):
             raise ValueError(f"Branch '{src}' does not exist")
+        # Restore the destination's DECLARED column order before the
+        # commit — a raw read of a partitioned branch dir is partition-last
+        # and would otherwise corrupt the logical map + snapshot log.
+        lcols = getattr(engine, "_dml_logical_cols", {}).get(dest) or getattr(
+            engine, "_dml_logical_cols", {}
+        ).get(table)
+        if lcols and lcols != content.columns and set(lcols) == set(content.columns):
+            content = content.select(*lcols)
         n = _commit(engine, dest, content, operation=f"fast_forward_from_{tgt}")
         return spark.createDataFrame([(src, tgt, n)], "branch: string, from_branch: string, rows: bigint")
     if up[:2] == ["SHOW", "BRANCHES"]:

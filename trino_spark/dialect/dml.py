@@ -1430,7 +1430,11 @@ def _alter_table(engine, sql: str) -> DataFrame:
         if name in logical:
             logical[new] = logical.pop(name)
         engine.spark.catalog.dropTempView(name)
-        engine.spark.read.parquet(newpath).createOrReplaceTempView(new)
+        renamed = engine.spark.read.parquet(newpath)
+        lcols = logical.get(new)
+        if lcols and lcols != renamed.columns and set(lcols) == set(renamed.columns):
+            renamed = renamed.select(*lcols)
+        renamed.createOrReplaceTempView(new)
         refresh_infoschema(engine, changed=new, dropped=name)
         return engine.spark.createDataFrame([(0,)], "rows: bigint")
     else:

@@ -320,6 +320,21 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     # — exactly TRY's contract (TryFunction.java:40) — so the wrapper
     # erases to parentheses rather than an unknown function.
     "try": lambda a: f"({a[0]})",
+    # greatest/least: Trino returns NULL when ANY argument is NULL
+    # (GreatestFunction.java); Spark's builtins SKIP nulls — wrap with an
+    # any-null guard. (DuckDB also skips, so the differential fuzzer keeps
+    # these args non-null; this rewrite is the Trino-parity source of
+    # truth.)
+    "greatest": lambda a: (
+        "(CASE WHEN "
+        + " OR ".join(f"({x}) IS NULL" for x in a)
+        + f" THEN NULL ELSE greatest({', '.join(a)}) END)"
+    ),
+    "least": lambda a: (
+        "(CASE WHEN "
+        + " OR ".join(f"({x}) IS NULL" for x in a)
+        + f" THEN NULL ELSE least({', '.join(a)}) END)"
+    ),
     "strpos": _t_strpos,
     "date_diff": _t_date_diff,
     "date_add": _t_date_add,
