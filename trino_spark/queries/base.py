@@ -71,6 +71,21 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin a lazy builder result to concrete rows BEFORE builder-side
+    cleanup (dropping the tables/roles the plan still references).
+
+    Session-conf-independent on purpose: a ``toPandas`` round-trip
+    stores a NULL in an integer column as NaN-in-float64 (coercing the
+    non-null values to float too), and only the Arrow path of
+    ``createDataFrame`` converts that back — the plain path's verifier
+    rejects both ``nan`` and ``7.0`` for IntegerType. The driver's
+    session does not enable Arrow, so rebuild from ``collect()`` Rows,
+    which preserve exact Python types under every session conf (the
+    round-4 ``dialect_ddl_evolution`` red was exactly this)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def engine_for(spark: SparkSession, sf_dir: str):
     """One shared TrinoEngine per (session, sf_dir) — engine construction
     registers testdata views + information_schema (~1 s), so query

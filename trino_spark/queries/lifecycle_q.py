@@ -31,11 +31,7 @@ from trino_spark.queries.base import QueryRegistry, engine_for
 REG = QueryRegistry()
 
 
-def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Pin a lazy engine result to concrete rows BEFORE builder-side
-    cleanup (dropping tables/roles the plan still references)."""
-    pdf = df.toPandas()
-    return spark.createDataFrame(pdf, df.schema)
+from trino_spark.queries.base import materialized as _materialized  # noqa: E402
 
 
 @REG.add(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trino_spark.operators.merge import merge_into
-from trino_spark.queries.base import QueryRegistry, t
+from trino_spark.queries.base import QueryRegistry, materialized, t
 
 REG = QueryRegistry()
 
@@ -152,9 +152,9 @@ def dialect_dml_lifecycle_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = eng.sql(f"SELECT CAST(k AS BIGINT) AS k, name, CAST(r AS INT) AS r FROM {tbl} ORDER BY k")
     # Materialize before dropping the backing table (builders are lazy).
-    pdf = out.toPandas()
+    res = materialized(spark, out)
     eng.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(pdf, out.schema)
+    return res
 
 
 def _dml_partitioned_lifecycle_impl(spark: SparkSession, sf: str) -> DataFrame:
@@ -192,9 +192,9 @@ def _dml_partitioned_lifecycle_impl(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY r
         """
     )
-    pdf = out.toPandas()
+    res = materialized(spark, out)
     eng.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(pdf, out.schema)
+    return res
 
 
 REG.add(
@@ -247,9 +247,9 @@ def _meta_files_partitions_impl(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY part
         """
     )
-    pdf = out.toPandas()
+    res = materialized(spark, out)
     eng.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(pdf, out.schema)
+    return res
 
 
 REG.add(
