@@ -353,6 +353,21 @@ class TestDmlTargetSecurity:
         n = eng.sql("DELETE FROM sec_t WHERE name = 'MASKED' AND id = 1").collect()[0][0]
         assert n == 1
 
+    def test_delete_where_with_qualified_masked_reference(self, eng):
+        # Round-5 (ADVICE): a table-qualified reference to a masked column
+        # must substitute `sec_t.name` as one unit — not produce the
+        # invalid `sec_t.(CASE ...)` — so legal Trino DELETEs keep working.
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        n = eng.sql(
+            "DELETE FROM sec_t WHERE sec_t.name = 'NATION_2'"
+        ).collect()[0][0]
+        assert n == 0  # raw value invisible through the mask
+        n = eng.sql(
+            "DELETE FROM sec_t WHERE sec_t.name = 'MASKED' AND id = 2"
+        ).collect()[0][0]
+        assert n == 1
+
 
 class TestTableRefRewriteScope:
     """Round-4 (review finding): the security rewrite must substitute only
@@ -457,6 +472,21 @@ class TestDenyAndSessionAuth:
         assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "alice"
         engine.sql("RESET SESSION AUTHORIZATION")
         assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "trino"
+
+    def test_session_authorization_denied_under_restricted_role(self, engine):
+        # Round-5 (ADVICE): impersonation requires a privilege in the
+        # reference (SetSessionAuthorizationTask.checkCanSetUser) — a
+        # restricted role must not sidestep CURRENT_USER-based row
+        # filters/masks by switching identity.
+        engine.sql("CREATE ROLE imp_probe")
+        engine.sql("SET ROLE imp_probe")
+        try:
+            with pytest.raises(AccessDenied, match="SESSION AUTHORIZATION"):
+                engine.sql("SET SESSION AUTHORIZATION mallory")
+            assert engine.sql("SELECT CURRENT_USER AS u").collect()[0].u == "trino"
+        finally:
+            engine.sql("SET ROLE NONE")
+            engine.sql("DROP ROLE imp_probe")
 
     def test_current_user_in_literal_untouched(self, engine):
         out = engine.sql("SELECT 'CURRENT_USER' AS s").collect()

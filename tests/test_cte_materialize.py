@@ -102,3 +102,39 @@ def test_recursive_with_untouched(engine):
         engine, "WITH RECURSIVE r(n) AS (SELECT 1) SELECT * FROM r, r r2"
     )
     assert out.startswith("WITH RECURSIVE")
+
+
+def test_concurrent_statements_do_not_drop_each_others_views(engine):
+    """Regression: retire() at the start of statement B must not drop a
+    view statement A's rewritten SQL references before Catalyst analyzes
+    it (the HTTP server runs header-less requests concurrently on one
+    shared engine). With the in-flight guard, concurrent WITH statements
+    defer retirement instead of racing; results stay correct and no
+    'table or view not found' surfaces."""
+    import threading
+
+    engine.session_properties["cte_materialization"] = "true"
+    sql = (
+        "WITH thresh AS (SELECT max(v) AS mx FROM cte_t) "
+        "SELECT (SELECT mx FROM thresh) + (SELECT mx FROM thresh) AS s"
+    )
+    expected = engine.sql(sql).collect()[0][0]
+    errors: list = []
+
+    def run() -> None:
+        try:
+            for _ in range(5):
+                got = engine.sql(sql).collect()[0][0]
+                assert got == expected, (got, expected)
+        except Exception as exc:  # pragma: no cover - failure capture
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # a later solo statement still retires the accumulated caches
+    engine.sql(sql).collect()
+    assert len(engine._cte_cached) == 1

@@ -475,21 +475,34 @@ def dml_target_security(engine, table: str) -> tuple[str | None, dict[str, str]]
     return st["row_filters"].get((role, t)), dict(st["column_masks"].get((role, t), {}))
 
 
-def mask_fragment(masks: dict[str, str], fragment: str) -> str:
+def mask_fragment(masks: dict[str, str], fragment: str, target: str | None = None) -> str:
     """Substitute masked column references in a user-supplied DML fragment
     (WHERE predicate / SET expression) with their mask expression, so
     `UPDATE t SET other = secret_col` writes the MASKED value — the same
     data the role would see through a read. Row filters, by contrast,
     evaluate on real rows (the reference filters real rows, then masks the
     survivors). Single-pass substitution outside string literals; the mask
-    expression's own self-reference is left intact on purpose."""
+    expression's own self-reference is left intact on purpose.
+
+    Qualified references: `target.col` is replaced as one unit (legal
+    Trino `DELETE FROM t WHERE t.secret = 5` must not become the invalid
+    `t.(CASE ...)`); `other.col` — a reference binding to a DIFFERENT
+    relation, e.g. a subquery alias — is left alone, and a bare `col`
+    acting as a qualifier itself (`col.x`) is likewise untouched."""
     if not masks:
         return fragment
+    tq = re.escape(target.split(".")[-1]) if target else None
 
     def _sub(chunk: str) -> str:
         for col, mexpr in masks.items():
+            cq = re.escape(col)
+            # alt 1: the whole `target.col` unit; alt 2: bare `col` not
+            # preceded by `qualifier.` and not itself qualifying (`col.x`).
+            alts = [rf"(?<![\w.]){cq}\b(?!\s*\.)"]
+            if tq:
+                alts.insert(0, rf"\b{tq}\s*\.\s*{cq}\b(?!\s*\.)")
             chunk = re.sub(
-                rf"\b{re.escape(col)}\b", f"({mexpr})", chunk, flags=re.IGNORECASE
+                "|".join(alts), f"({mexpr})", chunk, flags=re.IGNORECASE
             )
         return chunk
 

@@ -184,8 +184,12 @@ def _worth_materializing(body_toks: list[Tok], refs: int) -> bool:
 def retire(engine) -> None:
     """Unpersist caches created for earlier top-level statements.
 
-    Safe at any time: a dropped cache recomputes from lineage, so a
-    DataFrame handle the caller still holds stays correct (slower)."""
+    Safe for ALREADY-ANALYZED plans at any time: a dropped cache
+    recomputes from lineage, so a DataFrame handle the caller still
+    holds stays correct (slower). NOT safe while another statement is
+    between its SQL rewrite and Catalyst analysis (the temp view name
+    would fail to resolve) — callers must hold engine._cte_lock and
+    check engine._cte_active; materialize_reused below does."""
     for df, view in getattr(engine, "_cte_cached", []):
         try:
             df.unpersist(blocking=False)
@@ -211,8 +215,21 @@ def materialize_reused(engine, spark_sql: str):
         return spark_sql
     ctes, main_start = parsed
 
-    if getattr(engine, "_sql_depth", 1) <= 1:
-        retire(engine)
+    # Retire prior statements' caches only when this is a TOP-LEVEL
+    # statement (thread-local depth — nested dispatches must not drop
+    # views their outer statement still references) AND no OTHER
+    # statement is in flight on this shared engine (the HTTP server runs
+    # header-less requests concurrently; a concurrent query may have
+    # rewritten its SQL to reference a cached view but not yet analyzed
+    # it — the one window where dropping the view breaks it). Deferred
+    # caches are retired by the next statement that runs alone.
+    import threading
+
+    lock = getattr(engine, "_cte_lock", None) or threading.RLock()
+    depth = getattr(getattr(engine, "_tls", None), "depth", 1)
+    with lock:
+        if depth <= 1 and getattr(engine, "_cte_active", 1) <= 1:
+            retire(engine)
 
     # reference counts: WORD/QIDENT occurrences strictly after the CTE's
     # own body (later bodies + main query). Overcounting via same-named
@@ -249,9 +266,10 @@ def materialize_reused(engine, spark_sql: str):
         df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()  # eager: one execution, before any reference runs
         df.createOrReplaceTempView(view)
-        if not hasattr(engine, "_cte_cached"):
-            engine._cte_cached = []
-        engine._cte_cached.append((df, view))
+        with lock:
+            if not hasattr(engine, "_cte_cached"):
+                engine._cte_cached = []
+            engine._cte_cached.append((df, view))
         final_bodies[ci] = f"SELECT * FROM {view}"
         materialized.append((name, view))
 

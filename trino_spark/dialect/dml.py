@@ -546,7 +546,10 @@ def _delete(engine, sql: str) -> DataFrame:
     # DELETE removes rows where pred is TRUE; NULL predicate keeps.
     where = m.group(2) if m.group(2) is not None else "true"
     pred = F.coalesce(
-        F.expr(_translate_fragment(engine, _access.mask_fragment(masks, where))), F.lit(False)
+        F.expr(
+            _translate_fragment(engine, _access.mask_fragment(masks, where, target=name))
+        ),
+        F.lit(False),
     )
     if visible is not None:
         pred = pred & visible

@@ -25,8 +25,21 @@ class TrinoEngine:
     """Trino-dialect SQL in, DataFrame out."""
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        import threading
+
         self.spark = spark
         self.catalog = Catalog(spark)
+        # Per-thread statement depth: the HTTP server dispatches concurrent
+        # statements onto one shared engine, so a process-wide counter
+        # would corrupt the "is this a top-level statement?" decisions
+        # (query events, CTE-cache retirement) across threads.
+        self._tls = threading.local()
+        # Guards the reused-CTE cache (dialect/cte.py): retire() must not
+        # drop another in-flight statement's views between its SQL rewrite
+        # and Catalyst analysis. RLock + in-flight top-level count.
+        self._cte_lock = threading.RLock()
+        self._cte_active = 0
+        self._cte_cached: list = []
         # SQL routines (CREATE FUNCTION ... RETURN expr), inlined as macros
         # per dialect/routines.py (reference: SqlRoutinePlanner inlining).
         self.routines: dict[str, _routines_mod.Routine] = {}
@@ -82,8 +95,11 @@ class TrinoEngine:
         import time
         import uuid as _uuid
 
-        depth = getattr(self, "_sql_depth", 0)
-        self._sql_depth = depth + 1
+        depth = getattr(self._tls, "depth", 0)
+        self._tls.depth = depth + 1
+        if depth == 0:
+            with self._cte_lock:
+                self._cte_active += 1
         t0 = time.perf_counter()
         qid = _uuid.uuid4().hex[:16]
         if depth == 0:
@@ -112,7 +128,10 @@ class TrinoEngine:
                 )
             raise
         finally:
-            self._sql_depth = depth
+            self._tls.depth = depth
+            if depth == 0:
+                with self._cte_lock:
+                    self._cte_active -= 1
 
     # ---- EventListener SPI (io.trino.spi.eventlistener.EventListener:
     # queryCreated/queryCompleted; listeners are isolated — a throwing
@@ -598,6 +617,17 @@ class TrinoEngine:
         if up[:3] == ["SET", "SESSION", "AUTHORIZATION"]:
             # #setSessionAuthorization (SetSessionAuthorizationTask.java):
             # switch the session identity; CURRENT_USER reflects it.
+            # Impersonation requires a privilege in the reference
+            # (checkCanSetUser) — a restricted role must not sidestep
+            # CURRENT_USER-based row filters/masks by switching identity,
+            # so deny under any active restricted role (the same owner
+            # gate as CREATE/DROP CATALOG).
+            from trino_spark.dialect import access as _access
+
+            if _access._state(self)["current"] is not None:
+                raise _access.AccessDenied(
+                    "Access Denied: SET SESSION AUTHORIZATION requires an owner session"
+                )
             user = stripped.split(None, 3)[3].strip().strip("'\"")
             self.session_user = user
             return self.spark.createDataFrame([(user,)], "user: string")

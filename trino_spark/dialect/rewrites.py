@@ -321,19 +321,23 @@ _TEMPLATE: dict[str, Callable[[list[str]], str]] = {
     # erases to parentheses rather than an unknown function.
     "try": lambda a: f"({a[0]})",
     # greatest/least: Trino returns NULL when ANY argument is NULL
-    # (GreatestFunction.java); Spark's builtins SKIP nulls — wrap with an
-    # any-null guard. (DuckDB also skips, so the differential fuzzer keeps
-    # these args non-null; this rewrite is the Trino-parity source of
-    # truth.)
+    # (GreatestFunction.java); Spark's builtins SKIP nulls — guard with an
+    # any-null check. Arguments are bound ONCE into a single array and the
+    # guard + result both read the lambda variable, so expensive
+    # expressions don't evaluate twice and non-deterministic ones (rand())
+    # can't see a different value in the guard than in the result.
+    # array_max/array_min equal greatest/least over non-null elements.
+    # (DuckDB also skips nulls, so the differential fuzzer keeps these
+    # args non-null; this rewrite is the Trino-parity source of truth.)
     "greatest": lambda a: (
-        "(CASE WHEN "
-        + " OR ".join(f"({x}) IS NULL" for x in a)
-        + f" THEN NULL ELSE greatest({', '.join(a)}) END)"
+        f"(transform(array(array({', '.join(a)})), __gl_a -> "
+        "CASE WHEN exists(__gl_a, __gl_x -> __gl_x IS NULL) THEN NULL "
+        "ELSE array_max(__gl_a) END)[0])"
     ),
     "least": lambda a: (
-        "(CASE WHEN "
-        + " OR ".join(f"({x}) IS NULL" for x in a)
-        + f" THEN NULL ELSE least({', '.join(a)}) END)"
+        f"(transform(array(array({', '.join(a)})), __gl_a -> "
+        "CASE WHEN exists(__gl_a, __gl_x -> __gl_x IS NULL) THEN NULL "
+        "ELSE array_min(__gl_a) END)[0])"
     ),
     "strpos": _t_strpos,
     "date_diff": _t_date_diff,

@@ -623,11 +623,6 @@ class TrinoHttpServer:
                     "errorName": type(exc).__name__,
                 }
             st.elapsed_ms = (_time.perf_counter() - t0) * 1000.0
-            running.pop(qid, None)
-            killed = getattr(self.engine, "_killed_queries", None)
-            if killed is not None:
-                killed.discard(qid)
-            sc.setLocalProperty("spark.jobGroup.id", None)
         except Exception as exc:
             # setup failures (e.g. a session property Spark refuses to set)
             # — the inner try already converts QUERY errors; this converts
@@ -639,6 +634,18 @@ class TrinoHttpServer:
                 "errorName": type(exc).__name__,
             }
         finally:
+            # Every exit path (success, query error, OVERLAY error) must
+            # deregister the query and reset the job group — an entry left
+            # in `running` would show as permanently-running to
+            # system.runtime.queries and kill_query.
+            running.pop(qid, None)
+            killed = getattr(self.engine, "_killed_queries", None)
+            if killed is not None:
+                killed.discard(qid)
+            try:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            except Exception:
+                pass
             # Restore order: prepared, then session (covers partially-
             # applied overlays — `saved*` only holds what was applied).
             for k, old in saved_prep.items():
