@@ -48,3 +48,36 @@ def test_q42_date_filter_pushed_to_scan(spark, sf_dir):
         seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any("d_moy" in p or "d_year" in p for p in pushed)
+
+
+def test_unpartitioned_windows_ride_post_aggregation_inputs(spark, sf_dir):
+    """q44/q49 carry spec-mandated `rank() OVER (ORDER BY ...)` with no
+    PARTITION BY (TPC-DS specification text). Pin that every Window node
+    in their physical plans consumes a post-aggregation input — an
+    aggregate appears in the window's subtree before any file scan — so
+    the single-partition window is bounded by grouped-row cardinality,
+    not fact-table volume, and a future window-over-raw-scan fails here
+    instead of hiding in the bench tail's 'WindowExec: No Partition
+    Defined' noise."""
+    import re
+
+    for name in ("tpcds_q44", "tpcds_q49"):
+        plan = _plan(all_specs()[name].build(spark, sf_dir))
+        lines = plan.split("\n")
+        windows = [i for i, ln in enumerate(lines) if re.search(r"\bWindow\b", ln)]
+        assert windows, name  # the spec queries do carry windows
+        for wi in windows:
+            indent = len(lines[wi]) - len(lines[wi].lstrip(" :+-|"))
+            agg_first = None
+            for ln in lines[wi + 1 :]:
+                d = len(ln) - len(ln.lstrip(" :+-|"))
+                if ln.strip() and d <= indent:
+                    break  # left the window's subtree
+                body = ln.lstrip(" :+-|")
+                if re.match(r"(Hash|Sort|ObjectHash)Aggregate", body):
+                    agg_first = True
+                    break
+                if re.match(r"(FileScan|Scan |BatchScan)", body):
+                    agg_first = False
+                    break
+            assert agg_first, f"{name}: Window consumes a raw scan\n{lines[wi]}"

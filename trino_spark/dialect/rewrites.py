@@ -762,7 +762,14 @@ def _rewrite_ties(sql: str) -> str:
     """Top-level `ORDER BY <keys> __FETCH_TIES__ n` → rank()-filter wrap.
     Trino rewrites WITH TIES the same way (main/sql/planner/iterative/rule/
     ImplementLimitWithTies.java). The helper column `__rk` is dropped by
-    TrinoEngine.sql after execution."""
+    TrinoEngine.sql after execution.
+
+    Boundedness: the unpartitioned rank() window here is equivalent to
+    the global ORDER BY the statement already mandates — WITH TIES is
+    only legal with a top-level ORDER BY, so the single-partition sort
+    exists in the plan either way and the window adds no new scale
+    hazard (`WindowExec: No Partition Defined` during bench is expected
+    and bounded at this site)."""
     toks = tokenize(sql)
     # find depth-0 ORDER BY ... __FETCH_TIES__ n at the end
     depth = 0
