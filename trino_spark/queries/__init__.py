@@ -48,6 +48,10 @@ def all_specs() -> dict[str, QuerySpec]:
         "corpus_prepare_e2e",
         "geo_sql_surface",
         "streaming_upsert_sink",
+        # round-5 NEW: EventListener completion records + resource-group
+        # admission accounting, previously tests-only components
+        "engine_event_listener",
+        "server_resource_groups",
         "http_protocol_roundtrip",
         # never-green TPC-DS, cheapest-first by measured sf0.1 cost
         "tpcds_q84",

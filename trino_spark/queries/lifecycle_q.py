@@ -396,3 +396,135 @@ def dialect_table_optimize(spark: SparkSession, sf: str) -> DataFrame:
     )
     eng.sql(f"DROP TABLE {tbl}")
     return out
+
+
+@REG.add(
+    "engine_event_listener",
+    """
+    SELECT * FROM (VALUES
+      (1, 'query_created',   'FINISHED', 0, 'trino'),
+      (1, 'query_completed', 'FINISHED', 0, 'trino'),
+      (2, 'query_created',   'FINISHED', 0, 'trino'),
+      (2, 'query_completed', 'FINISHED', 0, 'trino'),
+      (3, 'query_created',   'FAILED',   1, 'trino'),
+      (3, 'query_completed', 'FAILED',   1, 'trino')
+    ) AS t(seq, kind, state, has_error, usr)
+    ORDER BY seq, kind
+    """,
+)
+def engine_event_listener(spark: SparkSession, sf: str) -> DataFrame:
+    """EventListener SPI completion records (io.trino.spi.eventlistener.
+    EventListener queryCreated/queryCompleted; QueryMonitor.java emits
+    them): run a fixed statement sequence — two that finish, one that
+    fails — and present the captured deterministic event fields. The
+    oracle states the exact expected records, making the listener
+    dispatch path itself gate-checked rather than tests-only. Listener
+    isolation (a throwing listener never fails the query) stays covered
+    by unit tests."""
+    eng = engine_for(spark, sf)
+    captured: list[tuple] = []
+    seq = {"n": 0}
+
+    class Recorder:
+        def query_created(self, ev):
+            seq["n"] += 1
+            captured.append((seq["n"], "query_created", ev.get("user")))
+
+        def query_completed(self, ev):
+            captured.append(
+                (
+                    seq["n"],
+                    "query_completed",
+                    ev.get("state"),
+                    1 if ev.get("error") else 0,
+                    ev.get("user"),
+                )
+            )
+
+    rec = Recorder()
+    eng.add_event_listener(rec)
+    try:
+        eng.sql("SELECT count(*) AS c FROM nation").collect()
+        eng.sql("SELECT max(r_regionkey) AS m FROM region").collect()
+        try:
+            eng.sql("SELECT no_such_column_xyz FROM nation").collect()
+        except Exception:
+            pass  # the FAILED completion event is the point
+    finally:
+        eng.remove_event_listener(rec)
+    # join created/completed pairs on seq; created rows take the
+    # completion's state so the output is one uniform relation
+    completed = {c[0]: c for c in captured if c[1] == "query_completed"}
+    rows = []
+    for c in captured:
+        if c[1] == "query_created":
+            comp = completed[c[0]]
+            rows.append((c[0], "query_created", comp[2], comp[3], c[2]))
+        else:
+            rows.append((c[0], c[1], c[2], c[3], c[4]))
+    return spark.createDataFrame(
+        sorted(rows), "seq: int, kind: string, state: string, has_error: int, usr: string"
+    )
+
+
+@REG.add(
+    "server_resource_groups",
+    """
+    SELECT * FROM (VALUES
+      ('admitted_total', 4),
+      ('peak_running',   1),
+      ('peak_queued',    3),
+      ('drained_running', 0),
+      ('drained_queued',  0),
+      ('queue_full_rejected', 1)
+    ) AS t(metric, value)
+    ORDER BY metric
+    """,
+)
+def server_resource_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-group admission accounting (reference: resource-groups
+    plugin, InternalResourceGroup hardConcurrencyLimit/maxQueued): a
+    group with one slot admits a holder, queues three waiters (peak
+    queued observed while the slot is held), rejects the arrival that
+    finds the wait queue full, and drains to zero. Every number is
+    deterministic — waiters are counted in, then released; the oracle
+    states the expected accounting."""
+    import threading
+    import time as _time
+
+    from trino_spark.server import ResourceGroup
+
+    g = ResourceGroup("gate", max_concurrent=1, max_queued=3)
+    g.acquire()  # hold the only slot
+    done: list[str] = []
+
+    def waiter() -> None:
+        g.acquire()
+        done.append("x")
+        g.release()
+
+    threads = [threading.Thread(target=waiter) for _ in range(3)]
+    for t in threads:
+        t.start()
+    deadline = _time.monotonic() + 10
+    while g.queued < 3 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    peak_running, peak_queued = g.running, g.queued
+    # the fourth arrival finds maxQueued=3 occupied -> QUERY_QUEUE_FULL
+    rejected = 0
+    try:
+        g.acquire()
+    except RuntimeError:
+        rejected = 1
+    g.release()  # free the held slot; waiters drain FIFO
+    for t in threads:
+        t.join(timeout=10)
+    rows = [
+        ("admitted_total", int(g.total_admitted)),
+        ("peak_running", int(peak_running)),
+        ("peak_queued", int(peak_queued)),
+        ("drained_running", int(g.running)),
+        ("drained_queued", int(g.queued)),
+        ("queue_full_rejected", rejected),
+    ]
+    return spark.createDataFrame(sorted(rows), "metric: string, value: int")
