@@ -239,6 +239,9 @@ SCALAR_CASES = {
     "ST_Disjoint": "ST_Disjoint(ST_Point(0, 0), ST_Point(1, 1))",
     "ST_Equals": "ST_Equals(ST_Point(1, 1), ST_Point(1, 1))",
     "ST_Touches": "ST_Touches(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'))",
+    "ST_Relate": "ST_Relate(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'), 'F0FFFF102')",
+    "ST_Transform": "ST_Transform(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 3857)",
+    "ST_TransformXY": "ST_TransformXY(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 32610)",
     "ST_Crosses": "ST_Crosses(ST_LineFromText('LINESTRING (-1 2, 5 2)'), ST_Polygon('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))",
     "ST_Overlaps": "ST_Overlaps(ST_Polygon('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), ST_Polygon('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))'))",
     "ST_Union": "ST_Union(ST_Point(0, 0), ST_Point(1, 1))",
@@ -362,9 +365,6 @@ ABSENT = {
     "spooky_hash_v2_64": "same as spooky_hash_v2_32",
     "theta_sketch_cardinality": "Apache DataSketches binary interop (reads sketches produced elsewhere)",
     "theta_sketch_union": "Apache DataSketches binary interop",
-    "ST_Relate": "DE-9IM intersection-matrix strings out of kernel scope",
-    "ST_Transform": "CRS reprojection (PROJ) out of scope",
-    "ST_TransformXY": "lambda-typed argument has no SQL-UDF carrier",
     "ST_VoronoiPolygons": "Voronoi tessellation out of kernel scope",
     "ST_Polygonize": "noding/polygonization out of kernel scope",
     "ST_LineLocatePoint": "superseded by line_locate_point",

@@ -196,3 +196,120 @@ def test_misc_transforms(eng):
     assert _one(eng, "SELECT ST_Buffer(ST_Point(0, 0), 1.0)").startswith("POLYGON")
     circle = _one(eng, "SELECT ST_MinimumBoundingCircle(ST_GeometryFromText('MULTIPOINT ((0 0), (4 0))'))")
     assert circle.startswith("POLYGON")
+
+
+class TestRelateDE9IM:
+    """ST_Relate (GeoFunctions.java:1951 — JTS RelateNG.relate): full
+    DE-9IM matrix + pattern match, round-5 closure of a documented gap."""
+
+    def test_textbook_matrices(self, eng):
+        cases = [
+            ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "2FFF1FFF2"),
+            ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF2FF1212"),
+            ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))", "FF2F11212"),
+            ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "212101212"),
+            ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))", "2FF1FF212"),
+            ("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)", "0F1FF0102"),
+            ("POINT (2 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "F0FFFF212"),
+            ("POINT (1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "0FFFFF212"),
+        ]
+        for wa, wb, want in cases:
+            got = _one(
+                eng,
+                f"SELECT st_relate_matrix(ST_GeometryFromText('{wa}'), ST_GeometryFromText('{wb}'))",
+            )
+            assert got == want, (wa, wb, got, want)
+
+    def test_pattern_match(self, eng):
+        within = f"SELECT ST_Relate(ST_GeometryFromText('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'), {SQ}, 'T*F**F***')"
+        assert _one(eng, within) is True
+        crossing = "SELECT ST_Relate(ST_GeometryFromText('LINESTRING (0 0, 2 2)'), ST_GeometryFromText('LINESTRING (0 2, 2 0)'), 'FT*******')"
+        assert _one(eng, crossing) is False
+
+    def test_matrix_consistent_with_predicates(self, eng):
+        """The OGC predicates ARE DE-9IM patterns — 400 random pairs per
+        shape combo must agree (this fuzz found the touches() line-line
+        proper-crossing bug the probe version had)."""
+        import random
+
+        from trino_spark.functions import geomkernel as K
+
+        rnd = random.Random(515)
+
+        def rand_poly():
+            cx, cy = rnd.uniform(0, 10), rnd.uniform(0, 10)
+            w, h = rnd.uniform(0.5, 4), rnd.uniform(0.5, 4)
+            return ("POLYGON", [[(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h), (cx, cy)]])
+
+        def rand_line():
+            return ("LINESTRING", [(rnd.uniform(0, 10), rnd.uniform(0, 10)) for _ in range(rnd.randint(2, 4))])
+
+        def rand_point():
+            return ("POINT", (rnd.uniform(0, 10), rnd.uniform(0, 10)))
+
+        gens = [rand_poly, rand_line, rand_point]
+        n = 0
+        for _ in range(400):
+            a, b = rnd.choice(gens)(), rnd.choice(gens)()
+            m = K.relate_matrix(a, b)
+            da, db = K._dim(a), K._dim(b)
+            assert K.intersects(a, b) == (not (m[0] == "F" and m[1] == "F" and m[3] == "F" and m[4] == "F"))
+            assert K.contains(a, b) == (m[0] != "F" and m[6] == "F" and m[7] == "F")
+            assert K.touches(a, b) == (m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F"))
+            if da < db:
+                exp_cross = m[0] != "F" and m[2] != "F"
+            elif da > db:
+                exp_cross = m[0] != "F" and m[6] != "F"
+            elif da == 1:
+                exp_cross = m[0] == "0"
+            else:
+                exp_cross = False
+            assert K.crosses(a, b) == exp_cross, (K.to_wkt(a), K.to_wkt(b), m)
+            n += 1
+        assert n == 400  # vacuity guard
+
+
+class TestTransformCRS:
+    """ST_Transform / ST_TransformXY (GeoFunctions.java:513):
+    4326 <-> 3857 <-> UTM-WGS84, SRID via the EWKT prefix."""
+
+    def test_web_mercator_known_point(self, eng):
+        out = _one(
+            eng,
+            "SELECT st_transform(st_setsrid(ST_Point(-122.4194, 37.7749), 4326), 3857)",
+        )
+        assert out.startswith("SRID=3857;POINT (")
+        x, y = (float(v) for v in out.split("(")[1].rstrip(")").split())
+        # published spherical-mercator value for San Francisco
+        assert abs(x + 13627665.27) < 1.0 and abs(y - 4547675.35) < 1.0
+
+    def test_utm_roundtrip_and_scale(self, eng):
+        import math
+
+        from trino_spark.functions.geosql import _from_lnglat
+
+        out = _one(
+            eng,
+            "SELECT st_transform(st_transform(st_setsrid(ST_Point(-73.9857, 40.7484), 4326), 32618), 4326)",
+        )
+        x, y = (float(v) for v in out.split("(")[1].rstrip(")").split())
+        assert abs(x + 73.9857) < 1e-6 and abs(y - 40.7484) < 1e-6
+        # invariant: point-scale at ~51 km from the central meridian must
+        # equal k0 * (1 + d^2 / 2R^2) to ~1e-6 (Snyder series check)
+        p1 = _from_lnglat(32610, -122.4194, 37.7749)
+        p2 = _from_lnglat(32610, -122.4094, 37.7749)
+        utm_d = math.hypot(p2[0] - p1[0], p2[1] - p1[1])
+        lat = math.radians(37.7749)
+        nu = 6378137.0 / math.sqrt(1 - 0.00669437999 * math.sin(lat) ** 2)
+        geo_d = math.radians(0.01) * nu * math.cos(lat)
+        assert abs(utm_d / geo_d - 0.99963227) < 1e-5
+
+    def test_srid_zero_rejected(self, eng):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="SRID 0"):
+            eng.sql("SELECT st_transform(ST_Point(1, 2), 3857)").collect()
+
+    def test_setsrid_srid_roundtrip(self, eng):
+        assert _one(eng, "SELECT ST_SRID(ST_SetSRID(ST_Point(1, 2), 32610))") == 32610
+        assert _one(eng, "SELECT ST_SRID(ST_Point(1, 2))") == 0

@@ -135,14 +135,21 @@ def test_kill_query_cancels_running_statement(server):
         # a kill landing while the victim is still planning terminates it
         # too. (The old wait-for-ANY-active-job condition was flaky under a
         # full-suite run: another test's job could satisfy it early.)
+        # Match the VICTIM's registration specifically (any stray entry
+        # from another test must not be killed instead), and allow a
+        # generous window — a full-suite JVM under load can take >20 s
+        # to dispatch the POST (observed flake, round 5).
         qid = None
-        for _ in range(200):
-            running = getattr(server.engine, "_running_queries", {})
-            if running:
-                qid = next(iter(running))
+        for _ in range(600):
+            running = dict(getattr(server.engine, "_running_queries", {}))
+            for k, sql_text in running.items():
+                if "b.l_orderkey + c.l_orderkey" in sql_text:
+                    qid = k
+                    break
+            if qid or result.get("state"):
                 break
             time.sleep(0.1)
-        assert qid, "victim query never started running"
+        assert qid, f"victim query never started running (victim state: {result})"
         _, rows = fetch_all(
             server.url(), f"CALL system.runtime.kill_query('{qid}', 'test kill')"
         )

@@ -586,26 +586,35 @@ def equals(a, b):
 
 
 def touches(a, b):
+    """OGC ST_Touches via the DE-9IM matrix: intersecting, but the
+    interior-interior cell is empty (pattern FT*******|F**T*****|
+    F***T****). The earlier probe-based version missed line-line PROPER
+    crossings — the crossing point is interior to both lines but is
+    neither a vertex nor an edge sample, so it reported touches=true
+    where Trino/JTS say false (round-5 DE-9IM consistency fuzz)."""
     if not intersects(a, b):
         return False
-    # interiors must not intersect: every contact is boundary-only
-    probe_a = _points_of(a) + _edge_samples(a, b)
-    probe_b = _points_of(b) + _edge_samples(b, a)
-    for poly in _polygons_of(a):
-        ip = _interior_point(poly)
-        if ip is not None and locate_point(b, ip) == "in":
-            return False
-    for poly in _polygons_of(b):
-        ip = _interior_point(poly)
-        if ip is not None and locate_point(a, ip) == "in":
-            return False
-    for p in probe_a:
-        if locate_point(b, p) == "in":
-            return False
-    for p in probe_b:
-        if locate_point(a, p) == "in":
-            return False
-    return True
+    if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
+        # matrix path excludes collections; fall back to sampled probes
+        probe_a = _points_of(a) + _edge_samples(a, b)
+        probe_b = _points_of(b) + _edge_samples(b, a)
+        for poly in _polygons_of(a):
+            ip = _interior_point(poly)
+            if ip is not None and locate_point(b, ip) == "in":
+                return False
+        for poly in _polygons_of(b):
+            ip = _interior_point(poly)
+            if ip is not None and locate_point(a, ip) == "in":
+                return False
+        for p in probe_a:
+            if locate_point(b, p) == "in":
+                return False
+        for p in probe_b:
+            if locate_point(a, p) == "in":
+                return False
+        return True
+    m = relate_matrix(a, b)
+    return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
 
 
 def crosses(a, b):
@@ -1351,3 +1360,201 @@ def spherical_area_m2(g):
             area_k = abs(s) / 2.0 * R * R
             total += area_k if k == 0 else -area_k
     return total
+
+
+# ------------------------------------------------------------ DE-9IM
+#
+# ST_Relate (plugin/trino-geospatial GeoFunctions.java:1951 — JTS
+# RelateNG.relate(left, right, pattern)): the dimensionally-extended
+# 9-intersection matrix over {Interior, Boundary, Exterior} x
+# {Interior, Boundary, Exterior}. Computed by exact classification of a
+# finite witness set: every vertex, every edge-edge intersection point,
+# one interior point per polygon (0-dim evidence); midpoints of every
+# maximal sub-segment between intersection parameters (1-dim evidence —
+# an open sub-segment classifies uniformly, so its midpoint witnesses
+# the whole piece); and area comparisons of the Greiner-Hormann
+# booleans (2-dim evidence). Exterior-Exterior is always 2 for bounded
+# geometries.
+
+
+def _line_boundary_pts(g):
+    """Mod-2 boundary of a 1D geometry (OGC rule): endpoints occurring
+    an odd number of times; a closed ring has an empty boundary."""
+    if g[1] is None:
+        return []
+    lines = g[1] if g[0] == "MULTILINESTRING" else [g[1]]
+    cnt: dict = {}
+    for pts in lines:
+        if not pts:
+            continue
+        for p in (tuple(pts[0]), tuple(pts[-1])):
+            cnt[p] = cnt.get(p, 0) + 1
+    return [p for p, c in cnt.items() if c % 2 == 1]
+
+
+def _de9im_class(g, p, bpts=None):
+    """Classify point p against g as 'I' / 'B' / 'E' (DE-9IM sets)."""
+    d = _dim(g)
+    if d == 2:
+        return {"in": "I", "on": "B", "out": "E"}[locate_point(g, p)]
+    if d == 1:
+        if bpts is None:
+            bpts = _line_boundary_pts(g)
+        for q in bpts:
+            if _dist2(p, q) < _EPS**2:
+                return "B"
+        for a, b in _segments_of(g):
+            if _point_on_seg(p, a, b):
+                return "I"
+        return "E"
+    for q in _points_of(g):
+        if _dist2(p, q) < _EPS**2:
+            return "I"  # a point's boundary is empty
+    return "E"
+
+
+def _piece_midpoints(seg, other):
+    """Midpoints of the maximal pieces of `seg` delimited by its
+    intersections with `other`'s edges: each open piece lies uniformly
+    inside/on/outside `other`, so one midpoint witnesses the piece."""
+    p1, p2 = seg
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    l2 = dx * dx + dy * dy
+    if l2 < _EPS**2:
+        return []
+    ts = {0.0, 1.0}
+
+    def cut(q):
+        t = ((q[0] - p1[0]) * dx + (q[1] - p1[1]) * dy) / l2
+        if -1e-12 < t < 1 + 1e-12:
+            ts.add(min(1.0, max(0.0, t)))
+
+    for so in _segments_of(other):
+        for q in _seg_intersection(p1, p2, *so):
+            cut(q)
+    # split at `other`'s isolated points on this segment too — a piece
+    # midpoint must not coincide with a 0-dim feature of `other`
+    # (POINT-on-boundary would otherwise read as a 1-dim intersection)
+    for q in _points_of(other):
+        if _point_on_seg(q, p1, p2):
+            cut(q)
+    tl = sorted(ts)
+    return [
+        (p1[0] + dx * ((t0 + t1) / 2), p1[1] + dy * ((t0 + t1) / 2))
+        for t0, t1 in zip(tl, tl[1:])
+        if t1 - t0 > 1e-12
+    ]
+
+
+_AREA_TOL = 1e-12
+
+
+def relate_matrix(a, b) -> str:
+    """The 9-character DE-9IM matrix of a vs b, row-major
+    (II IB IE / BI BB BE / EI EB EE), characters in {F,0,1,2}."""
+    if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
+        raise ValueError("ST_Relate: GEOMETRYCOLLECTION inputs are not supported")
+    dims = {(r, c): -1 for r in "IBE" for c in "IBE"}
+
+    def bump(r, c, d):
+        if d > dims[(r, c)]:
+            dims[(r, c)] = d
+
+    bump("E", "E", 2)  # bounded geometries: exteriors share the plane
+    da, db = _dim(a), _dim(b)
+    empty_a = not _points_of(a)
+    empty_b = not _points_of(b)
+    if empty_a or empty_b:
+        # one side has no I/B sets at all: only the other's own features
+        # meet this side's exterior.
+        if not empty_b:
+            bump("E", "I", db)
+            bnd = 1 if db == 2 else (0 if db == 1 and _line_boundary_pts(b) else -1)
+            if bnd >= 0:
+                bump("E", "B", bnd)
+        if not empty_a:
+            bump("I", "E", da)
+            bnd = 1 if da == 2 else (0 if da == 1 and _line_boundary_pts(a) else -1)
+            if bnd >= 0:
+                bump("B", "E", bnd)
+        return "".join(
+            "F" if dims[(r, c)] < 0 else str(dims[(r, c)]) for r in "IBE" for c in "IBE"
+        )
+
+    ba = _line_boundary_pts(a) if da == 1 else None
+    bb = _line_boundary_pts(b) if db == 1 else None
+
+    def ca(p):
+        return _de9im_class(a, p, ba)
+
+    def cb(p):
+        return _de9im_class(b, p, bb)
+
+    # 0-dim witnesses
+    cands = set()
+    for p in _points_of(a) + _points_of(b):
+        cands.add(tuple(p))
+    for sa in _segments_of(a):
+        for sb in _segments_of(b):
+            for q in _seg_intersection(*sa, *sb):
+                cands.add(tuple(q))
+    for poly in _polygons_of(a) + _polygons_of(b):
+        ip = _interior_point(poly)
+        if ip is not None:
+            cands.add(tuple(ip))
+    for p in cands:
+        bump(ca(p), cb(p), 0)
+
+    # 1-dim witnesses: sub-segment midpoints. A polygon's edges are its
+    # boundary; a line's open sub-segments are interior.
+    locus_a = "B" if da == 2 else "I"
+    locus_b = "B" if db == 2 else "I"
+    if da >= 1:
+        for seg in _segments_of(a):
+            for m in _piece_midpoints(seg, b):
+                bump(locus_a, cb(m), 1)
+    if db >= 1:
+        for seg in _segments_of(b):
+            for m in _piece_midpoints(seg, a):
+                bump(ca(m), locus_b, 1)
+
+    # 2-dim witnesses (areas): only polygon interiors carry dimension 2.
+    if da == 2 and db == 2:
+        if area(_poly_boolean(a, b, "intersection")) > _AREA_TOL:
+            bump("I", "I", 2)
+        if area(_poly_boolean(a, b, "difference")) > _AREA_TOL:
+            bump("I", "E", 2)
+        if area(_poly_boolean(b, a, "difference")) > _AREA_TOL:
+            bump("E", "I", 2)
+    elif da == 2:
+        bump("I", "E", 2)  # a 0/1-dim b cannot cover a's area
+    elif db == 2:
+        bump("E", "I", 2)
+
+    return "".join(
+        "F" if dims[(r, c)] < 0 else str(dims[(r, c)]) for r in "IBE" for c in "IBE"
+    )
+
+
+def relate(a, b, pattern: str) -> bool:
+    """DE-9IM pattern match (T = non-empty, F = empty, 0/1/2 exact,
+    * = any) — the JTS IntersectionMatrix.matches contract."""
+    if len(pattern) != 9:
+        raise ValueError("ST_Relate: relation pattern must have 9 characters")
+    m = relate_matrix(a, b)
+    for want, got in zip(pattern, m):
+        w = want.upper() if want in "tf" else want
+        if w == "*":
+            continue
+        if w == "T":
+            if got == "F":
+                return False
+        elif w == "F":
+            if got != "F":
+                return False
+        elif w in "012":
+            if got != w:
+                return False
+        else:
+            raise ValueError(f"ST_Relate: invalid pattern character {want!r}")
+    return True

@@ -14,12 +14,22 @@ remains the expression-only Column API (functions/geo.py, tiles.py) and
 the grid-bucketed spatial join (operators/spatial.py); these UDFs exist
 so verbatim reference SQL evaluates.
 
-Documented out-of-scope names (raise / unregistered): ST_Relate (DE-9IM
-matrix), ST_Transform (CRS reprojection), ST_VoronoiPolygons,
-ST_Polygonize, ST_TransformXY (lambda argument), geometry_from_hadoop_shape
-(Esri shapefile binary), spatial_partitioning / spatial_partitions (the
-grid-bucketed join is this engine's partitioning story), KML/EWKB codecs,
-Z-coordinate carriers (engine is 2D planar).
+Round 5 closes two former gaps: ST_Relate evaluates the full DE-9IM
+matrix (geomkernel.relate / relate_matrix — witness-set classification,
+GeoFunctions.java:1951 stRelate parity), and ST_Transform /
+ST_TransformXY reproject between EPSG:4326, EPSG:3857 (Web Mercator)
+and the WGS84 UTM zones EPSG:326xx/327xx via the published spherical-
+Mercator and Snyder transverse-Mercator series (GeoFunctions.java:513).
+SRIDs ride the EWKT prefix (``SRID=n;WKT``) that the module already
+uses for spherical geography.
+
+Documented out-of-scope names (raise / unregistered):
+ST_VoronoiPolygons, ST_Polygonize, geometry_from_hadoop_shape (Esri
+shapefile binary), CRS definitions beyond 4326/3857/UTM-WGS84 (a full
+EPSG database is a library, not a function), spatial_partitioning /
+spatial_partitions (the grid-bucketed join is this engine's
+partitioning story), KML/EWKB codecs, Z-coordinate carriers (engine is
+2D planar).
 """
 
 from __future__ import annotations
@@ -35,14 +45,185 @@ from trino_spark.functions import geomkernel as K
 _SPHERE_TAG = "SRID=4326;"
 
 
+def _srid_of(w: str) -> int:
+    if w.startswith("SRID="):
+        head, sep, _ = w.partition(";")
+        if sep:
+            try:
+                return int(head[5:])
+            except ValueError:
+                pass
+    return 0
+
+
+def _strip_srid(w: str) -> str:
+    return w.partition(";")[2] if w.startswith("SRID=") and ";" in w else w
+
+
 def _parse(w):
-    if w.startswith(_SPHERE_TAG):
-        w = w[len(_SPHERE_TAG) :]
-    return K.parse_wkt(w)
+    return K.parse_wkt(_strip_srid(w))
 
 
 def _is_sphere(w):
     return w.startswith(_SPHERE_TAG)
+
+
+# ---------------------------------------------------------- projections
+#
+# ST_Transform/ST_TransformXY (GeoFunctions.java:513): supported CRS =
+# EPSG:4326 (lng/lat degrees), EPSG:3857 (spherical Web Mercator), and
+# the WGS84 UTM zones EPSG:32601-32660 (N) / 32701-32760 (S). Formulas
+# are the published spherical-Mercator equations and Snyder's (1987)
+# transverse-Mercator series — sub-millimeter against proj for 3857 and
+# sub-centimeter in-zone for UTM, plenty for an analytic engine.
+
+_WEB_R = 6378137.0
+_WGS_A = 6378137.0
+_WGS_F = 1.0 / 298.257223563
+_WGS_E2 = _WGS_F * (2.0 - _WGS_F)
+_WGS_EP2 = _WGS_E2 / (1.0 - _WGS_E2)
+_UTM_K0 = 0.9996
+
+
+def _utm_params(srid: int):
+    if 32601 <= srid <= 32660:
+        return (srid - 32600, 0.0)  # zone, false northing
+    if 32701 <= srid <= 32760:
+        return (srid - 32700, 10000000.0)
+    return None
+
+
+def _tm_fwd(lng: float, lat: float, zone: int, fn: float):
+    lat_r, lng_r = math.radians(lat), math.radians(lng)
+    lng0 = math.radians(zone * 6 - 183)
+    sin_l, cos_l, tan_l = math.sin(lat_r), math.cos(lat_r), math.tan(lat_r)
+    n = _WGS_A / math.sqrt(1 - _WGS_E2 * sin_l * sin_l)
+    t = tan_l * tan_l
+    c = _WGS_EP2 * cos_l * cos_l
+    a = cos_l * (lng_r - lng0)
+    e2, e4, e6 = _WGS_E2, _WGS_E2**2, _WGS_E2**3
+    m = _WGS_A * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat_r
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * lat_r)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * lat_r)
+        - (35 * e6 / 3072) * math.sin(6 * lat_r)
+    )
+    x = _UTM_K0 * n * (
+        a
+        + (1 - t + c) * a**3 / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * _WGS_EP2) * a**5 / 120
+    ) + 500000.0
+    y = fn + _UTM_K0 * (
+        m
+        + n
+        * tan_l
+        * (
+            a * a / 2
+            + (5 - t + 9 * c + 4 * c * c) * a**4 / 24
+            + (61 - 58 * t + t * t + 600 * c - 330 * _WGS_EP2) * a**6 / 720
+        )
+    )
+    return x, y
+
+
+def _tm_inv(x: float, y: float, zone: int, fn: float):
+    e2, e4, e6 = _WGS_E2, _WGS_E2**2, _WGS_E2**3
+    x -= 500000.0
+    y -= fn
+    m = y / _UTM_K0
+    mu = m / (_WGS_A * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+        + (151 * e1**3 / 96) * math.sin(6 * mu)
+        + (1097 * e1**4 / 512) * math.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    c1 = _WGS_EP2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = _WGS_A / math.sqrt(1 - e2 * sin1 * sin1)
+    r1 = _WGS_A * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
+    d = x / (n1 * _UTM_K0)
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * _WGS_EP2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * _WGS_EP2 - 3 * c1 * c1)
+        * d**6
+        / 720
+    )
+    lng = math.radians(zone * 6 - 183) + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * _WGS_EP2 + 24 * t1 * t1) * d**5 / 120
+    ) / cos1
+    return math.degrees(lng), math.degrees(lat)
+
+
+def _to_lnglat(srid: int, x: float, y: float):
+    if srid == 4326:
+        return x, y
+    if srid == 3857:
+        lng = math.degrees(x / _WEB_R)
+        lat = math.degrees(2 * math.atan(math.exp(y / _WEB_R)) - math.pi / 2)
+        return lng, lat
+    utm = _utm_params(srid)
+    if utm:
+        return _tm_inv(x, y, *utm)
+    raise ValueError(f"ST_Transform: unsupported SRID {srid} (4326/3857/UTM-WGS84)")
+
+
+def _from_lnglat(srid: int, lng: float, lat: float):
+    if srid == 4326:
+        return lng, lat
+    if srid == 3857:
+        if not -85.06 < lat < 85.06:
+            raise ValueError("ST_Transform: latitude out of Web Mercator range")
+        s = math.sin(math.radians(lat))
+        return (
+            _WEB_R * math.radians(lng),
+            _WEB_R * 0.5 * math.log((1 + s) / (1 - s)),
+        )
+    utm = _utm_params(srid)
+    if utm:
+        return _tm_fwd(lng, lat, *utm)
+    raise ValueError(f"ST_Transform: unsupported SRID {srid} (4326/3857/UTM-WGS84)")
+
+
+def _map_coords(g, fn):
+    gtype, data = g
+    if data is None:
+        return g
+    if gtype == "POINT":
+        return (gtype, fn(data))
+    if gtype in ("LINESTRING", "MULTIPOINT"):
+        return (gtype, [fn(p) for p in data])
+    if gtype in ("POLYGON", "MULTILINESTRING"):
+        return (gtype, [[fn(p) for p in ring] for ring in data])
+    if gtype == "MULTIPOLYGON":
+        return (gtype, [[[fn(p) for p in ring] for ring in poly] for poly in data])
+    return (gtype, [_map_coords(s, fn) for s in data])  # GEOMETRYCOLLECTION
+
+
+def _st_transform(w, target):
+    if w is None or target is None:
+        return None
+    source = _srid_of(w)
+    target = int(target)
+    if source == 0:
+        raise ValueError(
+            "Cannot transform geometry with SRID 0; use ST_SetSRID to set the source SRID"
+        )
+    if target == 0:
+        raise ValueError("targetSrid must be non-zero")
+    g = _parse(w)
+    if source != target and g[1] is not None:
+        def conv(p):
+            lng, lat = _to_lnglat(source, p[0], p[1])
+            return _from_lnglat(target, lng, lat)
+        g = _map_coords(g, conv)
+    return f"SRID={target};" + K.to_wkt(g)
 
 
 def _g1(fn):
@@ -437,6 +618,12 @@ def register_geo_functions(spark: SparkSession) -> None:
     reg("st_touches", _g2(K.touches), "boolean")
     reg("st_crosses", _g2(K.crosses), "boolean")
     reg("st_overlaps", _g2(K.overlaps), "boolean")
+    # DE-9IM pattern relate (GeoFunctions.java:1951; JTS RelateNG parity)
+    reg("st_relate", _g2(K.relate), "boolean")
+    reg("st_relate_matrix", _g2(K.relate_matrix), "string")
+    # CRS reprojection (GeoFunctions.java:513; 4326/3857/UTM-WGS84)
+    reg("st_transform", _st_transform, "string")
+    reg("st_transformxy", _st_transform, "string")  # engine is 2D: same map
 
     # constructive
     reg("st_union", _g2(lambda a, b: K.to_wkt(K.union(a, b))), "string")
@@ -516,10 +703,12 @@ def register_geo_functions(spark: SparkSession) -> None:
 
     # simple transforms
     reg("st_force2d", lambda w: None if w is None else K.to_wkt(_parse(w)), "string")
-    reg("st_srid", lambda w: None if w is None else (4326 if _is_sphere(w) else 0), "int")
+    reg("st_srid", lambda w: None if w is None else _srid_of(w), "int")
     reg(
         "st_setsrid",
-        lambda w, srid: None if w is None or srid is None else ((_SPHERE_TAG if int(srid) == 4326 else "") + K.to_wkt(_parse(w))),
+        lambda w, srid: None
+        if w is None or srid is None
+        else ((f"SRID={int(srid)};" if int(srid) != 0 else "") + K.to_wkt(_parse(w))),
         "string",
     )
     reg(

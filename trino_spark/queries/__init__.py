@@ -52,6 +52,8 @@ def all_specs() -> dict[str, QuerySpec]:
         # admission accounting, previously tests-only components
         "engine_event_listener",
         "server_resource_groups",
+        # round-5 NEW: ST_Relate DE-9IM + ST_Transform CRS closures
+        "geo_relate_transform",
         "http_protocol_roundtrip",
         # never-green TPC-DS, cheapest-first by measured sf0.1 cost
         "tpcds_q84",

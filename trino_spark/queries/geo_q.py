@@ -429,3 +429,62 @@ def geo_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY cell
         """
     )
+
+
+@REG.add(
+    "geo_relate_transform",
+    """
+    WITH pts AS (
+      SELECT n_nationkey AS k,
+             CAST(n_nationkey % 5 AS DOUBLE) AS px,
+             CAST(n_regionkey AS DOUBLE)     AS py,
+             -123.0 + (n_nationkey % 5)      AS lng,
+             30.0 + 2.0 * n_regionkey        AS lat
+      FROM nation
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CASE WHEN px > 1 AND px < 3 AND py > 1 AND py < 3 THEN '0FFFFF212'
+                WHEN px >= 1 AND px <= 3 AND py >= 1 AND py <= 3 THEN 'F0FFFF212'
+                ELSE 'FF0FFF212' END AS de9im,
+           (px > 1 AND px < 3 AND py > 1 AND py < 3) AS is_within,
+           CAST(floor(6378137.0 * lng * pi() / 180.0 / 10.0) AS BIGINT) AS merc_x10,
+           CAST(floor(6378137.0 * 0.5 * ln((1 + sin(lat * pi() / 180.0))
+                                          / (1 - sin(lat * pi() / 180.0))) / 10.0) AS BIGINT)
+             AS merc_y10
+    FROM pts
+    ORDER BY k
+    """,
+)
+def geo_relate_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 geo closures driven end-to-end through TrinoEngine.sql:
+    ST_Relate's DE-9IM matrix (GeoFunctions.java:1951, JTS RelateNG) for
+    point-vs-polygon over integer-derived coordinates, and ST_Transform
+    4326 -> 3857 (GeoFunctions.java:513). The oracle restates the matrix
+    by strict/closed interval arithmetic (interior '0FFFFF212',
+    boundary 'F0FFFF212', exterior 'FF0FFF212') and recomputes the
+    spherical-Mercator forward formula directly; outputs snap to a 10 m
+    grid where every input sits >=15 cm from a boundary (precomputed),
+    so cross-engine double noise (~1e-9 m) cannot flip a floor."""
+    from trino_spark.queries.base import engine_for
+
+    return engine_for(spark, sf).sql(
+        """
+        WITH pts AS (
+          SELECT n_nationkey AS k,
+                 ST_Point(CAST(n_nationkey % 5 AS DOUBLE),
+                          CAST(n_regionkey AS DOUBLE)) AS p,
+                 ST_SetSRID(ST_Point(-123.0 + (n_nationkey % 5),
+                                     30.0 + 2.0 * n_regionkey), 4326) AS gp
+          FROM nation
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               st_relate_matrix(p, ST_GeometryFromText(
+                   'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')) AS de9im,
+               ST_Relate(p, ST_GeometryFromText(
+                   'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'), 'T*F**F***') AS is_within,
+               CAST(floor(ST_X(ST_Transform(gp, 3857)) / 10.0) AS BIGINT) AS merc_x10,
+               CAST(floor(ST_Y(ST_Transform(gp, 3857)) / 10.0) AS BIGINT) AS merc_y10
+        FROM pts
+        ORDER BY k
+        """
+    )
