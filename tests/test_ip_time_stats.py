@@ -80,3 +80,65 @@ def test_wilson_interval_known_value(spark):
     ).collect()[0]
     assert abs(row.lo - 0.309338) < 1e-4
     assert abs(row.hi - 0.498017) < 1e-4
+
+
+class TestTimeWithTimeZone:
+    """TIME WITH TIME ZONE (TimeWithTimeZoneType.java) — round-5 closure
+    of the documented type gap: canonical-varchar SQL carrier
+    (functions/registry.py r5 batch) + codegen struct Column API
+    (functions/timeofday.py)."""
+
+    def test_literal_and_cast(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        r = eng.sql(
+            "SELECT TIME '10:30:00+05:30' AS a,"
+            " CAST('23:59:59.5-08:00' AS TIME WITH TIME ZONE) AS b,"
+            " TIME '10:30:00' AS plain"
+        ).collect()[0]
+        assert r.a == "10:30:00.000+05:30"
+        assert r.b == "23:59:59.500-08:00"
+        import datetime
+
+        assert r.plain == datetime.time(10, 30)  # Spark-native time(6)
+
+    def test_utc_normalization_and_at_time_zone(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        r = eng.sql(
+            "SELECT timetz_to_utc_nanos(TIME '10:30:00+05:30') AS u1,"
+            " timetz_to_utc_nanos(TIME '05:00:00+00:00') AS u2,"
+            " TIME '10:30:00+05:30' AT TIME ZONE '-08:00' AS shifted,"
+            " timetz_hour(TIME '23:45:10.5-03:30') AS h,"
+            " timetz_offset_minutes(TIME '23:45:10.5-03:30') AS o"
+        ).collect()[0]
+        assert r.u1 == r.u2 == 5 * 3600 * 10**9  # same instant
+        assert r.shifted == "21:00:00.000-08:00"  # wraps to previous day
+        assert r.h == 23 and r.o == -210
+
+    def test_offset_range_enforced(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Oo]ffset|[Ii]nvalid"):
+            eng.sql("SELECT timetz('10:00:00+15:00')").collect()
+
+    def test_column_api_struct_roundtrip(self, spark):
+        from trino_spark.functions import timeofday as T
+
+        df = spark.createDataFrame(
+            [("10:30:00.123+05:30",), ("00:15-14:00",)], "s: string"
+        )
+        rows = df.select(
+            T.format_timetz(T.parse_timetz("s")).alias("canon"),
+            T.timetz_utc_nanos(T.parse_timetz("s")).alias("u"),
+            T.format_timetz(T.timetz_at_offset(T.parse_timetz("s"), 345)).alias("ktm"),
+        ).collect()
+        assert rows[0].canon == "10:30:00.123+05:30"
+        assert rows[0].u == 5 * 3600 * 10**9 + 123_000_000
+        assert rows[0].ktm == "10:45:00.123+05:45"
+        assert rows[1].canon == "00:15:00.000-14:00"

@@ -77,10 +77,12 @@ class TrinoEngine:
         from trino_spark.functions.registry import (
             register_sql_functions,
             register_sql_functions_r4,
+            register_sql_functions_r5,
         )
 
         register_sql_functions(spark)
         register_sql_functions_r4(spark)
+        register_sql_functions_r5(spark)
         from trino_spark.functions.sqlagg import register_sql_aggregates
 
         register_sql_aggregates(spark)

@@ -708,9 +708,16 @@ def _rewrite_at_time_zone(toks: list[Tok]) -> list[Tok]:
                     continue
                 expr = render(out[start:]).strip()
                 del out[start:]
-                out.extend(
-                    tokenize(f"convert_timezone('UTC', {toks[z].text}, {expr})")
-                )
+                if expr.lower().startswith("timetz("):
+                    # TIME WITH TIME ZONE AT TIME ZONE '±HH:MM': same
+                    # instant, new fixed offset (scalar/timetz semantics)
+                    out.extend(
+                        tokenize(f"timetz_at_time_zone({toks[z].text}, {expr})")
+                    )
+                else:
+                    out.extend(
+                        tokenize(f"convert_timezone('UTC', {toks[z].text}, {expr})")
+                    )
                 i = z + 1
                 continue
         out.append(t)
@@ -1174,6 +1181,71 @@ _TYPED_LIT = {  # grammar SqlBase.g4 #typeConstructor: <type> 'literal'
 }
 
 
+_TIMETZ_LIT = re.compile(
+    r"^\s*\d{1,2}:\d{2}(?::\d{2})?(?:\.\d{1,9})?\s*[+-]\d{1,2}(?::?\d{2})?\s*$"
+)
+
+
+def _rewrite_timetz(toks: list[Tok]) -> list[Tok]:
+    """TIME WITH TIME ZONE surface (TimeWithTimeZoneType.java):
+
+    * `TIME '10:30:00+05:30'` (offset-bearing literal — a plain TIME
+      literal stays Spark-native time(6)) -> `timetz('...')`, the
+      canonical-varchar carrier registered in functions/registry.py;
+    * `CAST(e AS TIME WITH TIME ZONE)` -> `timetz(CAST(e AS STRING))`.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.is_word("TIME"):
+            j = next_code(toks, i + 1)
+            if j < n and toks[j].kind == "STR" and _TIMETZ_LIT.match(toks[j].text[1:-1]):
+                out.extend(tokenize(f"timetz({toks[j].text})"))
+                i = j + 1
+                continue
+        if t.is_word("AS"):
+            j = next_code(toks, i + 1)
+            k = next_code(toks, j + 1) if j < n else n
+            m = next_code(toks, k + 1) if k < n else n
+            p = next_code(toks, m + 1) if m < n else n
+            if (
+                p < n
+                and toks[j].is_word("TIME")
+                and toks[k].is_word("WITH")
+                and toks[m].is_word("TIME")
+                and toks[p].is_word("ZONE")
+            ):
+                # inside CAST(e AS TIME WITH TIME ZONE): close the cast as
+                # a string and wrap with timetz() — find the matching ')'
+                # and the 'CAST(' opener on the already-emitted side.
+                depth = 0
+                start = len(out) - 1
+                while start >= 0:
+                    if out[start].is_sym(")"):
+                        depth += 1
+                    elif out[start].is_sym("("):
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    start -= 1
+                q = start - 1
+                while q >= 0 and out[q].kind == "WS":
+                    q -= 1
+                if start > 0 and q >= 0 and out[q].is_word("CAST"):
+                    inner = render(out[start + 1 :]).strip()
+                    del out[q:]
+                    out.extend(tokenize(f"timetz(CAST({inner} AS STRING)"))
+                    # the original cast's closing ')' (still ahead in toks)
+                    # now closes timetz(...)
+                    i = p + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_typed_literal(toks: list[Tok]) -> list[Tok]:
     """Typed literals `REAL '1.5'`, `BIGINT '42'`, `JSON '[1]'` ->
     CAST('..' AS t). DATE/TIMESTAMP/TIME/DECIMAL/INTERVAL literals are
@@ -1422,6 +1494,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_qident(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
+    toks = _rewrite_timetz(toks)
     toks = _rewrite_typed_literal(toks)
     toks = _rewrite_row(toks)
     toks = _rewrite_quantified(toks)

@@ -26,6 +26,7 @@ import base64
 import hashlib
 import hmac as _hmac
 import math
+import re
 import unicodedata
 
 from pyspark.sql import SparkSession
@@ -602,3 +603,114 @@ def _format_number_short(v):
     rounded = math.copysign(math.floor(abs(frac) * scale + 0.5) / scale, frac)
     s = f"{rounded:.2f}".rstrip("0").rstrip(".")
     return s + units[p]
+
+
+# ---------------------------------------------- TIME WITH TIME ZONE (r5)
+#
+# Verbatim-SQL carrier for TimeWithTimeZoneType.java: canonical varchar
+# 'HH:MM:SS.fff±HH:MM' (the geometry-as-WKT split — the Column API in
+# functions/timeofday.py is the codegen scale path; these scalars exist
+# so TIME '10:30+05:30' literals and their operators evaluate from SQL
+# text). Offsets are fixed ±HH:MM at minute granularity, -14:00..+14:00
+# as the reference enforces; comparisons key on the UTC-normalized
+# nanos (LongTimeWithTimeZone.compareTo).
+
+_TIMETZ_RE = re.compile(
+    r"^\s*(\d{1,2}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,9}))?"
+    r"\s*(?:([+-])(\d{1,2}):?(\d{2})?)?\s*$"
+)
+_NANOS_MIN = 60_000_000_000
+_NANOS_DAY = 24 * 60 * _NANOS_MIN
+
+
+def _timetz_parts(s):
+    m = _TIMETZ_RE.match(s)
+    if not m:
+        raise ValueError(f"Invalid TIME WITH TIME ZONE literal: {s!r}")
+    hh, mm, ss, frac, sign, ohh, omm = m.groups()
+    if int(hh) > 23 or int(mm) > 59 or (ss and int(ss) > 59):
+        raise ValueError(f"Invalid TIME WITH TIME ZONE literal: {s!r}")
+    nanos = (
+        int(hh) * 60 * _NANOS_MIN
+        + int(mm) * _NANOS_MIN
+        + int(ss or 0) * 1_000_000_000
+        + int((frac or "").ljust(9, "0") or 0)
+    )
+    off = (-1 if sign == "-" else 1) * (int(ohh or 0) * 60 + int(omm or 0))
+    if not -14 * 60 <= off <= 14 * 60:
+        raise ValueError(f"TIME WITH TIME ZONE offset out of range: {s!r}")
+    return nanos, off
+
+
+def _timetz_canon(nanos, off, precision=3):
+    sec, sub = divmod(nanos, 1_000_000_000)
+    hh, rem = divmod(sec, 3600)
+    mm, ss = divmod(rem, 60)
+    base = f"{hh:02d}:{mm:02d}:{ss:02d}"
+    if precision > 0:
+        base += "." + f"{sub:09d}"[:precision]
+    sign = "-" if off < 0 else "+"
+    oa = abs(off)
+    return f"{base}{sign}{oa // 60:02d}:{oa % 60:02d}"
+
+
+def _timetz(s):
+    if s is None:
+        return None
+    return _timetz_canon(*_timetz_parts(str(s)))
+
+
+def _timetz_utc_nanos(s):
+    if s is None:
+        return None
+    nanos, off = _timetz_parts(str(s))
+    return (nanos - off * _NANOS_MIN) % _NANOS_DAY
+
+
+def _parse_offset(z):
+    m = re.match(r"^\s*([+-])(\d{1,2}):?(\d{2})?\s*$", str(z))
+    if not m:
+        raise ValueError(
+            f"TIME WITH TIME ZONE supports fixed offsets only, got {z!r}"
+        )
+    sign, hh, mm = m.groups()
+    off = (-1 if sign == "-" else 1) * (int(hh) * 60 + int(mm or 0))
+    if not -14 * 60 <= off <= 14 * 60:
+        raise ValueError(f"offset out of range: {z!r}")
+    return off
+
+
+def _timetz_at_time_zone(zone, s):
+    if s is None or zone is None:
+        return None
+    nanos, off = _timetz_parts(str(s))
+    target = _parse_offset(zone)
+    local = (nanos - off * _NANOS_MIN + target * _NANOS_MIN) % _NANOS_DAY
+    return _timetz_canon(local, target)
+
+
+def _timetz_field(s, what):
+    if s is None:
+        return None
+    nanos, off = _timetz_parts(str(s))
+    if what == "hour":
+        return nanos // (60 * _NANOS_MIN)
+    if what == "minute":
+        return (nanos // _NANOS_MIN) % 60
+    if what == "second":
+        return (nanos // 1_000_000_000) % 60
+    if what == "millisecond":
+        return (nanos // 1_000_000) % 1000
+    return off  # timezone offset minutes
+
+
+def register_sql_functions_r5(spark: SparkSession) -> None:
+    reg = spark.udf.register
+    reg("timetz", _timetz, "string")
+    reg("timetz_to_utc_nanos", _timetz_utc_nanos, "bigint")
+    reg("timetz_at_time_zone", _timetz_at_time_zone, "string")
+    reg("timetz_hour", lambda s: _timetz_field(s, "hour"), "bigint")
+    reg("timetz_minute", lambda s: _timetz_field(s, "minute"), "bigint")
+    reg("timetz_second", lambda s: _timetz_field(s, "second"), "bigint")
+    reg("timetz_millisecond", lambda s: _timetz_field(s, "millisecond"), "bigint")
+    reg("timetz_offset_minutes", lambda s: _timetz_field(s, "offset"), "bigint")

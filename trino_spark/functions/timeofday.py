@@ -77,3 +77,93 @@ def time_add(nanos: Column | str, delta_nanos: Column | int) -> Column:
     Trino's TIME arithmetic semantics (scalar/time/ interval ops)."""
     d = F.lit(delta_nanos) if isinstance(delta_nanos, int) else _c(delta_nanos)
     return F.pmod(_c(nanos) + d, F.lit(NANOS_PER_DAY)).cast("long")
+
+
+# ------------------------------------------------- TIME WITH TIME ZONE
+#
+# Reference: core/trino-spi/.../type/TimeWithTimeZoneType.java — a
+# time-of-day plus a FIXED UTC offset (-14:00..+14:00, minute
+# granularity). Spark 4.1's native time(6) has no zoned variant, so the
+# documented policy is a struct<nanos: bigint, offset_minutes: int>
+# carrier on the Column API (all codegen expressions below) and a
+# canonical varchar 'HH:MM:SS.fff+HH:MM' on the verbatim-SQL surface
+# (functions/registry.py), mirroring the geometry-as-WKT split.
+# Comparisons/equality use the UTC-normalized instant (epochNanos in
+# the reference's LongTimeWithTimeZone.compareTo).
+
+_TZ_RE = (
+    r"^\s*(\d{1,2}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,9}))?"
+    r"\s*(?:([+-])(\d{1,2}):?(\d{2})?)?\s*$"
+)
+
+
+def parse_timetz(s: Column | str) -> Column:
+    """'HH:MM[:SS[.frac]][±HH[:MM]]' -> struct(nanos bigint,
+    offset_minutes int); missing offset reads +00:00 (UTC literal)."""
+    c = _c(s)
+
+    def grp(i: int) -> Column:
+        return F.regexp_extract(c, _TZ_RE, i)
+
+    frac = F.rpad(grp(4), 9, "0")
+    nanos = (
+        grp(1).cast("long") * F.lit(NANOS_PER_HOUR)
+        + grp(2).cast("long") * F.lit(NANOS_PER_MINUTE)
+        + F.coalesce(F.nullif(grp(3), F.lit("")), F.lit("0")).cast("long")
+        * F.lit(NANOS_PER_SECOND)
+        + F.coalesce(F.nullif(frac, F.lit("")), F.lit("0")).cast("long")
+    )
+    off = (
+        F.when(grp(5) == "-", F.lit(-1)).otherwise(F.lit(1))
+        * (
+            F.coalesce(F.nullif(grp(6), F.lit("")), F.lit("0")).cast("int") * 60
+            + F.coalesce(F.nullif(grp(7), F.lit("")), F.lit("0")).cast("int")
+        )
+    )
+    return F.when(
+        grp(1) == "", F.lit(None).cast("struct<nanos:bigint,offset_minutes:int>")
+    ).otherwise(F.struct(nanos.alias("nanos"), off.alias("offset_minutes")))
+
+
+def timetz_utc_nanos(t: Column | str) -> Column:
+    """UTC-normalized nanos-of-day — the comparison/equality key
+    (LongTimeWithTimeZone ordering), wrapping across midnight."""
+    c = _c(t)
+    return F.pmod(
+        c["nanos"] - c["offset_minutes"].cast("long") * F.lit(NANOS_PER_MINUTE),
+        F.lit(NANOS_PER_DAY),
+    ).cast("long")
+
+
+def timetz_at_offset(t: Column | str, offset_minutes: Column | int) -> Column:
+    """Same instant, new fixed offset — `TIME WTZ AT TIME ZONE '±HH:MM'`
+    (scalar/timetz/AtTimeZone.java semantics)."""
+    om = (
+        F.lit(offset_minutes)
+        if isinstance(offset_minutes, int)
+        else _c(offset_minutes)
+    )
+    c = _c(t)
+    local = F.pmod(
+        timetz_utc_nanos(c) + om.cast("long") * F.lit(NANOS_PER_MINUTE),
+        F.lit(NANOS_PER_DAY),
+    )
+    return F.struct(
+        local.cast("long").alias("nanos"), om.cast("int").alias("offset_minutes")
+    )
+
+
+def format_timetz(t: Column | str, precision: int = 3) -> Column:
+    """struct -> canonical 'HH:MM:SS[.fff]±HH:MM' (the reference's
+    TIME(p) WITH TIME ZONE cast-to-varchar shape)."""
+    c = _c(t)
+    om = c["offset_minutes"]
+    sign = F.when(om < 0, F.lit("-")).otherwise(F.lit("+"))
+    oa = F.abs(om)
+    off = F.concat(
+        sign,
+        F.lpad(F.floor(oa / 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((oa % 60).cast("string"), 2, "0"),
+    )
+    return F.concat(format_time(c["nanos"], precision), off)

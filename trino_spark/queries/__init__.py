@@ -52,8 +52,10 @@ def all_specs() -> dict[str, QuerySpec]:
         # admission accounting, previously tests-only components
         "engine_event_listener",
         "server_resource_groups",
-        # round-5 NEW: ST_Relate DE-9IM + ST_Transform CRS closures
+        # round-5 NEW: ST_Relate DE-9IM + ST_Transform CRS closures,
+        # TIME WITH TIME ZONE carrier
         "geo_relate_transform",
+        "dialect_timetz",
         "http_protocol_roundtrip",
         # never-green TPC-DS, cheapest-first by measured sf0.1 cost
         "tpcds_q84",

@@ -576,3 +576,70 @@ def dialect_json_table(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY user_id, seq
         """
     )
+
+
+@REG.add(
+    "dialect_timetz",
+    """
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             6 + (n_nationkey % 12)            AS hh,
+             (n_nationkey % 4) * 15            AS mi,
+             CAST((n_nationkey % 5) * 30 - 60 AS INTEGER) AS offm
+      FROM nation
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           printf('%02d:%02d:00.000%s%02d:%02d', hh, mi,
+                  CASE WHEN offm < 0 THEN '-' ELSE '+' END,
+                  abs(offm) // 60, abs(offm) % 60)                    AS canon,
+           CAST((CAST(hh * 3600 + mi * 60 AS BIGINT) * 1000000000
+                 - offm * CAST(60000000000 AS BIGINT)
+                 + 86400 * CAST(1000000000 AS BIGINT) * 2)
+                % (86400 * CAST(1000000000 AS BIGINT)) AS BIGINT)     AS utc_nanos,
+           printf('%02d:%02d:00.000+05:45',
+                  ((hh * 3600 + mi * 60
+                    - offm * 60 + 5 * 3600 + 45 * 60 + 2 * 86400) % 86400) // 3600,
+                  (((hh * 3600 + mi * 60
+                    - offm * 60 + 5 * 3600 + 45 * 60 + 2 * 86400) % 86400) % 3600) // 60)
+                                                                      AS in_kathmandu,
+           CAST(hh AS BIGINT) AS hour_field
+    FROM t
+    ORDER BY k
+    """,
+)
+def dialect_timetz(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME WITH TIME ZONE (TimeWithTimeZoneType.java; round-5 closure of
+    the documented type gap): offset-bearing TIME literals, CAST from
+    varchar, UTC-normalized comparison key, AT TIME ZONE re-offsetting,
+    and field extraction — all through TrinoEngine.sql on the canonical
+    varchar carrier. (`AT TIME ZONE` binds to the timetz carrier for
+    inline TIME '...' literals; a COLUMN of the carrier type uses the
+    explicit timetz_at_time_zone spelling — the token rewriter cannot
+    type-infer columns, same documented split as the WKT geometry
+    carrier.) The oracle restates every value with integer
+    arithmetic and printf (offsets are multiples of 15 minutes, so all
+    values are exact)."""
+    from trino_spark.queries.base import engine_for
+
+    return engine_for(spark, sf).sql(
+        """
+        WITH t AS (
+          SELECT n_nationkey AS k,
+                 CAST(concat(
+                   lpad(CAST(6 + (n_nationkey % 12) AS VARCHAR), 2, '0'), ':',
+                   lpad(CAST((n_nationkey % 4) * 15 AS VARCHAR), 2, '0'), ':00',
+                   CASE WHEN (n_nationkey % 5) * 30 - 60 < 0 THEN '-' ELSE '+' END,
+                   lpad(CAST(CAST(floor(abs((n_nationkey % 5) * 30 - 60) / 60) AS INTEGER) AS VARCHAR), 2, '0'), ':',
+                   lpad(CAST(abs((n_nationkey % 5) * 30 - 60) % 60 AS VARCHAR), 2, '0')
+                 ) AS TIME WITH TIME ZONE) AS tv
+          FROM nation
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               tv AS canon,
+               timetz_to_utc_nanos(tv) AS utc_nanos,
+               timetz_at_time_zone('+05:45', tv) AS in_kathmandu,
+               timetz_hour(tv) AS hour_field
+        FROM t
+        ORDER BY k
+        """
+    )
