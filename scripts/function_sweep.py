@@ -240,6 +240,8 @@ SCALAR_CASES = {
     "ST_Equals": "ST_Equals(ST_Point(1, 1), ST_Point(1, 1))",
     "ST_Touches": "ST_Touches(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'))",
     "ST_Relate": "ST_Relate(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'), 'F0FFFF102')",
+    "ST_Polygonize": "ST_Polygonize(ARRAY[ST_LineFromText('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')])",
+    "ST_VoronoiPolygons": "ST_VoronoiPolygons(ST_GeometryFromText('MULTIPOINT ((0 0), (2 0))'))",
     "ST_Transform": "ST_Transform(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 3857)",
     "ST_TransformXY": "ST_TransformXY(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 32610)",
     "ST_Crosses": "ST_Crosses(ST_LineFromText('LINESTRING (-1 2, 5 2)'), ST_Polygon('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))",
@@ -365,8 +367,6 @@ ABSENT = {
     "spooky_hash_v2_64": "same as spooky_hash_v2_32",
     "theta_sketch_cardinality": "Apache DataSketches binary interop (reads sketches produced elsewhere)",
     "theta_sketch_union": "Apache DataSketches binary interop",
-    "ST_VoronoiPolygons": "Voronoi tessellation out of kernel scope",
-    "ST_Polygonize": "noding/polygonization out of kernel scope",
     "ST_LineLocatePoint": "superseded by line_locate_point",
     "ST_GeomFromKML": "KML codec out of scope",
     "ST_GeomFromEWKT": "EWKB/EWKT codecs out of scope (WKT + SRID tag instead)",

@@ -313,3 +313,89 @@ class TestTransformCRS:
     def test_setsrid_srid_roundtrip(self, eng):
         assert _one(eng, "SELECT ST_SRID(ST_SetSRID(ST_Point(1, 2), 32610))") == 32610
         assert _one(eng, "SELECT ST_SRID(ST_Point(1, 2))") == 0
+
+
+class TestPolygonizeVoronoi:
+    """ST_Polygonize / ST_VoronoiPolygons (docs geospatial.md; JTS
+    Polygonizer / VoronoiDiagramBuilder roles) — round-5 closures."""
+
+    def test_polygonize_square(self, eng):
+        out = _one(
+            eng,
+            "SELECT ST_Polygonize(ARRAY[ST_LineFromText('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')])",
+        )
+        assert out.startswith("POLYGON")
+
+    def test_polygonize_grid_and_nulls(self, eng):
+        out = _one(
+            eng,
+            "SELECT ST_Polygonize(ARRAY["
+            "ST_LineFromText('LINESTRING (0 0, 2 0)'), NULL,"
+            "ST_LineFromText('LINESTRING (0 1, 2 1)'),"
+            "ST_LineFromText('LINESTRING (0 2, 2 2)'),"
+            "ST_LineFromText('LINESTRING (0 0, 0 2)'),"
+            "ST_LineFromText('LINESTRING (1 0, 1 2)'),"
+            "ST_LineFromText('LINESTRING (2 0, 2 2)')])",
+        )
+        from trino_spark.functions import geomkernel as K
+
+        g = K.parse_wkt(out)
+        assert g[0] == "MULTIPOLYGON" and len(g[1]) == 4
+        assert abs(K.area(g) - 4.0) < 1e-9  # cells tile the 2x2 square
+
+    def test_polygonize_concentric_holes(self, eng):
+        out = _one(
+            eng,
+            "SELECT ST_Polygonize(ARRAY["
+            "ST_LineFromText('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'),"
+            "ST_LineFromText('LINESTRING (1 1, 3 1, 3 3, 1 3, 1 1)')])",
+        )
+        from trino_spark.functions import geomkernel as K
+
+        g = K.parse_wkt(out)
+        # JTS shape: the annulus (shell with hole) AND the inner square
+        areas = sorted(K.area(("POLYGON", poly)) for poly in g[1])
+        assert areas == [4.0, 12.0]
+
+    def test_voronoi_properties(self, eng):
+        """Site-in-cell + tiling: the defining properties of the diagram
+        (robust to clip-envelope policy differences vs JTS)."""
+        import random
+
+        from trino_spark.functions import geomkernel as K
+
+        rnd = random.Random(55)
+        sites = [(rnd.uniform(0, 10), rnd.uniform(0, 10)) for _ in range(12)]
+        g = ("MULTIPOINT", sites)
+        vc = K.voronoi_polygons(g)
+        assert len(vc[1]) == len(sites)
+        total = 0.0
+        for site, cell in zip(sites, vc[1]):
+            assert K._point_in_polygon(site, cell[1]) in ("in", "on")
+            total += K.area(cell)
+        xs, ys = [s[0] for s in sites], [s[1] for s in sites]
+        m = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+        env_area = (max(xs) - min(xs) + 2 * m) * (max(ys) - min(ys) + 2 * m)
+        assert abs(total - env_area) < 1e-6 * env_area  # cells tile the clip env
+        # nearest-site property on random probes
+        for _ in range(200):
+            p = (rnd.uniform(min(xs), max(xs)), rnd.uniform(min(ys), max(ys)))
+            best = min(range(len(sites)), key=lambda i: (p[0] - sites[i][0]) ** 2 + (p[1] - sites[i][1]) ** 2)
+            inside = [i for i, cell in enumerate(vc[1]) if K._point_in_polygon(p, cell[1]) == "in"]
+            if inside:  # probes on cell borders legitimately match none
+                assert inside == [best]
+
+    def test_voronoi_tolerance_and_errors(self, eng):
+        out = _one(
+            eng,
+            "SELECT ST_VoronoiPolygons(ST_GeometryFromText('MULTIPOINT ((0 0), (2 0), (0.1 0))'), 0.5)",
+        )
+        from trino_spark.functions import geomkernel as K
+
+        assert len(K.parse_wkt(out)[1]) == 2  # (0.1 0) snapped into (0 0)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="tolerance"):
+            eng.sql(
+                "SELECT ST_VoronoiPolygons(ST_GeometryFromText('MULTIPOINT ((0 0), (2 0))'), -1.0)"
+            ).collect()

@@ -1558,3 +1558,193 @@ def relate(a, b, pattern: str) -> bool:
         else:
             raise ValueError(f"ST_Relate: invalid pattern character {want!r}")
     return True
+
+
+# ----------------------------------------- polygonize / voronoi (r5)
+#
+# ST_Polygonize (docs geospatial.md; JTS Polygonizer role): node the
+# input linework, walk the planar graph's faces, emit every bounded
+# face as a polygon; negative (clockwise) cycles other than the global
+# outer boundary become holes of the smallest containing shell —
+# concentric rings yield both the ring-with-hole and the inner polygon,
+# matching the JTS behavior. ST_VoronoiPolygons (JTS
+# VoronoiDiagramBuilder role): each site's cell is the intersection of
+# its dominance half-planes, clipped to the site envelope expanded by
+# the larger envelope dimension (the builder's enlarged clip envelope
+# policy; exact JTS clip margins are library-internal, so the envelope
+# policy is documented here instead). Both are per-row scalar kernels —
+# the distributed path for coverage/tessellation work remains the
+# grid-bucketed operators.
+
+
+def _snap9(v: float) -> float:
+    return round(v, 9)
+
+
+def polygonize(geoms):
+    """Form polygons from noded linework. Input: iterable of parsed
+    geometries (NULLs already dropped by the SQL wrapper)."""
+    raw = []
+    for g in geoms:
+        if g is None or g[1] is None:
+            continue
+        raw.extend(_segments_of(g))
+    # node: split every segment at its intersections with every other
+    segs = set()
+    for i, (a, b) in enumerate(raw):
+        cuts = {0.0, 1.0}
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        l2 = dx * dx + dy * dy
+        if l2 < _EPS**2:
+            continue
+        for j, (c, d) in enumerate(raw):
+            if i == j:
+                continue
+            for q in _seg_intersection(a, b, c, d):
+                t = ((q[0] - a[0]) * dx + (q[1] - a[1]) * dy) / l2
+                if -1e-12 < t < 1 + 1e-12:
+                    cuts.add(min(1.0, max(0.0, t)))
+        ts = sorted(cuts)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 < 1e-12:
+                continue
+            p = (_snap9(a[0] + dx * t0), _snap9(a[1] + dy * t0))
+            q = (_snap9(a[0] + dx * t1), _snap9(a[1] + dy * t1))
+            if p != q:
+                segs.add((p, q) if p < q else (q, p))
+    if not segs:
+        return ("GEOMETRYCOLLECTION", [])
+    # directed half-edge structure with angular ordering at each node
+    out_edges: dict = {}
+    for p, q in segs:
+        out_edges.setdefault(p, []).append(q)
+        out_edges.setdefault(q, []).append(p)
+    for p, nbrs in out_edges.items():
+        nbrs.sort(key=lambda q: math.atan2(q[1] - p[1], q[0] - p[0]))
+    visited = set()
+    cycles = []
+    for a, b in segs:
+        for start in ((a, b), (b, a)):
+            if start in visited:
+                continue
+            cycle = []
+            u, v = start
+            while (u, v) not in visited:
+                visited.add((u, v))
+                cycle.append(u)
+                # arrive at v from u: next edge is the clockwise-next
+                # neighbor after the reverse direction (standard planar
+                # face traversal)
+                nbrs = out_edges[v]
+                back = math.atan2(u[1] - v[1], u[0] - v[0])
+                best = None
+                for w in nbrs:
+                    ang = math.atan2(w[1] - v[1], w[0] - v[0])
+                    delta = (back - ang) % (2 * math.pi)
+                    if delta < 1e-12:
+                        delta = 2 * math.pi  # the reverse edge itself: last resort
+                    if best is None or delta < best[0]:
+                        best = (delta, w)
+                u, v = v, best[1]
+            cycle.append(cycle[0])
+            if len(cycle) >= 4:
+                cycles.append(cycle)
+    shells = [c for c in cycles if ring_area(c) > _EPS**2]
+    holes = [c for c in cycles if ring_area(c) < -(_EPS**2)]
+    if holes:
+        # drop the global outer boundary (largest negative cycle)
+        holes.sort(key=lambda c: ring_area(c))
+        holes = holes[1:]
+    def _ring_key(c):
+        return frozenset((_snap9(x), _snap9(y)) for x, y in c)
+
+    polys = []
+    for sh in sorted(shells, key=ring_area):
+        rings = [sh]
+        sh_key = _ring_key(sh)
+        for h in holes:
+            if _ring_key(h) == sh_key:
+                continue  # a face cannot be punctured by its own ring
+            ip = _interior_point([list(reversed(h))])
+            if ip is not None and _point_in_ring(ip, sh) == "in" and abs(
+                ring_area(h)
+            ) < ring_area(sh) - _EPS**2:
+                # assign to the SMALLEST properly-containing shell only
+                # (shells equal to the hole ring do not count — the hole
+                # punctures the face AROUND that shell, not the shell)
+                h_key = _ring_key(h)
+                smaller = any(
+                    s is not sh
+                    and _ring_key(s) != h_key
+                    and ring_area(s) < ring_area(sh)
+                    and _point_in_ring(ip, s) == "in"
+                    for s in shells
+                )
+                if not smaller:
+                    rings.append(list(reversed(h)))
+        polys.append(rings)
+    if not polys:
+        return ("GEOMETRYCOLLECTION", [])
+    if len(polys) == 1:
+        return ("POLYGON", polys[0])
+    return ("MULTIPOLYGON", polys)
+
+
+def _clip_halfplane(cell, p, q):
+    """Sutherland-Hodgman clip of convex `cell` (point list, open) to the
+    half-plane of points at least as близко to p as to q: the dominance
+    region {x : |x-p|^2 <= |x-q|^2}, whose boundary is the perpendicular
+    bisector of pq."""
+    # inside(x) <=> 2*(q-p)·x <= |q|^2 - |p|^2
+    ax = 2 * (q[0] - p[0])
+    ay = 2 * (q[1] - p[1])
+    b = q[0] * q[0] + q[1] * q[1] - p[0] * p[0] - p[1] * p[1]
+
+    def val(x):
+        return ax * x[0] + ay * x[1] - b
+
+    out = []
+    n = len(cell)
+    for i in range(n):
+        cur, nxt = cell[i], cell[(i + 1) % n]
+        vc, vn = val(cur), val(nxt)
+        if vc <= 1e-12:
+            out.append(cur)
+        if (vc < -1e-12 < vn) or (vn < -1e-12 < vc):
+            t = vc / (vc - vn)
+            out.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+    return out
+
+
+def voronoi_polygons(g, tolerance: float = 0.0):
+    """Voronoi cells of g's vertices, as a GEOMETRYCOLLECTION of
+    polygons in site order (deduped within `tolerance`)."""
+    if tolerance < 0 or not math.isfinite(tolerance):
+        raise ValueError("ST_VoronoiPolygons: tolerance must be finite and non-negative")
+    pts = _points_of(g)
+    sites = []
+    tol = max(tolerance, 1e-9)
+    for p in pts:
+        if not any((p[0] - s[0]) ** 2 + (p[1] - s[1]) ** 2 <= tol * tol for s in sites):
+            sites.append(p)
+    if len(sites) < 2:
+        return ("GEOMETRYCOLLECTION", [])
+    xs, ys = [s[0] for s in sites], [s[1] for s in sites]
+    w, h = max(xs) - min(xs), max(ys) - min(ys)
+    m = max(w, h, 1.0)  # enlarged clip envelope (documented policy)
+    x0, x1 = min(xs) - m, max(xs) + m
+    y0, y1 = min(ys) - m, max(ys) + m
+    cells = []
+    for p in sites:
+        cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        for q in sites:
+            if q is p:
+                continue
+            cell = _clip_halfplane(cell, p, q)
+            if len(cell) < 3:
+                break
+        if len(cell) >= 3:
+            ring = [(_snap9(x), _snap9(y)) for x, y in cell]
+            ring.append(ring[0])
+            cells.append(("POLYGON", [ring]))
+    return ("GEOMETRYCOLLECTION", cells)

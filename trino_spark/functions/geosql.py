@@ -23,9 +23,12 @@ Mercator and Snyder transverse-Mercator series (GeoFunctions.java:513).
 SRIDs ride the EWKT prefix (``SRID=n;WKT``) that the module already
 uses for spherical geography.
 
+Round 5 also adds ST_Polygonize (planar face walk over noded linework,
+JTS Polygonizer role) and ST_VoronoiPolygons (dominance half-plane
+cells, JTS VoronoiDiagramBuilder role) — see geomkernel.py.
+
 Documented out-of-scope names (raise / unregistered):
-ST_VoronoiPolygons, ST_Polygonize, geometry_from_hadoop_shape (Esri
-shapefile binary), CRS definitions beyond 4326/3857/UTM-WGS84 (a full
+geometry_from_hadoop_shape (Esri shapefile binary), CRS definitions beyond 4326/3857/UTM-WGS84 (a full
 EPSG database is a library, not a function), spatial_partitioning /
 spatial_partitions (the grid-bucketed join is this engine's
 partitioning story), KML/EWKB codecs, Z-coordinate carriers (engine is
@@ -621,6 +624,22 @@ def register_geo_functions(spark: SparkSession) -> None:
     # DE-9IM pattern relate (GeoFunctions.java:1951; JTS RelateNG parity)
     reg("st_relate", _g2(K.relate), "boolean")
     reg("st_relate_matrix", _g2(K.relate_matrix), "string")
+    # linework polygonization + Voronoi tessellation (docs geospatial.md;
+    # JTS Polygonizer / VoronoiDiagramBuilder roles)
+    reg(
+        "st_polygonize",
+        lambda arr: None
+        if arr is None
+        else K.to_wkt(K.polygonize(_parse(w) for w in arr if w is not None)),
+        "string",
+    )
+    reg(
+        "st_voronoipolygons",
+        lambda w, tol=0.0: None
+        if w is None or tol is None
+        else K.to_wkt(K.voronoi_polygons(_parse(w), float(tol))),
+        "string",
+    )
     # CRS reprojection (GeoFunctions.java:513; 4326/3857/UTM-WGS84)
     reg("st_transform", _st_transform, "string")
     reg("st_transformxy", _st_transform, "string")  # engine is 2D: same map
