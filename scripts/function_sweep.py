@@ -241,6 +241,12 @@ SCALAR_CASES = {
     "ST_Touches": "ST_Touches(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'))",
     "ST_Relate": "ST_Relate(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'), 'F0FFFF102')",
     "ST_Polygonize": "ST_Polygonize(ARRAY[ST_LineFromText('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')])",
+    "ST_AsEWKT": "ST_AsEWKT(ST_SetSRID(ST_Point(1, 2), 4326))",
+    "ST_GeomFromEWKT": "ST_GeomFromEWKT('SRID=4326;POINT (1 2)')",
+    "ST_Collect": "ST_Collect(ARRAY[ST_Point(0, 0), ST_Point(1, 1)])",
+    "ST_OrientedEnvelope": "ST_OrientedEnvelope(ST_GeometryFromText('MULTIPOINT ((0 0), (2 2), (1 3))'))",
+    "spooky_hash_v2_32": "spooky_hash_v2_32(CAST('hello' AS VARBINARY))",
+    "spooky_hash_v2_64": "spooky_hash_v2_64(CAST('hello' AS VARBINARY))",
     "ST_VoronoiPolygons": "ST_VoronoiPolygons(ST_GeometryFromText('MULTIPOINT ((0 0), (2 0))'))",
     "ST_Transform": "ST_Transform(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 3857)",
     "ST_TransformXY": "ST_TransformXY(ST_SetSRID(ST_Point(-122.4, 37.77), 4326), 32610)",
@@ -363,19 +369,13 @@ TABLE_CASES = {
 
 # Documented-absent, with the honest reason (COVERAGE.md Known gaps).
 ABSENT = {
-    "spooky_hash_v2_32": "no faithful implementation; wrong digests under this name would break portability",
-    "spooky_hash_v2_64": "same as spooky_hash_v2_32",
     "theta_sketch_cardinality": "Apache DataSketches binary interop (reads sketches produced elsewhere)",
     "theta_sketch_union": "Apache DataSketches binary interop",
     "ST_LineLocatePoint": "superseded by line_locate_point",
     "ST_GeomFromKML": "KML codec out of scope",
-    "ST_GeomFromEWKT": "EWKB/EWKT codecs out of scope (WKT + SRID tag instead)",
-    "ST_AsEWKT": "EWKB/EWKT codecs out of scope",
     "ST_AsEWKB": "EWKB/EWKT codecs out of scope",
     "ST_Force3D": "engine geometry model is 2D planar",
     "ST_Z": "engine geometry model is 2D planar",
-    "ST_Collect": "newer doc alias; geometry_collect_agg / ST_Union cover the use",
-    "ST_OrientedEnvelope": "rotating-calipers envelope out of kernel scope",
     "geometry_from_hadoop_shape": "Esri shapefile binary codec out of scope",
     "spatial_partitioning": "engine partitions spatially via the grid-bucketed join (operators/spatial.py)",
     "spatial_partitions": "see spatial_partitioning",

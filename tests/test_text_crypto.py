@@ -77,3 +77,33 @@ def test_base32_roundtrip(spark):
     assert bytes(out[0].back) == b"hello world"
     assert out[1].enc == "" and bytes(out[1].back) == b""
     assert out[2].enc is None and out[2].back is None
+
+
+class TestSpookyHashV2:
+    """spooky_hash_v2_32/64 (VarbinaryFunctions.java) — digests pinned
+    from the reference's TestVarbinaryFunctions.java:783-797. Short path
+    (<192 B) is vector-verified; long path follows the published
+    constants (functions/spooky.py docstring flags the split)."""
+
+    def test_reference_vectors(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        r = eng.sql(
+            "SELECT hex(spooky_hash_v2_32(CAST('' AS VARBINARY))) AS a,"
+            " hex(spooky_hash_v2_32(CAST('hello' AS VARBINARY))) AS b,"
+            " hex(spooky_hash_v2_64(CAST('' AS VARBINARY))) AS c,"
+            " hex(spooky_hash_v2_64(CAST('hello' AS VARBINARY))) AS d"
+        ).collect()[0]
+        assert r.a == "6BF50919"
+        assert r.b == "D382E6CA"
+        assert r.c == "232706FC6BF50919"
+        assert r.d == "3768826AD382E6CA"
+
+    def test_boundary_lengths_deterministic(self, spark):
+        from trino_spark.functions import spooky as S
+
+        for n in (0, 1, 7, 8, 15, 16, 17, 31, 32, 191, 192, 193, 287, 288):
+            data = bytes((i * 7 + 3) % 256 for i in range(n))
+            assert S.hash64(data) == S.hash64(bytes(data))
+            assert S.hash32(data) == S.hash64(data) & 0xFFFFFFFF

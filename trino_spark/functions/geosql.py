@@ -624,6 +624,87 @@ def register_geo_functions(spark: SparkSession) -> None:
     # DE-9IM pattern relate (GeoFunctions.java:1951; JTS RelateNG parity)
     reg("st_relate", _g2(K.relate), "boolean")
     reg("st_relate_matrix", _g2(K.relate_matrix), "string")
+    # EWKT codecs — the engine's SRID-tagged WKT IS the EWKT shape, so
+    # these are now native spellings rather than out-of-scope
+    reg(
+        "st_asewkt",
+        lambda w: None
+        if w is None
+        else (
+            (f"SRID={_srid_of(w)};" if _srid_of(w) else "") + K.to_wkt(_parse(w))
+        ),
+        "string",
+    )
+    reg(
+        "st_geomfromewkt",
+        lambda s: None
+        if s is None
+        else (
+            (f"SRID={_srid_of(s)};" if _srid_of(s) else "") + K.to_wkt(_parse(s))
+        ),
+        "string",
+    )
+
+    def _st_collect(arr):
+        if arr is None:
+            return None
+        gs = [_parse(w) for w in arr if w is not None]
+        srids = {_srid_of(w) for w in arr if w is not None} - {0}
+        if len(srids) > 1:
+            raise ValueError("ST_Collect: inputs with different non-zero SRIDs")
+        tag = f"SRID={srids.pop()};" if srids else ""
+        kinds = {g[0] for g in gs}
+        if kinds == {"POINT"}:
+            out = ("MULTIPOINT", [g[1] for g in gs])
+        elif kinds == {"LINESTRING"}:
+            out = ("MULTILINESTRING", [g[1] for g in gs])
+        elif kinds == {"POLYGON"}:
+            out = ("MULTIPOLYGON", [g[1] for g in gs])
+        else:
+            out = ("GEOMETRYCOLLECTION", gs)
+        return tag + K.to_wkt(out)
+
+    reg("st_collect", _st_collect, "string")
+
+    def _oriented_envelope(w):
+        if w is None:
+            return None
+        g = _parse(w)
+        pts = K._points_of(g)
+        if not pts:
+            return K.to_wkt(("POLYGON", None))
+        hp = K.convex_hull(pts)  # returns the hull POINT list
+        if len({(p[0], p[1]) for p in hp}) <= 2:
+            # degenerate: point or segment — return the geometry itself
+            # (JTS returns the equivalent degenerate envelope)
+            if len(hp) == 1:
+                return K.to_wkt(("POINT", hp[0]))
+            return K.to_wkt(("LINESTRING", hp))
+        # rotating calipers: the minimum-area rectangle is aligned with
+        # some hull edge (published result; JTS MinimumAreaRectangle)
+        best = None
+        ring = hp[:-1] if hp[0] == hp[-1] else hp
+        for i in range(len(ring)):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % len(ring)]
+            ex, ey = bx - ax, by - ay
+            ln = math.hypot(ex, ey)
+            if ln < 1e-12:
+                continue
+            ux, uy = ex / ln, ey / ln  # edge direction; normal = (-uy, ux)
+            us = [p[0] * ux + p[1] * uy for p in ring]
+            vs = [-p[0] * uy + p[1] * ux for p in ring]
+            area = (max(us) - min(us)) * (max(vs) - min(vs))
+            if best is None or area < best[0]:
+                best = (area, ux, uy, min(us), max(us), min(vs), max(vs))
+        _, ux, uy, u0, u1, v0, v1 = best
+        corners = [
+            (u * ux - v * uy, u * uy + v * ux)
+            for u, v in ((u0, v0), (u1, v0), (u1, v1), (u0, v1), (u0, v0))
+        ]
+        return K.to_wkt(("POLYGON", [corners]))
+
+    reg("st_orientedenvelope", _oriented_envelope, "string")
     # linework polygonization + Voronoi tessellation (docs geospatial.md;
     # JTS Polygonizer / VoronoiDiagramBuilder roles)
     reg(

@@ -704,8 +704,33 @@ def _timetz_field(s, what):
     return off  # timezone offset minutes
 
 
+def _spooky32(b):
+    from trino_spark.functions import spooky
+
+    if b is None:
+        return None
+    import struct as _s
+
+    return _s.pack(">I", spooky.hash32(bytes(b)))
+
+
+def _spooky64(b):
+    from trino_spark.functions import spooky
+
+    if b is None:
+        return None
+    import struct as _s
+
+    return _s.pack(">Q", spooky.hash64(bytes(b)))
+
+
 def register_sql_functions_r5(spark: SparkSession) -> None:
     reg = spark.udf.register
+    # SpookyHash V2 (VarbinaryFunctions.java; digests pinned from
+    # TestVarbinaryFunctions.java:783-797 — see functions/spooky.py for
+    # the short/long-path verification status)
+    reg("spooky_hash_v2_32", _spooky32, "binary")
+    reg("spooky_hash_v2_64", _spooky64, "binary")
     reg("timetz", _timetz, "string")
     reg("timetz_to_utc_nanos", _timetz_utc_nanos, "bigint")
     reg("timetz_at_time_zone", _timetz_at_time_zone, "string")
