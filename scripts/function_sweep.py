@@ -242,6 +242,9 @@ SCALAR_CASES = {
     "ST_Relate": "ST_Relate(ST_Point(0, 0), ST_LineFromText('LINESTRING (0 0, 1 1)'), 'F0FFFF102')",
     "ST_Polygonize": "ST_Polygonize(ARRAY[ST_LineFromText('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')])",
     "ST_AsEWKT": "ST_AsEWKT(ST_SetSRID(ST_Point(1, 2), 4326))",
+    "ST_AsEWKB": "length(ST_AsEWKB(ST_SetSRID(ST_Point(1, 2), 4326)))",
+    "ST_GeomFromKML": "ST_GeomFromKML('<Point><coordinates>1,2</coordinates></Point>')",
+    "geometry_from_hadoop_shape": "geometry_from_hadoop_shape(from_hex('000000000101000000000000000000F03F0000000000000040'))",
     "ST_GeomFromEWKT": "ST_GeomFromEWKT('SRID=4326;POINT (1 2)')",
     "ST_Collect": "ST_Collect(ARRAY[ST_Point(0, 0), ST_Point(1, 1)])",
     "ST_OrientedEnvelope": "ST_OrientedEnvelope(ST_GeometryFromText('MULTIPOINT ((0 0), (2 2), (1 3))'))",
@@ -372,11 +375,8 @@ ABSENT = {
     "theta_sketch_cardinality": "Apache DataSketches binary interop (reads sketches produced elsewhere)",
     "theta_sketch_union": "Apache DataSketches binary interop",
     "ST_LineLocatePoint": "superseded by line_locate_point",
-    "ST_GeomFromKML": "KML codec out of scope",
-    "ST_AsEWKB": "EWKB/EWKT codecs out of scope",
     "ST_Force3D": "engine geometry model is 2D planar",
     "ST_Z": "engine geometry model is 2D planar",
-    "geometry_from_hadoop_shape": "Esri shapefile binary codec out of scope",
     "spatial_partitioning": "engine partitions spatially via the grid-bucketed join (operators/spatial.py)",
     "spatial_partitions": "see spatial_partitioning",
     "ai_classify": "ai_* need a configured client (functions/ai.py register_ai)",

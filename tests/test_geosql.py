@@ -399,3 +399,60 @@ class TestPolygonizeVoronoi:
             eng.sql(
                 "SELECT ST_VoronoiPolygons(ST_GeometryFromText('MULTIPOINT ((0 0), (2 0))'), -1.0)"
             ).collect()
+
+
+class TestBinaryCodecs:
+    """EWKB / KML / hadoop-shape codecs (round 5): public formats —
+    PostGIS EWKB (verified byte-identical to the canonical PostGIS hex
+    for SRID=4326 POINT), KML 2.2, ESRI shapefile records."""
+
+    def test_ewkb_postgis_canonical_bytes(self, eng):
+        got = _one(eng, "SELECT hex(ST_AsEWKB(ST_SetSRID(ST_Point(1, 2), 4326)))")
+        # the exact bytes PostGIS emits for SRID=4326;POINT(1 2)
+        assert got == "0101000020E6100000000000000000F03F0000000000000040"
+        rt = _one(
+            eng,
+            "SELECT ST_AsText(ST_GeomFromBinary(ST_AsEWKB(ST_SetSRID("
+            f"ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), 3857))))",
+        )
+        assert rt == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+    def test_kml_polygon_with_hole_and_namespace(self, eng):
+        kml = (
+            "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+            "0,0 4,0 4,4 0,4 0,0</coordinates></LinearRing></outerBoundaryIs>"
+            "<innerBoundaryIs><LinearRing><coordinates>1,1 2,1 2,2 1,2 1,1"
+            "</coordinates></LinearRing></innerBoundaryIs></Polygon>"
+        )
+        out = _one(eng, f"SELECT ST_GeomFromKML('{kml}')")
+        assert out == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+        ns = (
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Placemark>'
+            "<Point><coordinates>-122.4,37.8,15</coordinates></Point>"
+            "</Placemark></kml>"
+        )
+        assert _one(eng, f"SELECT ST_GeomFromKML('{ns}')") == "POINT (-122.4 37.8)"
+
+    def test_hadoop_shape_point_and_polyline(self, eng):
+        import struct
+
+        got = _one(
+            eng,
+            "SELECT geometry_from_hadoop_shape(from_hex("
+            "'000000000101000000000000000000F03F0000000000000040'))",
+        )
+        assert got == "POINT (1 2)"
+        pts = [(0.0, 0.0), (1.0, 1.0), (5.0, 5.0), (6.0, 6.0)]
+        rec = (
+            struct.pack("<i", 4326)
+            + bytes([5])
+            + struct.pack("<i", 3)
+            + struct.pack("<4d", 0, 0, 6, 6)
+            + struct.pack("<ii", 2, 4)
+            + struct.pack("<2i", 0, 2)
+            + b"".join(struct.pack("<dd", *p) for p in pts)
+        )
+        got = _one(
+            eng, f"SELECT geometry_from_hadoop_shape(from_hex('{rec.hex()}'))"
+        )
+        assert got == "SRID=4326;MULTILINESTRING ((0 0, 1 1), (5 5, 6 6))"

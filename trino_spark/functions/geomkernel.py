@@ -192,12 +192,39 @@ def to_wkb(g) -> bytes:
     return b"".join(out)
 
 
+_EWKB_SRID_FLAG = 0x20000000
+
+
+def to_ewkb(g, srid: int = 0) -> bytes:
+    """PostGIS-style EWKB: WKB with the 0x20000000 SRID flag on the type
+    word and a little-endian srid int following it (public PostGIS
+    format; ST_AsEWKB role)."""
+    wkb = to_wkb(g)
+    if not srid:
+        return wkb
+    code = struct.unpack_from("<I", wkb, 1)[0] | _EWKB_SRID_FLAG
+    return wkb[:1] + struct.pack("<II", code, srid) + wkb[5:]
+
+
+def ewkb_srid(b: bytes) -> int:
+    b = bytes(b)
+    if len(b) < 9:
+        return 0
+    fmt = "<" if b[0] == 1 else ">"
+    code = struct.unpack_from(fmt + "I", b, 1)[0]
+    if code & _EWKB_SRID_FLAG:
+        return struct.unpack_from(fmt + "I", b, 5)[0]
+    return 0
+
+
 def from_wkb(b: bytes):
     def read(buf, off):
         little = buf[off] == 1
         fmt = "<" if little else ">"
         code = struct.unpack_from(fmt + "I", buf, off + 1)[0]
         off += 5
+        if code & _EWKB_SRID_FLAG:  # EWKB: skip the embedded srid int
+            off += 4
         gtype = _WKB_NAMES[code & 0xFF]
         if gtype == "POINT":
             x, y = struct.unpack_from(fmt + "dd", buf, off)
@@ -1748,3 +1775,126 @@ def voronoi_polygons(g, tolerance: float = 0.0):
             ring.append(ring[0])
             cells.append(("POLYGON", [ring]))
     return ("GEOMETRYCOLLECTION", cells)
+
+
+# ------------------------------------------------ KML / hadoop shapes
+#
+# ST_GeomFromKML (GeoFunctions.java:595): minimal KML geometry reader —
+# Point / LineString / Polygon (outer+inner boundaries) / MultiGeometry
+# over the public KML 2.2 schema, namespace-agnostic. coordinates are
+# 'lng,lat[,alt]' whitespace-separated tuples; altitude is dropped (2D
+# engine). geometry_from_hadoop_shape (GeoFunctions.java:603): the
+# Spatial Framework for Hadoop layout [int32 LE wkid][byte ogc_type]
+# [Esri shapefile record], with the record per the public ESRI
+# shapefile specification (type int, bbox, part offsets, xy doubles).
+
+
+def _kml_coords(text):
+    pts = []
+    for tup in (text or "").split():
+        parts = tup.split(",")
+        if len(parts) >= 2:
+            pts.append((float(parts[0]), float(parts[1])))
+    return pts
+
+
+def from_kml(s: str):
+    import xml.etree.ElementTree as ET
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    def conv(el):
+        t = local(el.tag)
+        if t == "Point":
+            pts = _kml_coords(_text_of(el, "coordinates"))
+            return ("POINT", pts[0] if pts else None)
+        if t == "LineString":
+            return ("LINESTRING", _kml_coords(_text_of(el, "coordinates")))
+        if t == "LinearRing":
+            return ("LINESTRING", _kml_coords(_text_of(el, "coordinates")))
+        if t == "Polygon":
+            rings = []
+            for child in el.iter():
+                ct = local(child.tag)
+                if ct in ("outerBoundaryIs", "innerBoundaryIs"):
+                    ring = _kml_coords(_text_of(child, "coordinates"))
+                    if ring:
+                        if ct == "outerBoundaryIs":
+                            rings.insert(0, _close_ring(ring))
+                        else:
+                            rings.append(_close_ring(ring))
+            return ("POLYGON", rings or None)
+        if t == "MultiGeometry":
+            parts = [conv(c) for c in el if local(c.tag) in
+                     ("Point", "LineString", "Polygon", "MultiGeometry")]
+            kinds = {p[0] for p in parts}
+            if kinds == {"POINT"}:
+                return ("MULTIPOINT", [p[1] for p in parts])
+            if kinds == {"LINESTRING"}:
+                return ("MULTILINESTRING", [p[1] for p in parts])
+            if kinds == {"POLYGON"}:
+                return ("MULTIPOLYGON", [p[1] for p in parts])
+            return ("GEOMETRYCOLLECTION", parts)
+        raise ValueError(f"ST_GeomFromKML: unsupported element <{t}>")
+
+    def _text_of(el, name):
+        for child in el.iter():
+            if local(child.tag) == name:
+                return child.text
+        return ""
+
+    root = ET.fromstring(s)
+    if local(root.tag) in ("Point", "LineString", "Polygon", "MultiGeometry"):
+        return conv(root)
+    for el in root.iter():
+        if local(el.tag) in ("Point", "LineString", "Polygon", "MultiGeometry"):
+            return conv(el)
+    raise ValueError("ST_GeomFromKML: no geometry element found")
+
+
+def from_hadoop_shape(b: bytes):
+    b = bytes(b)
+    if len(b) <= 5:
+        raise ValueError("Hadoop shape input is too short")
+    ogc_type = b[4]
+    if ogc_type > 6:
+        raise ValueError(f"Invalid Hadoop shape type: {ogc_type}")
+    rec = b[5:]
+    (esri_type,) = struct.unpack_from("<i", rec, 0)
+    if esri_type == 0:  # null shape -> empty of the OGC-declared kind
+        names = ["GEOMETRYCOLLECTION", "POINT", "LINESTRING", "POLYGON",
+                 "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"]
+        return (names[ogc_type], None if ogc_type in (1, 2, 3) else [])
+    if esri_type == 1:  # Point
+        x, y = struct.unpack_from("<dd", rec, 4)
+        return ("POINT", (x, y))
+    if esri_type == 8:  # MultiPoint: bbox, n, points
+        (n,) = struct.unpack_from("<i", rec, 36)
+        pts = [struct.unpack_from("<dd", rec, 40 + 16 * i) for i in range(n)]
+        return ("MULTIPOINT", [tuple(p) for p in pts])
+    if esri_type in (3, 5):  # PolyLine / Polygon: bbox, nparts, npoints
+        nparts, npoints = struct.unpack_from("<ii", rec, 36)
+        parts = list(struct.unpack_from(f"<{nparts}i", rec, 44))
+        base = 44 + 4 * nparts
+        pts = [tuple(struct.unpack_from("<dd", rec, base + 16 * i)) for i in range(npoints)]
+        bounds = parts + [npoints]
+        rings = [pts[bounds[i] : bounds[i + 1]] for i in range(nparts)]
+        if esri_type == 3:
+            if len(rings) == 1 and ogc_type == 2:
+                return ("LINESTRING", rings[0])
+            return ("MULTILINESTRING", rings)
+        # shapefile polygons: clockwise ring = shell, counterclockwise =
+        # hole (spec); holes attach to the preceding shell group
+        polys = []
+        for ring in rings:
+            ring = _close_ring(list(ring))
+            if ring_area(ring) < 0 or not polys:  # CW in y-up == shell
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        # normalize orientation: kernel stores shells CCW-agnostic WKT
+        if len(polys) == 1 and ogc_type == 3:
+            return ("POLYGON", polys[0])
+        return ("MULTIPOLYGON", polys)
+    raise ValueError(f"Unsupported ESRI shape type: {esri_type}")

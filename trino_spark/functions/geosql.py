@@ -624,6 +624,29 @@ def register_geo_functions(spark: SparkSession) -> None:
     # DE-9IM pattern relate (GeoFunctions.java:1951; JTS RelateNG parity)
     reg("st_relate", _g2(K.relate), "boolean")
     reg("st_relate_matrix", _g2(K.relate_matrix), "string")
+    # EWKB / KML / hadoop-shape codecs (round 5; public PostGIS EWKB,
+    # KML 2.2, and ESRI shapefile-record formats — geomkernel.py)
+    reg(
+        "st_asewkb",
+        lambda w: None if w is None else K.to_ewkb(_parse(w), _srid_of(w)),
+        "binary",
+    )
+    reg(
+        "st_geomfromkml",
+        lambda s: None if s is None else K.to_wkt(K.from_kml(s)),
+        "string",
+    )
+
+    def _from_hadoop(b):
+        if b is None:
+            return None
+        import struct as _s
+
+        wkid = _s.unpack_from("<i", bytes(b), 0)[0]
+        tag = f"SRID={wkid};" if wkid else ""
+        return tag + K.to_wkt(K.from_hadoop_shape(b))
+
+    reg("geometry_from_hadoop_shape", _from_hadoop, "string")
     # EWKT codecs — the engine's SRID-tagged WKT IS the EWKT shape, so
     # these are now native spellings rather than out-of-scope
     reg(
