@@ -307,6 +307,8 @@ SCALAR_CASES = {
 # Full SELECT statements (aggregates / window / functions needing rows).
 TABLE_CASES = {
     "approx_most_frequent": "SELECT approx_most_frequent(3, x, 10) FROM (VALUES 'a','a','b') t(x)",
+    "theta_sketch_cardinality": "SELECT theta_sketch_cardinality(theta_sketch_agg(v)) FROM (SELECT explode(array('a','b')) AS v)",
+    "theta_sketch_union": "SELECT theta_sketch_cardinality(theta_sketch_union(sk)) FROM (SELECT theta_sketch_agg(v) AS sk FROM (SELECT explode(array('a','b')) AS v) GROUP BY v)",
     "numeric_histogram": "SELECT numeric_histogram(4, x) FROM (VALUES 1.0, 2.0) t(x)",
     "reduce_agg": "SELECT reduce_agg(x, 1, (a, b) -> a * b, (a, b) -> a * b) FROM (VALUES 1, 2) t(x)",
     "map_union": "SELECT map_union(m) FROM (VALUES map(array[1], array[2])) t(m)",
@@ -372,8 +374,6 @@ TABLE_CASES = {
 
 # Documented-absent, with the honest reason (COVERAGE.md Known gaps).
 ABSENT = {
-    "theta_sketch_cardinality": "Apache DataSketches binary interop (reads sketches produced elsewhere)",
-    "theta_sketch_union": "Apache DataSketches binary interop",
     "ST_LineLocatePoint": "superseded by line_locate_point",
     "ST_Force3D": "engine geometry model is 2D planar",
     "ST_Z": "engine geometry model is 2D planar",

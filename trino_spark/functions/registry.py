@@ -242,9 +242,9 @@ def register_sql_functions(spark: SparkSession) -> None:
     )
     for algo in ("md5", "sha1", "sha256", "sha512"):
         reg(f"hmac_{algo}", _hmac_fn(algo), "binary")
-    # spooky_hash_v2_* deliberately NOT registered: no faithful
-    # implementation available here and substituting another hash under
-    # that name would silently produce wrong (non-portable) digests.
+    # spooky_hash_v2_* now registered in the r5 batch below — the
+    # published public-domain algorithm, short path verified against the
+    # reference's pinned digests (functions/spooky.py).
     reg("beta_cdf", _beta_cdf, "double")
     reg("binomial_cdf", _binomial_cdf, "double")
     reg("poisson_cdf", _poisson_cdf, "double")
@@ -724,6 +724,20 @@ def _spooky64(b):
     return _s.pack(">Q", spooky.hash64(bytes(b)))
 
 
+def _theta_cardinality(b):
+    from trino_spark.functions import thetasketch
+
+    return None if b is None else thetasketch.estimate(bytes(b))
+
+
+def _theta_cardinality_seed(b, seed):
+    from trino_spark.functions import thetasketch
+
+    if b is None or seed is None:
+        return None
+    return thetasketch.estimate(bytes(b), seed=int(seed))
+
+
 def register_sql_functions_r5(spark: SparkSession) -> None:
     reg = spark.udf.register
     # SpookyHash V2 (VarbinaryFunctions.java; digests pinned from
@@ -731,6 +745,9 @@ def register_sql_functions_r5(spark: SparkSession) -> None:
     # the short/long-path verification status)
     reg("spooky_hash_v2_32", _spooky32, "binary")
     reg("spooky_hash_v2_64", _spooky64, "binary")
+    # DataSketches theta scalar (docs/functions/datasketches.md)
+    reg("theta_sketch_cardinality", _theta_cardinality, "double")
+    reg("theta_sketch_cardinality_seed", _theta_cardinality_seed, "double")
     reg("timetz", _timetz, "string")
     reg("timetz_to_utc_nanos", _timetz_utc_nanos, "bigint")
     reg("timetz_at_time_zone", _timetz_at_time_zone, "string")

@@ -312,6 +312,30 @@ def register_sql_aggregates(spark: SparkSession) -> None:
             return None
         return _QD + json.dumps(sorted(buckets.items())).encode()
 
+    @pandas_udf("binary")
+    def theta_sketch_union(b: pd.Series) -> bytes:
+        from trino_spark.functions import thetasketch as _theta
+
+        return _theta.union(bytes(x) for x in b.dropna())
+
+    @pandas_udf("binary")
+    def theta_sketch_union_k(b: pd.Series, k: pd.Series, seed: pd.Series) -> bytes:
+        from trino_spark.functions import thetasketch as _theta
+
+        return _theta.union(
+            (bytes(x) for x in b.dropna()),
+            nominal_entries=int(k.iloc[0]),
+            seed=int(seed.iloc[0]),
+        )
+
+    @pandas_udf("binary")
+    def theta_sketch_agg(v: pd.Series) -> bytes:
+        # engine extension: the reference reads sketches built upstream;
+        # this builds one (library-layout) so pipelines can also produce
+        from trino_spark.functions import thetasketch as _theta
+
+        return _theta.build(v.dropna().tolist())
+
     @pandas_udf("map<string,bigint>")
     def approx_most_frequent(b: pd.Series, v: pd.Series, cap: pd.Series) -> dict:
         counts = v.dropna().astype(str).value_counts()
@@ -364,6 +388,11 @@ def register_sql_aggregates(spark: SparkSession) -> None:
     reg("merge_set_digest", merge_set_digest)
     reg("merge_tdigest", merge_tdigest)
     reg("merge_qdigest", merge_qdigest)
+    # Apache DataSketches theta interop (docs/functions/datasketches.md;
+    # functions/thetasketch.py — public compact layout, serVer 3 / fam 3)
+    reg("theta_sketch_union", theta_sketch_union)
+    reg("theta_sketch_union_k", theta_sketch_union_k)
+    reg("theta_sketch_agg", theta_sketch_agg)
     reg("approx_most_frequent", approx_most_frequent)
     reg("numeric_histogram", numeric_histogram)
     reg("learn_classifier", learn_classifier)
