@@ -232,3 +232,21 @@ def test_shard_by_token_budget_bounded_exchanges(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_plan_no_allpairs(spark, sf_dir):
+    """duplicate_spans (round 5): the substring-dedup pipeline must stay
+    one explode + gram-key hash exchanges + a per-doc window — a slip to
+    a cartesian/broadcast-nested-loop would be catastrophic at 100 TB."""
+    from trino_spark.operators.dedup import duplicate_spans
+    from trino_spark.queries.base import t
+
+    plan = (
+        duplicate_spans(t(spark, sf_dir, "documents"), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan or "HashAggregate" in plan

@@ -335,3 +335,63 @@ def decontaminate(
         .withColumn("contaminated", F.col("overlap_frac") >= threshold)
     )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Substring-level exact duplicate detection — the span analog of the
+    exact-substring dedup procedure described in public LLM training-data
+    reports (duplicated >= k-token runs shared across documents get cut,
+    not whole documents).
+
+    Method: slide a k-token window over every document (pure codegen:
+    split + transform(sequence) + concat_ws), count each k-gram's corpus
+    frequency, keep positions whose gram occurs >= min_dup times, and
+    merge runs of consecutive duplicated positions into maximal spans
+    (the pos - row_number islands trick over a per-doc window).
+
+    Output: one row per (doc, span): span_start / span_end are token
+    indices (0-based, end exclusive of the last gram start + k).
+
+    100 TB plan shape: one explode (linear in token count), ONE hash
+    exchange on the gram key for the frequency count, one shuffle join
+    back on the same key (AQE-coalesced, same partitioning), and a
+    per-doc window — no all-pairs anywhere; gram space is bounded by
+    total tokens and shrinks under the min_dup filter before the join.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("_pos", "_gram"),
+    ).withColumn("_gh", F.xxhash64("_gram"))
+    freq = grams.groupBy("_gh").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") >= min_dup
+    )
+    dup_pos = grams.join(freq, "_gh").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = dup_pos.withColumn(
+        "_isl", F.col("_pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(F.min("_pos").alias("span_start"), F.max("_pos").alias("_last"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            (F.col("_last") + F.lit(k)).cast("long").alias("span_end"),
+            (F.col("_last") + F.lit(k) - F.col("span_start")).cast("long").alias("span_tokens"),
+        )
+    )

@@ -56,6 +56,7 @@ def all_specs() -> dict[str, QuerySpec]:
         # TIME WITH TIME ZONE carrier
         "geo_relate_transform",
         "dialect_timetz",
+        "dedup_duplicate_spans",
         "http_protocol_roundtrip",
         # never-green TPC-DS, cheapest-first by measured sf0.1 cost
         "tpcds_q84",

@@ -1303,3 +1303,50 @@ def text_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@REG.add(
+    "dedup_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT t.doc_id,
+             i.i AS pos,
+             array_to_string(t.tk[i.i + 1 : i.i + 5], ' ') AS gram
+      FROM toks t,
+           LATERAL (SELECT unnest(range(0, greatest(len(t.tk) - 4, 0))) AS i) i
+    ),
+    freq AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    dup AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS isl
+      FROM grams g JOIN freq f ON g.gram = f.gram
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT)           AS span_start,
+           CAST(max(pos) + 5 AS BIGINT)       AS span_end,
+           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+    FROM dup
+    GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_duplicate_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.py duplicate_spans —
+    the span analog of the exact-substring procedure in public LLM
+    training-data reports): duplicated >= 5-token runs shared anywhere
+    in the corpus, merged into maximal per-doc spans. The oracle
+    restates the whole pipeline relationally (k-gram lateral unnest,
+    frequency filter, pos - row_number islands). Plan: one explode, one
+    hash exchange on the gram key, a same-key join back, one per-doc
+    window — no all-pairs."""
+    from trino_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf, "documents"), k=5).orderBy(
+        "doc_id", "span_start"
+    )
