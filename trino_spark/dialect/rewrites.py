@@ -1233,10 +1233,14 @@ def _rewrite_timetz(toks: list[Tok]) -> list[Tok]:
                 q = start - 1
                 while q >= 0 and out[q].kind == "WS":
                     q -= 1
-                if start > 0 and q >= 0 and out[q].is_word("CAST"):
+                if start > 0 and q >= 0 and out[q].is_word("CAST", "TRY_CAST"):
+                    fn = out[q].text.upper()
                     inner = render(out[start + 1 :]).strip()
                     del out[q:]
-                    out.extend(tokenize(f"timetz(CAST({inner} AS STRING)"))
+                    # TRY_CAST keeps try semantics: try_timetz yields
+                    # NULL on an unparseable value instead of raising
+                    outer = "try_timetz" if fn == "TRY_CAST" else "timetz"
+                    out.extend(tokenize(f"{outer}({fn}({inner} AS STRING)"))
                     # the original cast's closing ')' (still ahead in toks)
                     # now closes timetz(...)
                     i = p + 1

@@ -660,6 +660,13 @@ def _timetz(s):
     return _timetz_canon(*_timetz_parts(str(s)))
 
 
+def _try_timetz(s):
+    try:
+        return _timetz(s)
+    except ValueError:
+        return None
+
+
 def _timetz_utc_nanos(s):
     if s is None:
         return None
@@ -749,6 +756,7 @@ def register_sql_functions_r5(spark: SparkSession) -> None:
     reg("theta_sketch_cardinality", _theta_cardinality, "double")
     reg("theta_sketch_cardinality_seed", _theta_cardinality_seed, "double")
     reg("timetz", _timetz, "string")
+    reg("try_timetz", _try_timetz, "string")
     reg("timetz_to_utc_nanos", _timetz_utc_nanos, "bigint")
     reg("timetz_at_time_zone", _timetz_at_time_zone, "string")
     reg("timetz_hour", lambda s: _timetz_field(s, "hour"), "bigint")
