@@ -307,6 +307,8 @@ SCALAR_CASES = {
 # Full SELECT statements (aggregates / window / functions needing rows).
 TABLE_CASES = {
     "approx_most_frequent": "SELECT approx_most_frequent(3, x, 10) FROM (VALUES 'a','a','b') t(x)",
+    "spatial_partitioning": "SELECT spatial_partitions(spatial_partitioning_n(g, 4), ST_Point(1.0, 1.0)) FROM (SELECT ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS g FROM (SELECT explode(sequence(1, 50)) AS id))",
+    "spatial_partitions": "SELECT spatial_partitions(spatial_partitioning_n(g, 4), ST_Point(1.0, 1.0)) FROM (SELECT ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS g FROM (SELECT explode(sequence(1, 50)) AS id))",
     "theta_sketch_cardinality": "SELECT theta_sketch_cardinality(theta_sketch_agg(v)) FROM (SELECT explode(array('a','b')) AS v)",
     "theta_sketch_union": "SELECT theta_sketch_cardinality(theta_sketch_union(sk)) FROM (SELECT theta_sketch_agg(v) AS sk FROM (SELECT explode(array('a','b')) AS v) GROUP BY v)",
     "numeric_histogram": "SELECT numeric_histogram(4, x) FROM (VALUES 1.0, 2.0) t(x)",
@@ -377,8 +379,6 @@ ABSENT = {
     "ST_LineLocatePoint": "superseded by line_locate_point",
     "ST_Force3D": "engine geometry model is 2D planar",
     "ST_Z": "engine geometry model is 2D planar",
-    "spatial_partitioning": "engine partitions spatially via the grid-bucketed join (operators/spatial.py)",
-    "spatial_partitions": "see spatial_partitioning",
     "ai_classify": "ai_* need a configured client (functions/ai.py register_ai)",
     "ai_extract": "see ai_classify",
     "ai_mask": "see ai_classify",

@@ -456,3 +456,40 @@ class TestBinaryCodecs:
             eng, f"SELECT geometry_from_hadoop_shape(from_hex('{rec.hex()}'))"
         )
         assert got == "SRID=4326;MULTILINESTRING ((0 0, 1 1), (5 5, 6 6))"
+
+
+class TestSpatialPartitioning:
+    """spatial_partitioning / spatial_partitions (plugin/trino-geospatial
+    SpatialPartitioningAggregateFunction; JSON KDB tree) — round 5.
+    The grid-bucketed join remains the engine's default distributed
+    partitioner; these names serve verbatim reference SQL."""
+
+    def test_kdb_tree_and_lookup(self, eng):
+        row = eng.sql(
+            "WITH pts AS (SELECT ST_Point(CAST(id % 37 AS DOUBLE),"
+            " CAST(id % 23 AS DOUBLE)) AS g"
+            " FROM (SELECT explode(sequence(1, 500)) AS id)),"
+            " tree AS (SELECT spatial_partitioning_n(g, 8) AS t FROM pts)"
+            " SELECT size(spatial_partitions(t, ST_Point(5.0, 5.0))) AS one_cell,"
+            " size(spatial_partitions(t, ST_GeometryFromText("
+            "'POLYGON ((0 0, 37 0, 37 23, 0 23, 0 0))'))) AS all_cells,"
+            " spatial_partitions(t, ST_GeometryFromText('POINT EMPTY'))"
+            " IS NULL AS empty_null,"
+            " size(spatial_partitions(t, ST_Point(-999.0, -999.0))) AS outside"
+            " FROM tree"
+        ).collect()[0]
+        assert row.one_cell == 1  # a point lands in exactly one leaf
+        assert row.all_cells == 8  # the full extent touches every leaf
+        assert row.empty_null  # docs: NULL for empty geometry
+        assert row.outside == 1  # edge leaves extend to infinity
+
+    def test_distance_expands_coverage(self, eng):
+        row = eng.sql(
+            "WITH pts AS (SELECT ST_Point(CAST(id % 37 AS DOUBLE),"
+            " CAST(id % 23 AS DOUBLE)) AS g"
+            " FROM (SELECT explode(sequence(1, 500)) AS id)),"
+            " tree AS (SELECT spatial_partitioning_n(g, 8) AS t FROM pts)"
+            " SELECT size(spatial_partitions(t, ST_Point(18.0, 11.0), 40.0)) AS wide"
+            " FROM tree"
+        ).collect()[0]
+        assert row.wide == 8  # radius covers the whole extent

@@ -27,12 +27,14 @@ Round 5 also adds ST_Polygonize (planar face walk over noded linework,
 JTS Polygonizer role) and ST_VoronoiPolygons (dominance half-plane
 cells, JTS VoronoiDiagramBuilder role) — see geomkernel.py.
 
-Documented out-of-scope names (raise / unregistered):
-geometry_from_hadoop_shape (Esri shapefile binary), CRS definitions beyond 4326/3857/UTM-WGS84 (a full
-EPSG database is a library, not a function), spatial_partitioning /
-spatial_partitions (the grid-bucketed join is this engine's
-partitioning story), KML/EWKB codecs, Z-coordinate carriers (engine is
-2D planar).
+Round 5 late additions: EWKB/EWKT/KML/hadoop-shape codecs (public
+formats), spatial_partitioning / spatial_partitions (JSON KDB tree —
+the reference's KdbTree role; the grid-bucketed join in
+operators/spatial.py remains the default distributed partitioner).
+
+Documented out-of-scope names (raise / unregistered): CRS definitions
+beyond 4326/3857/UTM-WGS84 (a full EPSG database is a library, not a
+function), Z-coordinate carriers (engine is 2D planar).
 """
 
 from __future__ import annotations
@@ -737,6 +739,32 @@ def register_geo_functions(spark: SparkSession) -> None:
         else K.to_wkt(K.polygonize(_parse(w) for w in arr if w is not None)),
         "string",
     )
+    @pandas_udf("string")
+    def spatial_partitioning(w: pd.Series) -> str:
+        # sample cap mirrors the reference's 10k-envelope sample
+        centers = []
+        for wkt in w.dropna().head(10000):
+            pts = K._points_of(_parse(wkt))
+            if pts:
+                xs = [p[0] for p in pts]
+                ys = [p[1] for p in pts]
+                centers.append(((min(xs) + max(xs)) / 2, (min(ys) + max(ys)) / 2))
+        return _kdb_build(centers, 100)
+
+    @pandas_udf("string")
+    def spatial_partitioning_n(w: pd.Series, n: pd.Series) -> str:
+        centers = []
+        for wkt in w.dropna().head(10000):
+            pts = K._points_of(_parse(wkt))
+            if pts:
+                xs = [p[0] for p in pts]
+                ys = [p[1] for p in pts]
+                centers.append(((min(xs) + max(xs)) / 2, (min(ys) + max(ys)) / 2))
+        return _kdb_build(centers, int(n.iloc[0]))
+
+    spark.udf.register("spatial_partitioning", spatial_partitioning)
+    spark.udf.register("spatial_partitioning_n", spatial_partitioning_n)
+    reg("spatial_partitions", _kdb_partitions, "array<int>")
     reg(
         "st_voronoipolygons",
         lambda w, tol=0.0: None
@@ -998,3 +1026,96 @@ def _map_coords(g, fn):
     if gtype == "MULTIPOLYGON":
         return (gtype, [[[fn(p) for p in r] for r in poly] for poly in data])
     return (gtype, [_map_coords(s, fn) for s in data])
+
+
+# ----------------------------------------- spatial partitioning (r5)
+#
+# spatial_partitioning(geometry[, partition_count]) -> varchar and
+# spatial_partitions(tree, geometry[, distance]) -> array(integer)
+# (plugin/trino-geospatial SpatialPartitioningAggregateFunction.java /
+# SpatialPartitionsFunction; docs geospatial.md:691). The varchar is a
+# JSON KDB tree: recursive median splits of the sampled envelope
+# centers on the wider axis until the leaf count reaches the requested
+# partition count; boundary leaves extend to +-infinity so envelopes
+# outside the sampled extent still land in an edge partition. The
+# GRID-bucketed join (operators/spatial.py) remains this engine's
+# default distributed-join partitioner; these names exist for verbatim
+# reference SQL that co-partitions via unnest(spatial_partitions(...)).
+
+
+def _kdb_build(centers, count):
+    import json
+
+    def split(pts, lo, hi, leaves_needed, next_id):
+        if leaves_needed <= 1 or len(pts) <= 1:
+            return {"id": next_id[0]}, None
+        (x0, y0), (x1, y1) = lo, hi
+        axis = 0 if (x1 - x0) >= (y1 - y0) else 1
+        pts_sorted = sorted(pts, key=lambda p: p[axis])
+        mid = len(pts_sorted) // 2
+        cut = pts_sorted[mid][axis]
+        left_n = leaves_needed // 2
+        lpts, rpts = pts_sorted[:mid], pts_sorted[mid:]
+        if axis == 0:
+            lnode = build(lpts, lo, (cut, y1), left_n, next_id)
+            rnode = build(rpts, (cut, y0), hi, leaves_needed - left_n, next_id)
+        else:
+            lnode = build(lpts, lo, (x1, cut), left_n, next_id)
+            rnode = build(rpts, (x0, cut), hi, leaves_needed - left_n, next_id)
+        return {"axis": "x" if axis == 0 else "y", "cut": cut,
+                "left": lnode, "right": rnode}, None
+
+    def build(pts, lo, hi, leaves_needed, next_id):
+        if leaves_needed <= 1 or len(pts) <= 1:
+            node = {"id": next_id[0]}
+            next_id[0] += 1
+            return node
+        node, _ = split(pts, lo, hi, leaves_needed, next_id)
+        if "id" in node:
+            next_id[0] += 1
+        return node
+
+    if not centers:
+        return json.dumps({"extent": None, "root": {"id": 0}})
+    xs = [c[0] for c in centers]
+    ys = [c[1] for c in centers]
+    lo, hi = (min(xs), min(ys)), (max(xs), max(ys))
+    root = build(centers, lo, hi, max(int(count), 1), [0])
+    return json.dumps({"extent": [lo[0], lo[1], hi[0], hi[1]], "root": root})
+
+
+def _kdb_partitions(tree_json, w, distance=0.0):
+    import json
+
+    if tree_json is None or w is None:
+        return None
+    g = _parse(w)
+    pts = K._points_of(g)
+    if not pts:
+        return None  # empty geometry per the docs
+    d = float(distance or 0.0)
+    x0 = min(p[0] for p in pts) - d
+    x1 = max(p[0] for p in pts) + d
+    y0 = min(p[1] for p in pts) - d
+    y1 = max(p[1] for p in pts) + d
+    tree = json.loads(tree_json)
+    out = []
+
+    def walk(node, bx0, by0, bx1, by1):
+        if "id" in node:
+            out.append(int(node["id"]))
+            return
+        cut = node["cut"]
+        if node["axis"] == "x":
+            if x0 <= cut:
+                walk(node["left"], bx0, by0, cut, by1)
+            if x1 >= cut:
+                walk(node["right"], cut, by0, bx1, by1)
+        else:
+            if y0 <= cut:
+                walk(node["left"], bx0, by0, bx1, cut)
+            if y1 >= cut:
+                walk(node["right"], bx0, cut, bx1, by1)
+
+    walk(tree["root"], float("-inf"), float("-inf"), float("inf"), float("inf"))
+    return sorted(set(out))
