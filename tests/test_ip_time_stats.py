@@ -142,3 +142,30 @@ class TestTimeWithTimeZone:
         assert rows[0].u == 5 * 3600 * 10**9 + 123_000_000
         assert rows[0].ktm == "10:45:00.123+05:45"
         assert rows[1].canon == "00:15:00.000-14:00"
+
+    def test_timetz_column_ddl_lifecycle(self, spark):
+        """TIME WITH TIME ZONE as a DDL column type (varchar carrier) +
+        folded literals inside VALUES (a UDF call would be illegal in an
+        inline table — the dialect constant-folds the literal instead).
+        Also covers the drop-last-table infoschema refresh edge."""
+        import os
+
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        tbl = f"tztest_{os.getpid()}"
+        eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+        eng.sql(f"CREATE TABLE {tbl} (k BIGINT, tv TIME WITH TIME ZONE)")
+        eng.sql(
+            f"INSERT INTO {tbl} VALUES (CAST(1 AS BIGINT), TIME '10:30:00+05:30'),"
+            " (CAST(2 AS BIGINT), TIME '23:59:59-08:00')"
+        )
+        rows = eng.sql(
+            f"SELECT k, tv, timetz_to_utc_nanos(tv) AS u FROM {tbl} ORDER BY k"
+        ).collect()
+        assert [(r.k, r.tv) for r in rows] == [
+            (1, "10:30:00.000+05:30"),
+            (2, "23:59:59.000-08:00"),
+        ]
+        assert rows[0].u == 5 * 3600 * 10**9
+        eng.sql(f"DROP TABLE {tbl}")

@@ -1323,7 +1323,10 @@ def _trino_type_to_spark(t: str) -> str:
     t = re.sub(r"\bchar\((\d+)\)", "string", t)
     t = t.replace("varbinary", "binary").replace("real", "float")
     t = re.sub(r"\binteger\b", "int", t)
-    t = re.sub(r"\btime\b(?!stamp)", "bigint", t)  # TIME emulated as nanos-of-day
+    # TIME WITH TIME ZONE: canonical-varchar carrier (functions/registry.py
+    # r5 batch); plain TIME emulated as nanos-of-day bigints.
+    t = re.sub(r"\btime\s+with\s+time\s+zone\b", "string", t)
+    t = re.sub(r"\btime\b(?!stamp)", "bigint", t)
     return t
 
 

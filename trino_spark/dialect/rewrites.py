@@ -708,7 +708,11 @@ def _rewrite_at_time_zone(toks: list[Tok]) -> list[Tok]:
                     continue
                 expr = render(out[start:]).strip()
                 del out[start:]
-                if expr.lower().startswith("timetz("):
+                is_timetz = expr.lower().startswith(("timetz(", "try_timetz(")) or (
+                    expr.startswith("'")
+                    and _TIMETZ_LIT.match(expr[1:-1]) is not None
+                )
+                if is_timetz:
                     # TIME WITH TIME ZONE AT TIME ZONE '±HH:MM': same
                     # instant, new fixed offset (scalar/timetz semantics)
                     out.extend(
@@ -1202,7 +1206,13 @@ def _rewrite_timetz(toks: list[Tok]) -> list[Tok]:
         if t.is_word("TIME"):
             j = next_code(toks, i + 1)
             if j < n and toks[j].kind == "STR" and _TIMETZ_LIT.match(toks[j].text[1:-1]):
-                out.extend(tokenize(f"timetz({toks[j].text})"))
+                # constant-fold the literal at rewrite time: a canonical
+                # string needs no UDF call, so it stays legal inside
+                # inline tables (VALUES cannot evaluate Python UDFs)
+                from trino_spark.functions.registry import _timetz
+
+                canon = _timetz(toks[j].text[1:-1].replace("''", "'"))
+                out.extend(tokenize(f"'{canon}'"))
                 i = j + 1
                 continue
         if t.is_word("AS"):

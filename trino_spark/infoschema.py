@@ -31,8 +31,21 @@ def register_information_schema(spark: SparkSession, tables: dict[str, list[tupl
         for t, cols in sorted(tables.items())
         for i, (c, dt) in enumerate(cols)
     ]
-    spark.createDataFrame(trows).createOrReplaceTempView("information_schema_tables")
-    spark.createDataFrame(crows).createOrReplaceTempView("information_schema_columns")
+    # explicit schemas: an engine whose LAST table is dropped refreshes
+    # with zero rows, and schema inference cannot run on an empty list
+    tschema = (
+        "table_catalog string, table_schema string, table_name string, table_type string"
+    )
+    cschema = (
+        "table_catalog string, table_schema string, table_name string,"
+        " column_name string, ordinal_position int, data_type string"
+    )
+    spark.createDataFrame(trows, tschema).createOrReplaceTempView(
+        "information_schema_tables"
+    )
+    spark.createDataFrame(crows, cschema).createOrReplaceTempView(
+        "information_schema_columns"
+    )
 
 
 def rewrite_show(sql: str) -> str | None:
