@@ -212,11 +212,67 @@ def fuzz_geo_concave(n_pairs: int = 50, seed: int = 42, tol: float = 1e-6):
     return bad
 
 
+def fuzz_de9im(n: int, seed: int) -> list:
+    """DE-9IM matrix vs the kernel's own OGC predicates — the predicates
+    ARE matrix patterns, so any disagreement is a bug in one of them
+    (this mode found the touches() line-line proper-crossing bug in
+    round 5). Mixed point/line/polygon pairs, grid-snapped coordinates
+    mixed in so touching/collinear cases actually occur."""
+    rng = random.Random(seed)
+    bad = []
+
+    def coord():
+        return rng.choice([rng.uniform(0, 10), float(rng.randint(0, 10))])
+
+    def rand_geom():
+        kind = rng.randrange(3)
+        if kind == 0:
+            return ("POINT", (coord(), coord()))
+        if kind == 1:
+            return ("LINESTRING", [(coord(), coord()) for _ in range(rng.randint(2, 4))])
+        x, y = coord(), coord()
+        w, h = rng.uniform(0.5, 4), rng.uniform(0.5, 4)
+        return ("POLYGON", [[(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]])
+
+    tested = 0
+    for i in range(n):
+        a, b = rand_geom(), rand_geom()
+        m = gk.relate_matrix(a, b)
+        da, db = gk._dim(a), gk._dim(b)
+        if da < db:
+            exp_cross = m[0] != "F" and m[2] != "F"
+        elif da > db:
+            exp_cross = m[0] != "F" and m[6] != "F"
+        elif da == 1:
+            exp_cross = m[0] == "0"
+        else:
+            exp_cross = False
+        exp = {
+            "intersects": not (m[0] == "F" and m[1] == "F" and m[3] == "F" and m[4] == "F"),
+            "contains": m[0] != "F" and m[6] == "F" and m[7] == "F",
+            "within": m[0] != "F" and m[2] == "F" and m[5] == "F",
+            "touches": m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F"),
+            "crosses": exp_cross,
+        }
+        for name, want in exp.items():
+            got = getattr(gk, name)(a, b)
+            if got != want:
+                bad.append(
+                    f"de9im{i} {name}: matrix {m} says {want}, predicate says {got} "
+                    f"| {gk.to_wkt(a)} | {gk.to_wkt(b)}"
+                )
+        tested += 1
+    if tested != n:  # vacuity guard
+        bad.append(f"de9im mode only tested {tested}/{n} pairs")
+    return bad
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     bad = fuzz_geo(n, seed)
     bad += [f"[concave] {x}" for x in fuzz_geo_concave(n, seed + 1)]
+    bad += [f"[de9im] {x}" for x in fuzz_de9im(4 * n, seed + 2)]
     for line in bad:
         print(line)
     print(f"\n{n} convex pairs, {len(bad)} mismatches (seed {seed})")

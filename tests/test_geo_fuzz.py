@@ -38,3 +38,9 @@ def test_convex_generator_not_vacuous():
     rng = random.Random(0)
     rings = [convex_polygon(rng, 0, 0, 2.0) for _ in range(10)]
     assert all(r is not None and len(r) >= 4 and r[0] == r[-1] for r in rings)
+
+
+def test_de9im_predicate_consistency():
+    from geo_fuzz import fuzz_de9im
+
+    assert fuzz_de9im(n=300, seed=44) == []
