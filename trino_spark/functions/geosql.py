@@ -1046,9 +1046,11 @@ def _map_coords(g, fn):
 def _kdb_build(centers, count):
     import json
 
-    def split(pts, lo, hi, leaves_needed, next_id):
+    def build(pts, lo, hi, leaves_needed, next_id):
         if leaves_needed <= 1 or len(pts) <= 1:
-            return {"id": next_id[0]}, None
+            node = {"id": next_id[0]}
+            next_id[0] += 1
+            return node
         (x0, y0), (x1, y1) = lo, hi
         axis = 0 if (x1 - x0) >= (y1 - y0) else 1
         pts_sorted = sorted(pts, key=lambda p: p[axis])
@@ -1063,17 +1065,7 @@ def _kdb_build(centers, count):
             lnode = build(lpts, lo, (x1, cut), left_n, next_id)
             rnode = build(rpts, (x0, cut), hi, leaves_needed - left_n, next_id)
         return {"axis": "x" if axis == 0 else "y", "cut": cut,
-                "left": lnode, "right": rnode}, None
-
-    def build(pts, lo, hi, leaves_needed, next_id):
-        if leaves_needed <= 1 or len(pts) <= 1:
-            node = {"id": next_id[0]}
-            next_id[0] += 1
-            return node
-        node, _ = split(pts, lo, hi, leaves_needed, next_id)
-        if "id" in node:
-            next_id[0] += 1
-        return node
+                "left": lnode, "right": rnode}
 
     if not centers:
         return json.dumps({"extent": None, "root": {"id": 0}})
