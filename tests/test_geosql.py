@@ -493,3 +493,28 @@ class TestSpatialPartitioning:
             " FROM tree"
         ).collect()[0]
         assert row.wide == 8  # radius covers the whole extent
+
+    def test_hadoop_shape_polygon_shells_and_holes(self, eng):
+        """Shapefile ring convention: clockwise (y-up) rings are shells,
+        counterclockwise rings are holes attached to the preceding
+        shell; two CW rings form a MULTIPOLYGON."""
+        import struct
+
+        from trino_spark.functions import geomkernel as K
+
+        outer = [(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]  # CW
+        hole = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]  # CCW
+        pts = outer + hole
+        rec = (
+            struct.pack("<i", 0)
+            + bytes([3])
+            + struct.pack("<i", 5)
+            + struct.pack("<4d", 0, 0, 4, 4)
+            + struct.pack("<ii", 2, len(pts))
+            + struct.pack("<2i", 0, len(outer))
+            + b"".join(struct.pack("<dd", *p) for p in pts)
+        )
+        got = _one(eng, f"SELECT geometry_from_hadoop_shape(from_hex('{rec.hex()}'))")
+        g = K.parse_wkt(got)
+        assert g[0] == "POLYGON" and len(g[1]) == 2
+        assert abs(K.area(g) - 15.0) < 1e-9
