@@ -2,6 +2,7 @@
 time both sides, and report failures + per-query cost in registry order.
 
 Usage: python scripts/driver_mimic.py [sf_dir] [--limit N] [--tolerant]
+       [--only name1,name2]
 
 STRICT by default: each (name-sorted) output column must have the same
 pandas dtype KIND on both sides (int vs float vs bool vs object). The
@@ -95,6 +96,9 @@ def main() -> None:
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     strict = "--tolerant" not in sys.argv
 
     spark = get_spark()
@@ -102,6 +106,10 @@ def main() -> None:
     specs = all_specs()
     report: dict[str, dict] = {}
     t_all = time.time()
+    if only is not None:
+        missing = only - set(specs)
+        assert not missing, f"--only names not in registry: {sorted(missing)}"
+        specs = {n: s for n, s in specs.items() if n in only}
     for i, (name, spec) in enumerate(specs.items()):
         if limit is not None and i >= limit:
             break

@@ -523,3 +523,57 @@ def test_boilerplate_ngrams_flags_injected_template(spark):
     short = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
     r = boilerplate_ngrams(short, n=5, min_docs=2).collect()[0]
     assert (r.n_grams, r.n_boilerplate) == (0, 0)
+
+
+class TestDuplicateSpans:
+    """Execution tests for substring-span dedup (round 6: short-doc guard
+    + two-phase gram count replacing the skew-prone gram-key window)."""
+
+    def test_finds_shared_span(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog again"
+        rows = [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} omega psi chi phi"),
+            (3, "completely unrelated text with no overlap whatsoever here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r.doc_id, r.span_start, r.span_end)
+               for r in dedup.duplicate_spans(df, k=5).collect()}
+        # doc 1: shared span is tokens 2..12; doc 2: tokens 0..10
+        assert (1, 2, 12) in out
+        assert (2, 0, 10) in out
+        assert not any(d == 3 for d, _, _ in out)
+
+    def test_short_documents_do_not_crash(self, spark):
+        """ADVICE r5 (high): a document with fewer than k tokens made
+        sequence(1, 0) descend and slice(th, 0, k) throw. Short docs must
+        contribute zero grams and the pipeline must still execute."""
+        shared = "one two three four five six seven"
+        rows = [
+            (1, "tiny doc"),            # 2 tokens < k=5
+            (2, ""),                     # empty
+            (3, "   "),                  # whitespace only
+            (4, f"{shared} tail a"),
+            (5, f"{shared} tail b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.duplicate_spans(df, k=5).collect()
+        ids = {r.doc_id for r in out}
+        assert ids == {4, 5}  # shared 7-token prefix dups; shorts silent
+
+    def test_hot_gram_no_window_partition(self, spark):
+        """A corpus-hot gram (every doc shares one k-gram) must be counted
+        by hash aggregation with map-side combine, not a window over the
+        gram key (one partition per gram = one hot partition at scale)."""
+        hot = "please subscribe to our newsletter today"
+        rows = [(i, f"doc {i} body text here {hot}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        res = dedup.duplicate_spans(df, k=6)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # the gram-frequency count must be an aggregate (partial+final),
+        # and no window may run partitioned by the gram hash
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+        import re
+        assert not re.search(r"Window .*_gh", plan), "gram-key window is back"
+        rows_out = res.collect()
+        assert len(rows_out) == 300  # every doc reports its hot span

@@ -360,12 +360,16 @@ def duplicate_spans(
 
     100 TB plan shape: grams are ROLLING HASHES over per-token hashes
     (transform + aggregate lambdas — pure arithmetic, no k-token string
-    ever materializes), one explode (linear in token count), ONE hash
-    exchange on the gram key where an unordered window count marks
-    duplicated grams in a single pass (no second gram computation, no
-    join back), and a per-doc window — no all-pairs anywhere. Measured
-    7.0 s -> ~1 s at sf0.1 vs the first string-gram + count-join
-    version (PERF.md round 5).
+    ever materializes), one explode (linear in token count), a gram-key
+    HASH AGGREGATION for corpus frequency (map-side partial combine, so
+    a boilerplate gram occurring 10^8 times contributes at most
+    one partial row per map task — a window count over the gram key,
+    the round-5 shape, had no partial agg and put every occurrence of a
+    hot gram in one partition), an AQE-skew-splittable left-semi join
+    back onto the gram stream, and a per-doc window — no all-pairs
+    anywhere. The gram projection is evaluated on both sides of the
+    semi-join, but it is pure xxhash64 arithmetic (the expensive
+    string-gram materialization was eliminated in round 5).
     """
     from pyspark.sql import Window
 
@@ -381,12 +385,19 @@ def duplicate_spans(
     # per-token hashes once, then a chained-hash combine per window —
     # the gram key never exists as a string
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    n_grams = F.size(toks) - F.lit(k - 1)
+    # Documents shorter than k tokens contribute no grams. sequence(1, 0)
+    # DESCENDS in Spark ([1, 0]) and slice(th, 0, k) then throws
+    # INVALID_PARAMETER_VALUE.START, so the empty case must be an
+    # explicit empty array, not a clamped sequence bound.
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), n_grams),
+                gram_idx,
                 # order-sensitive chained fold; xxhash64(acc, h) never
                 # overflows, so the plan is safe under ANSI sessions too
                 lambda i: F.aggregate(
@@ -397,12 +408,13 @@ def duplicate_spans(
             )
         ).alias("_pos", "_gh"),
     )
-    wg = Window.partitionBy("_gh")
-    dup_pos = (
-        grams.withColumn("_n", F.count("*").over(wg))
+    dup_grams = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_dup)
-        .select("_id", "_pos")
+        .select("_gh")
     )
+    dup_pos = grams.join(dup_grams, "_gh", "left_semi").select("_id", "_pos")
     w = Window.partitionBy("_id").orderBy("_pos")
     islands = dup_pos.withColumn(
         "_isl", F.col("_pos") - F.row_number().over(w)
