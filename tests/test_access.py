@@ -368,6 +368,36 @@ class TestDmlTargetSecurity:
         ).collect()[0][0]
         assert n == 1
 
+    def test_subquery_alias_cannot_probe_masked_values(self, eng):
+        # Round-6 (ADVICE): an alias the predicate binds to the protected
+        # table (`FROM sec_t s`) must read the MASKED value — otherwise
+        # `WHERE id IN (SELECT s.id FROM sec_t s WHERE s.name = ...)`
+        # probes raw data the role cannot SELECT.
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        n = eng.sql(
+            "DELETE FROM sec_t WHERE id IN "
+            "(SELECT s.id FROM sec_t s WHERE s.name = 'NATION_3')"
+        ).collect()[0][0]
+        assert n == 0  # raw value invisible through the alias
+        n = eng.sql(
+            "DELETE FROM sec_t WHERE id IN "
+            "(SELECT s.id FROM sec_t s WHERE s.name = 'MASKED' AND s.id = 3)"
+        ).collect()[0][0]
+        assert n == 1
+
+    def test_unknown_qualifier_over_masked_column_fails_closed(self, eng):
+        # A qualifier we cannot prove safe (e.g. a derived-table alias
+        # whose SELECT * re-exposes the raw column) must be rejected, not
+        # passed through unmasked.
+        eng.sql("CALL system.add_column_mask('dmlr', 'sec_t', 'name', '''MASKED''')")
+        eng.sql("SET ROLE dmlr")
+        with pytest.raises(AccessDenied, match="qualifier"):
+            eng.sql(
+                "DELETE FROM sec_t WHERE id IN (SELECT z.id FROM "
+                "(SELECT * FROM sec_t) z WHERE z.name = 'NATION_3')"
+            )
+
 
 class TestTableRefRewriteScope:
     """Round-4 (review finding): the security rewrite must substitute only

@@ -486,24 +486,58 @@ def mask_fragment(masks: dict[str, str], fragment: str, target: str | None = Non
 
     Qualified references: `target.col` is replaced as one unit (legal
     Trino `DELETE FROM t WHERE t.secret = 5` must not become the invalid
-    `t.(CASE ...)`); `other.col` — a reference binding to a DIFFERENT
-    relation, e.g. a subquery alias — is left alone, and a bare `col`
-    acting as a qualifier itself (`col.x`) is likewise untouched."""
+    `t.(CASE ...)`). An alias the fragment itself binds to the protected
+    table (`... FROM target s ...`) is treated as the target — otherwise
+    `DELETE FROM t WHERE k IN (SELECT s.secret FROM t s)` would probe
+    REAL values of a masked column through the subquery. Any REMAINING
+    unknown qualifier over a masked column name fails CLOSED
+    (AccessDenied): we cannot prove what relation it binds to, and the
+    reference's analyzer-level masking never exposes the raw column to a
+    masked role under any alias. A bare `col` acting as a qualifier
+    itself (`col.x`) stays untouched."""
     if not masks:
         return fragment
-    tq = re.escape(target.split(".")[-1]) if target else None
+    tnames = {target.split(".")[-1].lower()} if target else set()
+    # aliases the fragment binds to the protected table: FROM/JOIN
+    # <target> [AS] <alias>  (alias must not be a keyword that can
+    # follow a relation in this position)
+    _KW = {"where", "group", "order", "having", "limit", "join", "inner",
+           "left", "right", "full", "cross", "on", "as", "union", "select"}
+    for tn in list(tnames):
+        for m in re.finditer(
+            rf"\b(?:from|join)\s+{re.escape(tn)}\s+(?:as\s+)?(\w+)",
+            fragment,
+            re.IGNORECASE,
+        ):
+            alias = m.group(1).lower()
+            if alias not in _KW:
+                tnames.add(alias)
 
     def _sub(chunk: str) -> str:
         for col, mexpr in masks.items():
             cq = re.escape(col)
-            # alt 1: the whole `target.col` unit; alt 2: bare `col` not
-            # preceded by `qualifier.` and not itself qualifying (`col.x`).
+            # alt 1: the whole `<target-or-alias>.col` unit; alt 2: bare
+            # `col` not preceded by `qualifier.` and not itself
+            # qualifying (`col.x`).
             alts = [rf"(?<![\w.]){cq}\b(?!\s*\.)"]
-            if tq:
-                alts.insert(0, rf"\b{tq}\s*\.\s*{cq}\b(?!\s*\.)")
+            if tnames:
+                tq = "|".join(re.escape(t) for t in sorted(tnames))
+                alts.insert(0, rf"\b(?:{tq})\s*\.\s*{cq}\b(?!\s*\.)")
             chunk = re.sub(
                 "|".join(alts), f"({mexpr})", chunk, flags=re.IGNORECASE
             )
+            # fail closed: a leftover `unknown.col` over a masked column
+            # means a qualifier we could not bind — reject rather than
+            # let a subquery alias read the raw column.
+            leftover = re.search(
+                rf"\b(\w+)\s*\.\s*{cq}\b(?!\s*\.)", chunk, re.IGNORECASE
+            )
+            if leftover:
+                raise AccessDenied(
+                    f"Access Denied: cannot verify that qualifier "
+                    f"'{leftover.group(1)}' does not expose masked column "
+                    f"'{col}'"
+                )
         return chunk
 
     return map_outside_literals(fragment, _sub)
