@@ -310,6 +310,23 @@ class TestTransformCRS:
         with _pytest.raises(Exception, match="SRID 0"):
             eng.sql("SELECT st_transform(ST_Point(1, 2), 3857)").collect()
 
+    def test_high_latitude_transforms(self, eng):
+        # Round-6 (ADVICE): the Mercator projection is defined up to ±90°
+        # exclusive — latitudes beyond the ±85.06° tile cutoff transform
+        # (GeoTools does), only the poles themselves reject.
+        out = _one(
+            eng,
+            "SELECT st_transform(st_setsrid(ST_Point(10, 88.5), 4326), 3857)",
+        )
+        y = float(out.split("(")[1].rstrip(")").split()[1])
+        assert y > 20_000_000  # far above the 85.06° cutoff's ~19.97 Mm
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Ll]atitude"):
+            eng.sql(
+                "SELECT st_transform(st_setsrid(ST_Point(0, 90), 4326), 3857)"
+            ).collect()
+
     def test_setsrid_srid_roundtrip(self, eng):
         assert _one(eng, "SELECT ST_SRID(ST_SetSRID(ST_Point(1, 2), 32610))") == 32610
         assert _one(eng, "SELECT ST_SRID(ST_Point(1, 2))") == 0

@@ -126,6 +126,37 @@ class TestTimeWithTimeZone:
 
         with _pytest.raises(Exception, match="[Oo]ffset|[Ii]nvalid"):
             eng.sql("SELECT timetz('10:00:00+15:00')").collect()
+        # round-6 (ADVICE): minute field > 59 is an invalid offset, not
+        # carry into hours ('+10:99' must not parse as +699 minutes)
+        with _pytest.raises(Exception, match="[Oo]ffset|[Ii]nvalid"):
+            eng.sql("SELECT timetz('10:30:00+10:99')").collect()
+        with _pytest.raises(Exception, match="[Oo]ffset|[Ii]nvalid|minutes"):
+            eng.sql(
+                "SELECT TIME '08:00:00+01:00' AT TIME ZONE '+02:75'"
+            ).collect()
+
+    def test_precision_form_time_p_with_time_zone(self, spark):
+        """Round-6 (ADVICE): Trino's canonical spelling TIME(3) WITH TIME
+        ZONE — both the CAST rewriter and the DDL type mapper must accept
+        the parenthesized precision."""
+        import os
+
+        from trino_spark.dialect.engine import TrinoEngine
+
+        eng = TrinoEngine(spark)
+        r = eng.sql(
+            "SELECT CAST('07:15:30.25+02:00' AS TIME(3) WITH TIME ZONE) AS a,"
+            " TRY_CAST('nonsense' AS TIME(6) WITH TIME ZONE) AS b"
+        ).collect()[0]
+        assert r.a == "07:15:30.250+02:00"
+        assert r.b is None
+        tbl = f"tzprec_{os.getpid()}"
+        eng.sql(f"DROP TABLE IF EXISTS {tbl}")
+        eng.sql(f"CREATE TABLE {tbl} (k BIGINT, tv TIME(3) WITH TIME ZONE)")
+        eng.sql(f"INSERT INTO {tbl} VALUES (CAST(1 AS BIGINT), TIME '10:30:00+05:30')")
+        rows = eng.sql(f"SELECT k, tv FROM {tbl}").collect()
+        assert [(r.k, r.tv) for r in rows] == [(1, "10:30:00.000+05:30")]
+        eng.sql(f"DROP TABLE {tbl}")
 
     def test_column_api_struct_roundtrip(self, spark):
         from trino_spark.functions import timeofday as T

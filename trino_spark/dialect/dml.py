@@ -1325,8 +1325,12 @@ def _trino_type_to_spark(t: str) -> str:
     t = re.sub(r"\binteger\b", "int", t)
     # TIME WITH TIME ZONE: canonical-varchar carrier (functions/registry.py
     # r5 batch); plain TIME emulated as nanos-of-day bigints.
-    t = re.sub(r"\btime\s+with\s+time\s+zone\b", "string", t)
-    t = re.sub(r"\btime\b(?!stamp)", "bigint", t)
+    t = re.sub(r"\btime(\(\d+\))?\s+with\s+time\s+zone\b", "string", t)
+    t = re.sub(r"\btime\b(\(\d+\))?", "bigint", t)
+    # timestamp precision: Spark timestamps are fixed µs — precisions > 6
+    # truncate (documented), the parenthesized form is not Spark DDL
+    t = re.sub(r"\btimestamp\(\d+\)(\s+with\s+time\s+zone)?", "timestamp", t)
+    t = re.sub(r"\btimestamp\s+with\s+time\s+zone\b", "timestamp", t)
     return t
 
 

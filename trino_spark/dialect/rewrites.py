@@ -1218,6 +1218,19 @@ def _rewrite_timetz(toks: list[Tok]) -> list[Tok]:
         if t.is_word("AS"):
             j = next_code(toks, i + 1)
             k = next_code(toks, j + 1) if j < n else n
+            # optional precision: TIME(p) WITH TIME ZONE — Trino's
+            # canonical spelling carries a precision; the carrier keeps
+            # canonical precision 3, so `(p)` is consumed and dropped
+            if (
+                j < n
+                and toks[j].is_word("TIME")
+                and k < n
+                and toks[k].is_sym("(")
+            ):
+                d = next_code(toks, k + 1)
+                c = next_code(toks, d + 1) if d < n else n
+                if c < n and toks[d].kind == "NUM" and toks[c].is_sym(")"):
+                    k = next_code(toks, c + 1)
             m = next_code(toks, k + 1) if k < n else n
             p = next_code(toks, m + 1) if m < n else n
             if (

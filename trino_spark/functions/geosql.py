@@ -183,7 +183,10 @@ def _from_lnglat(srid: int, lng: float, lat: float):
     if srid == 4326:
         return lng, lat
     if srid == 3857:
-        if not -85.06 < lat < 85.06:
+        # the spherical-Mercator formula is defined up to ±90° exclusive
+        # (GeoTools transforms latitudes beyond the ±85.06° tile cutoff
+        # too — valid reference queries must not error here)
+        if not -90.0 < lat < 90.0:
             raise ValueError("ST_Transform: latitude out of Web Mercator range")
         s = math.sin(math.radians(lat))
         return (

@@ -636,6 +636,10 @@ def _timetz_parts(s):
         + int(ss or 0) * 1_000_000_000
         + int((frac or "").ljust(9, "0") or 0)
     )
+    if omm is not None and int(omm) > 59:
+        # '+10:99' is an invalid zone offset, not 10h99m (reference
+        # rejects minute fields > 59 before range-checking the total)
+        raise ValueError(f"Invalid TIME WITH TIME ZONE offset: {s!r}")
     off = (-1 if sign == "-" else 1) * (int(ohh or 0) * 60 + int(omm or 0))
     if not -14 * 60 <= off <= 14 * 60:
         raise ValueError(f"TIME WITH TIME ZONE offset out of range: {s!r}")
@@ -681,6 +685,8 @@ def _parse_offset(z):
             f"TIME WITH TIME ZONE supports fixed offsets only, got {z!r}"
         )
     sign, hh, mm = m.groups()
+    if mm is not None and int(mm) > 59:
+        raise ValueError(f"invalid offset minutes: {z!r}")
     off = (-1 if sign == "-" else 1) * (int(hh) * 60 + int(mm or 0))
     if not -14 * 60 <= off <= 14 * 60:
         raise ValueError(f"offset out of range: {z!r}")
