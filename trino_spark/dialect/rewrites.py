@@ -1511,6 +1511,152 @@ def _rewrite_qident(toks):
     return out
 
 
+_SPATIAL_AGG_NAMES = ("SPATIAL_PARTITIONING", "SPATIAL_PARTITIONING_N")
+_SPATIAL_SAMPLE_N = 10000
+# common aggregates whose presence means the block is NOT a pure
+# spatial-partitioning global aggregate — leave such blocks untouched
+_OTHER_AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "ARRAY_AGG",
+               "COLLECT_LIST", "COLLECT_SET", "APPROX_DISTINCT")
+
+
+def _rewrite_spatial_sample(toks: list[Tok]) -> list[Tok]:
+    """spatial_partitioning[_n](g[, n]) is a pandas GROUPED_AGG — Spark's
+    Python aggregate path has NO partial merge, so a global call ships the
+    whole geometry column to one task. The reference keeps a bounded
+    reservoir per partial state (plugin/trino-geospatial
+    SpatialPartitioningAggregateFunction.java). Rewrite the enclosing
+    global-aggregate SELECT block so the aggregate consumes a
+    deterministic bottom-k hash sample:
+
+        SELECT spatial_partitioning_n(g, 8) FROM pts
+     -> SELECT spatial_partitioning_n(__sp_w0, 8) FROM (
+          SELECT * FROM (SELECT *, g AS __sp_w0 FROM pts) __sp_src0
+          WHERE __sp_w0 IS NOT NULL
+          ORDER BY xxhash64(CAST(__sp_w0 AS STRING)) LIMIT 10000
+        ) __sp_sample0
+
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject: per-partition
+    top-k then a bounded merge — only <= 10k geometries ever move, and a
+    bottom-k-by-uniform-hash sample IS a uniform reservoir sample.
+    Applies only to blocks with a FROM, no GROUP BY/HAVING, and no other
+    aggregate in the select list; anything else keeps the direct form."""
+    skip = 0
+    for _ in range(16):  # statements hold at most a handful of calls
+        res = _spatial_sample_once(toks, skip)
+        if res is None:
+            return toks
+        toks, aborted = res
+        if aborted:
+            skip += 1
+    return toks
+
+
+def _spatial_sample_once(
+    toks: list[Tok], skip: int
+) -> "tuple[list[Tok], bool] | None":
+    n = len(toks)
+    seen = 0
+    chosen = None
+    for f in range(n):
+        if not toks[f].is_word(*_SPATIAL_AGG_NAMES):
+            continue
+        op = next_code(toks, f + 1)
+        if op >= n or not toks[op].is_sym("("):
+            continue
+        cl = match_paren(toks, op)
+        arg_spans = split_args(toks, op, cl)
+        if not arg_spans:
+            continue
+        first = render(toks[arg_spans[0][0] : arg_spans[0][1]]).strip()
+        if first.startswith("__sp_w"):
+            continue  # already sampled
+        if seen < skip:
+            seen += 1
+            continue
+        chosen = (f, op, cl, first)
+        break
+    if chosen is None:
+        return None
+    f, op, cl, first = chosen
+
+    # enclosing SELECT: walk backward, clamped depth
+    depth = 0
+    sel = -1
+    for i in range(f - 1, -1, -1):
+        t = toks[i]
+        if t.is_sym(")"):
+            depth += 1
+        elif t.is_sym("("):
+            depth = max(0, depth - 1)
+        elif depth == 0 and t.is_word("SELECT"):
+            sel = i
+            break
+    if sel < 0:
+        return toks, True
+
+    # forward walk from the SELECT: locate FROM and the block boundary
+    depth = 0
+    from_idx = -1
+    boundary = n
+    blocked = False
+    for i in range(sel + 1, n):
+        t = toks[i]
+        if t.is_sym("("):
+            depth += 1
+        elif t.is_sym(")"):
+            if depth == 0:
+                boundary = i
+                break
+            depth -= 1
+        elif depth == 0:
+            if t.is_word("FROM") and from_idx < 0:
+                from_idx = i
+            elif t.is_word("GROUP", "HAVING") and from_idx >= 0:
+                blocked = True
+                boundary = i
+                break
+            elif t.is_word(
+                "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+                "WINDOW", "FETCH", "OFFSET",
+            ) and from_idx >= 0:
+                boundary = i
+                break
+    if blocked or from_idx < 0:
+        return toks, True
+    # another aggregate anywhere in the select list -> leave the block
+    for i in range(sel + 1, from_idx):
+        if toks[i].is_word(*_OTHER_AGGS):
+            j = next_code(toks, i + 1)
+            if j < n and toks[j].is_sym("("):
+                return toks, True
+
+    tag = render(toks).count("__sp_src")
+    alias = f"__sp_w{tag}"
+    from_text = render(toks[from_idx + 1 : boundary]).strip()
+
+    # replace the first argument of every matching call in the select
+    # list (last-to-first so spans stay valid)
+    calls = []
+    for i in range(sel + 1, from_idx):
+        if toks[i].is_word(*_SPATIAL_AGG_NAMES):
+            o = next_code(toks, i + 1)
+            if o < n and toks[o].is_sym("("):
+                c = match_paren(toks, o)
+                spans = split_args(toks, o, c)
+                if spans and render(toks[spans[0][0] : spans[0][1]]).strip() == first:
+                    calls.append(spans[0])
+    head = list(toks[: from_idx + 1])
+    for s, e in sorted(calls, reverse=True):
+        head[s:e] = [Tok("WORD", alias)]
+    new_from = (
+        f" (SELECT * FROM (SELECT *, {first} AS {alias} FROM {from_text})"
+        f" __sp_src{tag} WHERE {alias} IS NOT NULL"
+        f" ORDER BY xxhash64(CAST({alias} AS STRING))"
+        f" LIMIT {_SPATIAL_SAMPLE_N}) __sp_sample{tag} "
+    )
+    return head + tokenize(new_from) + list(toks[boundary:]), False
+
+
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
     # Standalone VALUES statement (grammar SqlBase.g4 query -> VALUES):
@@ -1519,6 +1665,7 @@ def translate(sql: str) -> str:
         sql = "SELECT * FROM " + sql.strip()
     toks = tokenize(sql)
     toks = _rewrite_qident(toks)
+    toks = _rewrite_spatial_sample(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
     toks = _rewrite_timetz(toks)

@@ -744,7 +744,11 @@ def register_geo_functions(spark: SparkSession) -> None:
     )
     @pandas_udf("string")
     def spatial_partitioning(w: pd.Series) -> str:
-        # sample cap mirrors the reference's 10k-envelope sample
+        # The dialect pre-samples the input (rewrites.py
+        # _rewrite_spatial_sample: bottom-10k-by-hash via
+        # TakeOrderedAndProject) so this GROUPED_AGG — which has no
+        # partial merge — receives a bounded group. head(10000) is a
+        # belt-and-braces cap for raw spark.sql callers.
         centers = []
         for wkt in w.dropna().head(10000):
             pts = K._points_of(_parse(wkt))
