@@ -327,3 +327,34 @@ def test_merge_tdigest_and_qdigest(eng):
         " (SELECT explode(sequence(1, 1000)) AS id)) GROUP BY g)",
     )
     assert abs(got - 500) / 500 < 0.05
+
+
+def test_sketch_agg_two_phase_plan(eng):
+    """Round-6 (VERDICT): the GROUPED_AGG sketch SQL surface must not
+    buffer a whole group in one pandas Series. The dialect splits
+    f_agg into per-scan-partition partials + a merge aggregate, so the
+    plan carries TWO python aggregate stages and the inner one groups
+    by the partition salt."""
+    df = eng.sql(
+        "SELECT value_at_quantile(qdigest_agg(x), 0.5) AS med FROM"
+        " (SELECT CAST(id AS DOUBLE) AS x FROM"
+        "  (SELECT explode(sequence(1, 2000)) AS id))"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__sk_salt" in plan
+    assert "merge_qdigest" in plan and "qdigest_agg" in plan
+    med = df.collect()[0].med
+    assert abs(med - 1000) / 1000 < 0.05
+
+
+def test_sketch_agg_two_phase_groupby_matches_direct(eng):
+    """Exact merge algebra: a grouped make_set_digest through the
+    two-phase path must produce the same digests a direct single-buffer
+    build would (KMV bottom-k is exactly mergeable)."""
+    rows = eng.sql(
+        "SELECT grp, intersection_cardinality(d, d) AS c FROM"
+        " (SELECT id % 3 AS grp, make_set_digest(id) AS d FROM"
+        "  (SELECT explode(sequence(1, 999)) AS id) GROUP BY id % 3)"
+        " ORDER BY grp"
+    ).collect()
+    assert [(r.grp, r.c) for r in rows] == [(0, 333), (1, 333), (2, 333)]

@@ -1657,6 +1657,249 @@ def _spatial_sample_once(
     return head + tokenize(new_from) + list(toks[boundary:]), False
 
 
+_SKETCH_AGGS = {
+    "QDIGEST_AGG": "merge_qdigest",
+    "TDIGEST_AGG": "merge_tdigest",
+    "MAKE_SET_DIGEST": "merge_set_digest",
+    "THETA_SKETCH_AGG": "theta_sketch_union",
+}
+
+
+def _rewrite_sketch_twophase(toks: list[Tok]) -> list[Tok]:
+    """Two-phase the GROUPED_AGG sketch SQL surface (functions/sqlagg.py).
+
+    A pandas GROUPED_AGG buffers its whole group in one pandas Series —
+    the reference's accumulators merge partials instead
+    (TDigestAggregationFunction#combine etc.). Every sketch family here
+    is exactly mergeable (qdigest buckets sum, KMV bottom-k of a union
+    of bottom-k sets is the bottom-k of the union, theta union), so
+    rewrite
+
+        SELECT k, qdigest_agg(v) FROM t GROUP BY k
+     -> SELECT __sk_g0 AS ..., merge_qdigest(__sk_p0) FROM (
+          SELECT k AS __sk_g0, qdigest_agg(v) AS __sk_p0
+          FROM (SELECT *, spark_partition_id() AS __sk_salt FROM t) __sk_src
+          GROUP BY k, __sk_salt
+        ) __sk_part GROUP BY __sk_g0
+
+    Each inner group is bounded by a scan-partition's share of the key,
+    so no whole-group buffer ever forms; the merge phase consumes one
+    small sketch per (key, partition). Blocks with HAVING, DISTINCT,
+    grouping sets, ordinal group keys, window OVER uses, or other
+    aggregates keep the direct form (pandas GROUPED_AGG cannot mix with
+    plain aggregates in one SELECT anyway)."""
+    skip = 0
+    for _ in range(16):
+        res = _sketch_twophase_once(toks, skip)
+        if res is None:
+            return toks
+        toks, aborted = res
+        if aborted:
+            skip += 1
+    return toks
+
+
+def _sketch_twophase_once(
+    toks: list[Tok], skip: int
+) -> "tuple[list[Tok], bool] | None":
+    n = len(toks)
+
+    def _block_of(f: int):
+        """(sel, from_idx, group_idx, boundary, blocked) for the SELECT
+        block enclosing token f."""
+        depth = 0
+        sel = -1
+        for i in range(f - 1, -1, -1):
+            t = toks[i]
+            if t.is_sym(")"):
+                depth += 1
+            elif t.is_sym("("):
+                depth = max(0, depth - 1)
+            elif depth == 0 and t.is_word("SELECT"):
+                sel = i
+                break
+        if sel < 0:
+            return None
+        depth = 0
+        from_idx = group_idx = -1
+        boundary = n
+        blocked = False
+        for i in range(sel + 1, n):
+            t = toks[i]
+            if t.is_sym("("):
+                depth += 1
+            elif t.is_sym(")"):
+                if depth == 0:
+                    boundary = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                if t.is_word("DISTINCT") and from_idx < 0:
+                    blocked = True
+                elif t.is_word("FROM") and from_idx < 0:
+                    from_idx = i
+                elif from_idx >= 0 and t.is_word("GROUP") and group_idx < 0:
+                    group_idx = i
+                elif from_idx >= 0 and t.is_word("HAVING"):
+                    blocked = True
+                    boundary = i
+                    break
+                elif from_idx >= 0 and t.is_word(
+                    "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+                    "WINDOW", "FETCH", "OFFSET",
+                ):
+                    boundary = i
+                    break
+        return sel, from_idx, group_idx, boundary, blocked
+
+    seen = 0
+    chosen = None
+    for f in range(n):
+        if not toks[f].is_word(*_SKETCH_AGGS):
+            continue
+        op = next_code(toks, f + 1)
+        if op >= n or not toks[op].is_sym("("):
+            continue
+        blk = _block_of(f)
+        if blk is not None and not blk[4]:
+            sel, from_idx, group_idx, boundary, _ = blk
+            if group_idx >= 0 and "__sk_salt" in render(
+                toks[group_idx:boundary]
+            ):
+                continue  # the inner partial of an already-done rewrite
+        if seen < skip:
+            seen += 1
+            continue
+        chosen = (f, blk)
+        break
+    if chosen is None:
+        return None
+    f, blk = chosen
+    if blk is None or blk[4] or blk[1] < 0:
+        return toks, True
+    sel, from_idx, group_idx, boundary, _ = blk
+
+    # other aggregates in the select list -> leave the block alone
+    for i in range(sel + 1, from_idx):
+        if toks[i].is_word(*_OTHER_AGGS):
+            j = next_code(toks, i + 1)
+            if j < n and toks[j].is_sym("("):
+                return toks, True
+
+    # group keys
+    gkeys: list[str] = []
+    if group_idx >= 0:
+        by = next_code(toks, group_idx + 1)
+        if by >= n or not toks[by].is_word("BY"):
+            return toks, True
+        gtext = render(toks[by + 1 : boundary])
+        if re.search(r"\b(ROLLUP|CUBE|GROUPING)\b", gtext, re.IGNORECASE):
+            return toks, True
+        depth = 0
+        start = ""
+        parts: list[str] = []
+        for ch in gtext:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(start)
+                start = ""
+            else:
+                start += ch
+        parts.append(start)
+        gkeys = [p.strip() for p in parts if p.strip()]
+        if any(re.fullmatch(r"\d+", g) for g in gkeys):
+            return toks, True  # ordinal keys
+
+    # sketch calls anywhere in the select list
+    calls: list[tuple[int, int]] = []  # (name_idx, close_idx)
+    for i in range(sel + 1, from_idx):
+        if toks[i].is_word(*_SKETCH_AGGS):
+            o = next_code(toks, i + 1)
+            if o < n and toks[o].is_sym("("):
+                c = match_paren(toks, o)
+                after = next_code(toks, c + 1)
+                if after < n and toks[after].is_word("OVER"):
+                    return toks, True
+                calls.append((i, c))
+    if not calls:
+        return toks, True
+
+    tag = render(toks).count("__sk_src")
+    partials: dict[str, tuple[str, str]] = {}  # call text -> (alias, merge fn)
+    for i, c in calls:
+        text = render(toks[i : c + 1]).strip()
+        if text not in partials:
+            partials[text] = (
+                f"__sk_p{tag}_{len(partials)}",
+                _SKETCH_AGGS[toks[i].text.upper()],
+            )
+
+    def _bound_sub(text: str, old: str, new: str) -> str:
+        # identifier-boundary-guarded replacement so a group key `k`
+        # never rewrites the `k` inside `__sk_p0_0` or `kind`
+        pat = r"(?<![A-Za-z0-9_])" + re.escape(old) + r"(?![A-Za-z0-9_])"
+        return re.sub(pat, new, text)
+
+    sel_list = render(toks[sel + 1 : from_idx])
+    # longest-first so make_set_digest(a) does not clobber
+    # make_set_digest(a_long)'s text
+    for text, (alias, mfn) in sorted(partials.items(), key=lambda kv: -len(kv[0])):
+        sel_list = sel_list.replace(text, f"{mfn}({alias})")
+    # a bare-identifier key keeps its own name through the inner query
+    # (renaming it would change the block's output schema); only key
+    # EXPRESSIONS need a synthetic alias
+    galias = {
+        g: (g if _SIMPLE_IDENT.match(g) else f"__sk_g{tag}_{j}")
+        for j, g in enumerate(gkeys)
+    }
+    for g in sorted(gkeys, key=len, reverse=True):
+        if galias[g] != g:
+            sel_list = _bound_sub(sel_list, g, galias[g])
+
+    # the block's own ORDER BY / LIMIT tail may reference group keys the
+    # outer query no longer exposes under their original spelling
+    block_end = boundary
+    depth = 0
+    for i in range(boundary, n):
+        t = toks[i]
+        if t.is_sym("("):
+            depth += 1
+        elif t.is_sym(")"):
+            if depth == 0:
+                block_end = i
+                break
+            depth -= 1
+    else:
+        block_end = n
+    tail = render(toks[boundary:block_end])
+    for g in sorted(gkeys, key=len, reverse=True):
+        if galias[g] != g:
+            tail = _bound_sub(tail, g, galias[g])
+
+    from_end = group_idx if group_idx >= 0 else boundary
+    from_text = render(toks[from_idx + 1 : from_end]).strip()
+    inner_list = ", ".join(
+        [f"{g} AS {a}" for g, a in galias.items()]
+        + [f"{text} AS {alias}" for text, (alias, _) in partials.items()]
+    )
+    inner_group = ", ".join(gkeys + ["__sk_salt"])
+    inner = (
+        f"SELECT {inner_list} FROM (SELECT *, spark_partition_id() AS"
+        f" __sk_salt FROM {from_text}) __sk_src{tag} GROUP BY {inner_group}"
+    )
+    outer_group = (
+        f" GROUP BY {', '.join(galias[g] for g in gkeys)}" if gkeys else ""
+    )
+    block = (
+        f"SELECT {sel_list.strip()} FROM ({inner}) __sk_part{tag}"
+        f"{outer_group} {tail} "
+    )
+    return list(toks[:sel]) + tokenize(block) + list(toks[block_end:]), False
+
+
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
     # Standalone VALUES statement (grammar SqlBase.g4 query -> VALUES):
@@ -1666,6 +1909,7 @@ def translate(sql: str) -> str:
     toks = tokenize(sql)
     toks = _rewrite_qident(toks)
     toks = _rewrite_spatial_sample(toks)
+    toks = _rewrite_sketch_twophase(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
     toks = _rewrite_timetz(toks)
