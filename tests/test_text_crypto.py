@@ -107,3 +107,104 @@ class TestSpookyHashV2:
             data = bytes((i * 7 + 3) % 256 for i in range(n))
             assert S.hash64(data) == S.hash64(bytes(data))
             assert S.hash32(data) == S.hash64(data) & 0xFFFFFFFF
+
+    def test_long_path_vs_unrolled_transcription(self):
+        """Round-6: the reference's own suite pins NO >= 192 B vector
+        (TestVarbinaryFunctions.java:786-796 — every input <= 5 bytes),
+        and no second SpookyV2 implementation exists in this container,
+        so the strongest offline evidence for the long path is a
+        DIFFERENT-SHAPED transcription of Bob Jenkins' published
+        spooky.cpp: the unrolled Mix / EndPartial statement lists below
+        are copied line-for-line from the public source, while
+        functions/spooky.py uses modular-index loops. Agreement across
+        the whole long domain (block boundaries, partial tails, seeds)
+        rules out loop-refactoring transcription errors."""
+        import struct
+
+        from trino_spark.functions import spooky as S
+
+        M = (1 << 64) - 1
+        SC = 0xDEADBEEFDEADBEEF
+
+        def rot(x, k):
+            return ((x << k) | (x >> (64 - k))) & M
+
+        def mix(d, h):
+            # spooky.cpp SpookyHash::Mix, verbatim statement order
+            h[0] = (h[0] + d[0]) & M; h[2] ^= h[10]; h[11] ^= h[0]; h[0] = rot(h[0], 11); h[11] = (h[11] + h[1]) & M
+            h[1] = (h[1] + d[1]) & M; h[3] ^= h[11]; h[0] ^= h[1]; h[1] = rot(h[1], 32); h[0] = (h[0] + h[2]) & M
+            h[2] = (h[2] + d[2]) & M; h[4] ^= h[0]; h[1] ^= h[2]; h[2] = rot(h[2], 43); h[1] = (h[1] + h[3]) & M
+            h[3] = (h[3] + d[3]) & M; h[5] ^= h[1]; h[2] ^= h[3]; h[3] = rot(h[3], 31); h[2] = (h[2] + h[4]) & M
+            h[4] = (h[4] + d[4]) & M; h[6] ^= h[2]; h[3] ^= h[4]; h[4] = rot(h[4], 17); h[3] = (h[3] + h[5]) & M
+            h[5] = (h[5] + d[5]) & M; h[7] ^= h[3]; h[4] ^= h[5]; h[5] = rot(h[5], 28); h[4] = (h[4] + h[6]) & M
+            h[6] = (h[6] + d[6]) & M; h[8] ^= h[4]; h[5] ^= h[6]; h[6] = rot(h[6], 39); h[5] = (h[5] + h[7]) & M
+            h[7] = (h[7] + d[7]) & M; h[9] ^= h[5]; h[6] ^= h[7]; h[7] = rot(h[7], 57); h[6] = (h[6] + h[8]) & M
+            h[8] = (h[8] + d[8]) & M; h[10] ^= h[6]; h[7] ^= h[8]; h[8] = rot(h[8], 55); h[7] = (h[7] + h[9]) & M
+            h[9] = (h[9] + d[9]) & M; h[11] ^= h[7]; h[8] ^= h[9]; h[9] = rot(h[9], 54); h[8] = (h[8] + h[10]) & M
+            h[10] = (h[10] + d[10]) & M; h[0] ^= h[8]; h[9] ^= h[10]; h[10] = rot(h[10], 22); h[9] = (h[9] + h[11]) & M
+            h[11] = (h[11] + d[11]) & M; h[1] ^= h[9]; h[10] ^= h[11]; h[11] = rot(h[11], 46); h[10] = (h[10] + h[0]) & M
+
+        def end_partial(h):
+            # spooky.cpp SpookyHash::EndPartial, verbatim statement order
+            h[11] = (h[11] + h[1]) & M; h[2] ^= h[11]; h[1] = rot(h[1], 44)
+            h[0] = (h[0] + h[2]) & M; h[3] ^= h[0]; h[2] = rot(h[2], 15)
+            h[1] = (h[1] + h[3]) & M; h[4] ^= h[1]; h[3] = rot(h[3], 34)
+            h[2] = (h[2] + h[4]) & M; h[5] ^= h[2]; h[4] = rot(h[4], 21)
+            h[3] = (h[3] + h[5]) & M; h[6] ^= h[3]; h[5] = rot(h[5], 38)
+            h[4] = (h[4] + h[6]) & M; h[7] ^= h[4]; h[6] = rot(h[6], 33)
+            h[5] = (h[5] + h[7]) & M; h[8] ^= h[5]; h[7] = rot(h[7], 10)
+            h[6] = (h[6] + h[8]) & M; h[9] ^= h[6]; h[8] = rot(h[8], 13)
+            h[7] = (h[7] + h[9]) & M; h[10] ^= h[7]; h[9] = rot(h[9], 38)
+            h[8] = (h[8] + h[10]) & M; h[11] ^= h[8]; h[10] = rot(h[10], 53)
+            h[9] = (h[9] + h[11]) & M; h[0] ^= h[9]; h[11] = rot(h[11], 42)
+            h[10] = (h[10] + h[0]) & M; h[1] ^= h[10]; h[0] = rot(h[0], 54)
+
+        def hash128_long(data, seed1, seed2):
+            h = [seed1, seed2, SC, seed1, seed2, SC,
+                 seed1, seed2, SC, seed1, seed2, SC]
+            pos = 0
+            end = (len(data) // 96) * 96
+            while pos < end:
+                mix(struct.unpack_from("<12Q", data, pos), h)
+                pos += 96
+            remainder = len(data) - pos
+            buf = bytearray(96)
+            buf[:remainder] = data[pos:]
+            buf[95] = remainder
+            d = struct.unpack("<12Q", bytes(buf))
+            for i in range(12):  # End(): add last block, then 3 partials
+                h[i] = (h[i] + d[i]) & M
+            end_partial(h)
+            end_partial(h)
+            end_partial(h)
+            return h[0], h[1]
+
+        rng_state = 0x9E3779B97F4A7C15
+        def next_bytes(n):
+            nonlocal rng_state
+            out = bytearray()
+            while len(out) < n:
+                rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) & M
+                out += struct.pack("<Q", rng_state)
+            return bytes(out[:n])
+
+        for n in (192, 193, 200, 255, 287, 288, 289, 383, 384, 385, 500, 959, 960, 961):
+            data = next_bytes(n)
+            for s1, s2 in ((0, 0), (1, 2), (0xDEADBEEF, 0xFEEDFACE)):
+                assert S.hash128(data, s1, s2) == hash128_long(data, s1, s2), n
+
+    def test_long_path_regression_digests(self):
+        """Self-pinned regression vectors over the long domain (no
+        external vector is publishable offline — documented in
+        functions/spooky.py): any future refactor must reproduce these."""
+        from trino_spark.functions import spooky as S
+
+        data = bytes((i * 131 + 17) % 256 for i in range(512))
+        assert S.hash64(data[:192]) == S.hash128(data[:192], 0, 0)[0]
+        pinned = {
+            192: 0xDFDBBE377BC0E66C,
+            288: 0x8A4AEFF84E7171A2,
+            512: 0x0B2C96BB0E40894B,
+        }
+        for n, v in pinned.items():
+            assert S.hash64(data[:n]) == v, n

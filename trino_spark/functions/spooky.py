@@ -8,10 +8,17 @@ TestVarbinaryFunctions.java:783-797).
 Verification status: the SHORT path (messages < 192 bytes — every test
 vector the reference publishes, and the practical domain of SQL string
 hashing) matches the reference's pinned digests exactly. The LONG path
-(>= 192 bytes, the 12-lane Mix/End rounds) follows the published
-rotation constants; no independent long-message vector exists in this
-environment, so tests additionally pin self-consistency (block-boundary
-lengths, determinism) — flagged here rather than silently assumed.
+(>= 192 bytes, the 12-lane Mix/End rounds): the reference's own suite
+pins NO >= 192 B vector (TestVarbinaryFunctions.java:786-796 — all
+inputs <= 5 bytes) and no second implementation is reachable offline,
+so round 6 verifies it by a DIFFERENT-SHAPED transcription: the
+published spooky.cpp Mix/EndPartial statement lists, copied verbatim
+into tests/test_text_crypto.py, agree with this module's
+modular-index-loop form across the long domain (block boundaries,
+partial tails, multiple seeds), and three long digests are pinned as
+regression vectors. That rules out loop-refactoring transcription
+errors; a byte-for-byte external vector remains impossible to obtain
+in this container and is documented rather than assumed.
 """
 
 from __future__ import annotations
