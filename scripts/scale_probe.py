@@ -13,8 +13,17 @@ corpus for PERFORMANCE ratios only (correctness stays gated on the
 driver's own testdata; TESTDATA.md inputs are never modified).
 
 Usage: python scripts/scale_probe.py [--rebuild]
+       python scripts/scale_probe.py --tpch-duel
 Writes parquet to <repo>/bench_sf1/ (gitignored) and prints a markdown
 ratio table for PERF.md.
+
+--tpch-duel runs ALL 22 TPC-H queries at sf1 on BOTH engines with the
+same protocol (warm + min-of-3, 32 threads): Spark via the registry
+builders (noop sink), DuckDB via the same oracle SQL on the identical
+parquet. This measures whether the fixed per-query Spark job floor
+(~0.3-0.5 s, which dominates sf0.1 totals) amortizes once per-query
+data work exceeds it — the floor-bound claim behind the 100 TB design
+point.
 """
 
 from __future__ import annotations
@@ -112,6 +121,36 @@ def _time(spec, spark, sf_dir: str, runs: int = 3) -> float:
     return min(once() for _ in range(runs))
 
 
+def _time_duck(con, sql: str, runs: int = 3) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        con.execute(sql).fetch_arrow_table()
+        return time.perf_counter() - t0
+
+    once()  # prewarm
+    return min(once() for _ in range(runs))
+
+
+def tpch_duel(spark) -> None:
+    from trino_spark.queries import tpch
+    from trino_spark.testing import duckdb_connection
+
+    specs = tpch.REG.specs()
+    con = duckdb_connection(SF1)
+    con.execute("SET threads TO 32")
+    rows = []
+    for name, spec in specs.items():
+        s = _time(spec, spark, SF1)
+        d = _time_duck(con, spec.oracle)
+        rows.append((name, s, d, s / d))
+        print(f"| {name} | {s:.2f} | {d:.2f} | {s / d:.1f}x |", flush=True)
+    ts = sum(r[1] for r in rows)
+    td = sum(r[2] for r in rows)
+    print(f"| **total** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}x** |")
+    worst = sorted(rows, key=lambda r: -r[3])[:5]
+    print("worst ratios:", [(n, round(r, 1)) for n, _, _, r in worst], file=sys.stderr)
+
+
 def main() -> None:
     from trino_spark.queries import all_specs
     from trino_spark.session import get_spark
@@ -120,6 +159,11 @@ def main() -> None:
     if "--rebuild" in sys.argv or not Path(SF1, "lineitem.parquet").exists():
         print("building sf1 dataset...", file=sys.stderr)
         build_sf1(spark)
+    if "--tpch-duel" in sys.argv:
+        print("| query | spark sf1 (s) | duckdb sf1 (s) | ratio |")
+        print("|---|---|---|---|")
+        tpch_duel(spark)
+        return
     specs = all_specs()
     print("| query | sf0.1 | sf1 | ratio |")
     print("|---|---|---|---|")

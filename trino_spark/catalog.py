@@ -127,6 +127,14 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalo
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One-table loader used by query builders (no view side effects).
 
+    Cached per (session, sf_dir, name): the parquet footer/schema read
+    costs ~75 ms per table via py4j, and every TrinoEngine construction
+    re-registers all 10 testdata views — reusing the immutable DataFrame
+    (plans are never mutated; testdata is read-only) turns the
+    per-engine catalog setup from ~0.8 s into ~10 catalog calls. The
+    temp-view registration itself still happens per engine so a view a
+    prior engine replaced is always reset.
+
     events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as LongType
     (legacy conf) and rebuild a microsecond timestamp with INTEGER division
@@ -134,6 +142,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would corrupt the low microsecond digit. Truncation (floor) matches what
     DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does, so oracles agree to the µs.
     """
+    cache = getattr(spark, "_ts_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ts_load_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
@@ -148,6 +163,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # and downstream unix_micros()/window() get the TIMESTAMP they
             # require.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

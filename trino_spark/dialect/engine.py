@@ -62,33 +62,48 @@ class TrinoEngine:
         # source-table fingerprints captured at refresh time.
         self._mv_meta: dict[str, dict] = {}
         if sf_dir:
+            from trino_spark.catalog import load as _load
+
             self.catalog.register_parquet_dir(sf_dir, ALL_TABLES)
+            # schema via the session-cached loader (catalog.load): the
+            # StructType is memoized on the cached DataFrame, so repeat
+            # engine constructions skip 10 py4j schema round-trips
             schemas = {
-                name: [(f.name, f.dataType.simpleString()) for f in spark.table(name).schema]
+                name: [
+                    (f.name, f.dataType.simpleString())
+                    for f in _load(spark, sf_dir, name).schema
+                ]
                 for name in ALL_TABLES
             }
             register_information_schema(spark, schemas)
-        from trino_spark.dialect import ptf as _ptf
+        # Function/PTF registration is session-global and idempotent —
+        # ~190 spark.udf.register calls cost ~1.3 s of py4j round-trips,
+        # so do it once per SparkSession, not once per engine (the
+        # reference registers SystemFunctionBundle once at server boot,
+        # not per query).
+        if not getattr(spark, "_ts_fns_registered", False):
+            from trino_spark.dialect import ptf as _ptf
 
-        _ptf.register_builtin_table_functions(spark)
-        # Python-bodied scalar residue (normalize/word_stem/base32/hmac/
-        # CDFs) so those names resolve from SQL text — the
-        # SystemFunctionBundle registration analog.
-        from trino_spark.functions.registry import (
-            register_sql_functions,
-            register_sql_functions_r4,
-            register_sql_functions_r5,
-        )
+            _ptf.register_builtin_table_functions(spark)
+            # Python-bodied scalar residue (normalize/word_stem/base32/
+            # hmac/CDFs) so those names resolve from SQL text — the
+            # SystemFunctionBundle registration analog.
+            from trino_spark.functions.registry import (
+                register_sql_functions,
+                register_sql_functions_r4,
+                register_sql_functions_r5,
+            )
 
-        register_sql_functions(spark)
-        register_sql_functions_r4(spark)
-        register_sql_functions_r5(spark)
-        from trino_spark.functions.sqlagg import register_sql_aggregates
+            register_sql_functions(spark)
+            register_sql_functions_r4(spark)
+            register_sql_functions_r5(spark)
+            from trino_spark.functions.sqlagg import register_sql_aggregates
 
-        register_sql_aggregates(spark)
-        from trino_spark.functions.geosql import register_geo_functions
+            register_sql_aggregates(spark)
+            from trino_spark.functions.geosql import register_geo_functions
 
-        register_geo_functions(spark)
+            register_geo_functions(spark)
+            spark._ts_fns_registered = True
 
     def sql(self, trino_sql: str) -> DataFrame:
         """Dispatch a Trino-dialect statement; top-level calls are recorded

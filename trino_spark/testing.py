@@ -29,6 +29,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in ALL_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            # Spark-written table directory (e.g. the sf1 scaling set):
+            # DuckDB needs a part-file glob, not the directory itself
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 
