@@ -132,6 +132,13 @@ def _time_duck(con, sql: str, runs: int = 3) -> float:
 
 
 def tpch_duel(spark) -> None:
+    """All 22 TPC-H queries, Spark vs DuckDB on identical sf1 parquet,
+    warm min-of-3 each. The `floor` column is the same Spark query timed
+    at sf0.001 (data work ~ 0): it measures the fixed per-query job cost
+    (planning + task launch + py4j) that a long-running cluster
+    amortizes but a single-process benchmark pays 22 times. `corrected`
+    = (sf1 - floor) / duckdb, the data-work ratio relevant at the
+    100 TB design point."""
     from trino_spark.queries import tpch
     from trino_spark.testing import duckdb_connection
 
@@ -141,14 +148,23 @@ def tpch_duel(spark) -> None:
     rows = []
     for name, spec in specs.items():
         s = _time(spec, spark, SF1)
+        f = _time(spec, spark, "/root/testdata/sf0.001")
         d = _time_duck(con, spec.oracle)
-        rows.append((name, s, d, s / d))
-        print(f"| {name} | {s:.2f} | {d:.2f} | {s / d:.1f}x |", flush=True)
+        corr = max(s - f, 0.0) / d
+        rows.append((name, s, f, d, s / d, corr))
+        print(
+            f"| {name} | {s:.2f} | {f:.2f} | {d:.2f} | {s / d:.1f}x | {corr:.1f}x |",
+            flush=True,
+        )
     ts = sum(r[1] for r in rows)
-    td = sum(r[2] for r in rows)
-    print(f"| **total** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}x** |")
-    worst = sorted(rows, key=lambda r: -r[3])[:5]
-    print("worst ratios:", [(n, round(r, 1)) for n, _, _, r in worst], file=sys.stderr)
+    tf = sum(r[2] for r in rows)
+    td = sum(r[3] for r in rows)
+    print(
+        f"| **total** | **{ts:.2f}** | **{tf:.2f}** | **{td:.2f}** |"
+        f" **{ts / td:.1f}x** | **{max(ts - tf, 0.0) / td:.1f}x** |"
+    )
+    worst = sorted(rows, key=lambda r: -r[5])[:5]
+    print("worst corrected:", [(n, round(c, 1)) for n, *_, c in worst], file=sys.stderr)
 
 
 def main() -> None:
@@ -160,8 +176,8 @@ def main() -> None:
         print("building sf1 dataset...", file=sys.stderr)
         build_sf1(spark)
     if "--tpch-duel" in sys.argv:
-        print("| query | spark sf1 (s) | duckdb sf1 (s) | ratio |")
-        print("|---|---|---|---|")
+        print("| query | spark sf1 | floor (sf0.001) | duckdb sf1 | raw | corrected |")
+        print("|---|---|---|---|---|---|")
         tpch_duel(spark)
         return
     specs = all_specs()

@@ -1657,11 +1657,44 @@ def _spatial_sample_once(
     return head + tokenize(new_from) + list(toks[boundary:]), False
 
 
+def _sk_plain(merge_fn: str):
+    """partial = the original call; merge = merge_fn(partial)."""
+
+    def h(args, text, alias):
+        return text, f"{merge_fn}({alias})"
+
+    return h
+
+
+_NUM_LIT = re.compile(r"^\d+$")
+
+
+def _sk_amf(args, text, alias):
+    # approx_most_frequent(buckets, value, capacity): partials keep
+    # `capacity` entries (the accuracy knob), the merge sums counts and
+    # trims to `buckets`. Literal-size args only — the merge runs in a
+    # scope where source columns no longer resolve.
+    if len(args) != 3 or not (_NUM_LIT.match(args[0]) and _NUM_LIT.match(args[2])):
+        return None
+    return (
+        f"approx_most_frequent({args[2]}, {args[1]}, {args[2]})",
+        f"merge_approx_most_frequent({args[0]}, {alias})",
+    )
+
+
+def _sk_nh(args, text, alias):
+    if len(args) != 2 or not _NUM_LIT.match(args[0]):
+        return None
+    return text, f"merge_numeric_histogram({args[0]}, {alias})"
+
+
 _SKETCH_AGGS = {
-    "QDIGEST_AGG": "merge_qdigest",
-    "TDIGEST_AGG": "merge_tdigest",
-    "MAKE_SET_DIGEST": "merge_set_digest",
-    "THETA_SKETCH_AGG": "theta_sketch_union",
+    "QDIGEST_AGG": _sk_plain("merge_qdigest"),
+    "TDIGEST_AGG": _sk_plain("merge_tdigest"),
+    "MAKE_SET_DIGEST": _sk_plain("merge_set_digest"),
+    "THETA_SKETCH_AGG": _sk_plain("theta_sketch_union"),
+    "APPROX_MOST_FREQUENT": _sk_amf,
+    "NUMERIC_HISTOGRAM": _sk_nh,
 }
 
 
@@ -1814,7 +1847,7 @@ def _sketch_twophase_once(
             return toks, True  # ordinal keys
 
     # sketch calls anywhere in the select list
-    calls: list[tuple[int, int]] = []  # (name_idx, close_idx)
+    calls: list[tuple[int, int, int]] = []  # (name_idx, open_idx, close_idx)
     for i in range(sel + 1, from_idx):
         if toks[i].is_word(*_SKETCH_AGGS):
             o = next_code(toks, i + 1)
@@ -1823,19 +1856,25 @@ def _sketch_twophase_once(
                 after = next_code(toks, c + 1)
                 if after < n and toks[after].is_word("OVER"):
                     return toks, True
-                calls.append((i, c))
+                calls.append((i, o, c))
     if not calls:
         return toks, True
 
     tag = render(toks).count("__sk_src")
-    partials: dict[str, tuple[str, str]] = {}  # call text -> (alias, merge fn)
-    for i, c in calls:
+    # call text -> (alias, partial expr, merge expr)
+    partials: dict[str, tuple[str, str, str]] = {}
+    for i, o, c in calls:
         text = render(toks[i : c + 1]).strip()
-        if text not in partials:
-            partials[text] = (
-                f"__sk_p{tag}_{len(partials)}",
-                _SKETCH_AGGS[toks[i].text.upper()],
-            )
+        if text in partials:
+            continue
+        args = [
+            render(toks[s:e]).strip() for s, e in split_args(toks, o, c)
+        ]
+        alias = f"__sk_p{tag}_{len(partials)}"
+        handled = _SKETCH_AGGS[toks[i].text.upper()](args, text, alias)
+        if handled is None:
+            return toks, True
+        partials[text] = (alias, handled[0], handled[1])
 
     def _bound_sub(text: str, old: str, new: str) -> str:
         # identifier-boundary-guarded replacement so a group key `k`
@@ -1846,8 +1885,10 @@ def _sketch_twophase_once(
     sel_list = render(toks[sel + 1 : from_idx])
     # longest-first so make_set_digest(a) does not clobber
     # make_set_digest(a_long)'s text
-    for text, (alias, mfn) in sorted(partials.items(), key=lambda kv: -len(kv[0])):
-        sel_list = sel_list.replace(text, f"{mfn}({alias})")
+    for text, (alias, _pe, merge_expr) in sorted(
+        partials.items(), key=lambda kv: -len(kv[0])
+    ):
+        sel_list = sel_list.replace(text, merge_expr)
     # a bare-identifier key keeps its own name through the inner query
     # (renaming it would change the block's output schema); only key
     # EXPRESSIONS need a synthetic alias
@@ -1883,7 +1924,7 @@ def _sketch_twophase_once(
     from_text = render(toks[from_idx + 1 : from_end]).strip()
     inner_list = ", ".join(
         [f"{g} AS {a}" for g, a in galias.items()]
-        + [f"{text} AS {alias}" for text, (alias, _) in partials.items()]
+        + [f"{pe} AS {alias}" for _t, (alias, pe, _me) in partials.items()]
     )
     inner_group = ", ".join(gkeys + ["__sk_salt"])
     inner = (

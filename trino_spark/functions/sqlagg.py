@@ -341,10 +341,35 @@ def register_sql_aggregates(spark: SparkSession) -> None:
         counts = v.dropna().astype(str).value_counts()
         return {k: int(n) for k, n in counts.head(int(b.iloc[0])).items()}
 
+    @pandas_udf("map<string,bigint>")
+    def merge_approx_most_frequent(b: pd.Series, m: pd.Series) -> dict:
+        # merge phase of the dialect's two-phase split: partials keep
+        # `capacity` entries (the accuracy knob, SpaceSaving-style), the
+        # merge sums and trims to the requested bucket count
+        total: dict[str, int] = {}
+        for d in m.dropna():
+            for k, cnt in d.items():
+                total[k] = total.get(k, 0) + int(cnt)
+        top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[: int(b.iloc[0])]
+        return dict(top)
+
     @pandas_udf("map<double,double>")
     def numeric_histogram(b: pd.Series, v: pd.Series) -> dict:
         vals = v.dropna().to_numpy(dtype=float)
         return _numeric_histogram(int(b.iloc[0]), vals, np.ones(len(vals)))
+
+    @pandas_udf("map<double,double>")
+    def merge_numeric_histogram(b: pd.Series, m: pd.Series) -> dict:
+        # Ben-Haim/Tom-Tov partials merge by pooling weighted bins and
+        # recompressing — the same combine the reference's
+        # NumericHistogram accumulator performs
+        xs: list[float] = []
+        ws: list[float] = []
+        for d in m.dropna():
+            for x, w in d.items():
+                xs.append(float(x))
+                ws.append(float(w))
+        return _numeric_histogram(int(b.iloc[0]), np.array(xs), np.array(ws))
 
     @pandas_udf("string")
     def learn_classifier(label: pd.Series, feats: pd.Series) -> str:
@@ -394,7 +419,9 @@ def register_sql_aggregates(spark: SparkSession) -> None:
     reg("theta_sketch_union_k", theta_sketch_union_k)
     reg("theta_sketch_agg", theta_sketch_agg)
     reg("approx_most_frequent", approx_most_frequent)
+    reg("merge_approx_most_frequent", merge_approx_most_frequent)
     reg("numeric_histogram", numeric_histogram)
+    reg("merge_numeric_histogram", merge_numeric_histogram)
     reg("learn_classifier", learn_classifier)
     reg("learn_regressor", learn_regressor)
     reg("learn_libsvm_classifier", learn_libsvm_classifier)
