@@ -577,3 +577,21 @@ class TestDuplicateSpans:
         assert not re.search(r"Window .*_gh", plan), "gram-key window is back"
         rows_out = res.collect()
         assert len(rows_out) == 300  # every doc reports its hot span
+
+
+def test_repetition_signals_flags_repetitive_doc(spark):
+    from trino_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "buy now " * 20),               # one bigram dominates
+        (2, "the quick brown fox jumps over a lazy dog today"),
+        (3, "tiny"),                         # < 2 tokens: zero signals
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].top_bigram_frac > 0.4 and out[1].dup_trigram_frac > 0.9
+    assert out[2].top_bigram_frac < 0.2 and out[2].dup_trigram_frac == 0.0
+    assert out[3].n_bigrams == 0 and out[3].top_bigram_frac == 0.0
+    assert out[4].n_bigrams == 0
+    assert set(out) == {1, 2, 3, 4}  # every doc present, short ones too

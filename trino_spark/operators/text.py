@@ -313,3 +313,71 @@ def boilerplate_ngrams(
         F.count("gram").alias("n_grams"),
         F.count("_freq").alias("n_boilerplate"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition quality signals, as used by published
+    LLM training-data quality filters (the Gopher/MassiveText rule
+    family: fraction of tokens in the most frequent n-gram, fraction of
+    duplicated n-gram occurrences).
+
+    Output per input row: n_bigrams, top_bigram_frac (occurrences of
+    the most frequent bigram / all bigram occurrences) and
+    dup_trigram_frac (1 - distinct trigrams / trigram occurrences).
+    Documents with fewer than n tokens report 0.0.
+
+    100 TB plan shape: one explode (linear in tokens), a (doc, n, gram)
+    hash aggregation with map-side combine, a per-doc re-aggregation,
+    and a left join back onto the doc spine — all keyed by doc_id or
+    finer, no skew surface beyond a single pathological document (which
+    the per-doc key already isolates)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def gram_arr(n: int):
+        cnt = F.size(toks) - F.lit(n - 1)
+        # sequence(1, 0) DESCENDS in Spark — the empty case must be an
+        # explicit empty array (same guard as duplicate_spans)
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    gram_arr(2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    gram_arr(3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select("_id", F.col("ng.n").alias("_n"), F.col("ng.g").alias("_g"))
+    counts = grams.groupBy("_id", "_n", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per = counts.groupBy("_id").agg(
+        F.max(F.when(F.col("_n") == 2, F.col("_c"))).alias("_max2"),
+        F.sum(F.when(F.col("_n") == 2, F.col("_c"))).alias("_tot2"),
+        F.sum(F.when(F.col("_n") == 3, F.col("_c"))).alias("_tot3"),
+        F.count(F.when(F.col("_n") == 3, F.lit(1))).alias("_dis3"),
+    )
+    spine = df.select(F.col(id_col).alias("_id"))
+    return spine.join(per, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_tot2"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.col("_tot2") > 0, F.col("_max2") / F.col("_tot2"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.col("_tot3") > 0, F.lit(1.0) - F.col("_dis3") / F.col("_tot3")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )

@@ -1350,3 +1350,49 @@ def dedup_duplicate_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_spans(t(spark, sf, "documents"), k=5).orderBy(
         "doc_id", "span_start"
     )
+
+
+@REG.add(
+    "text_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    g3 AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+    a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY doc_id),
+    a3 AS (SELECT doc_id, count(*) AS dis, sum(c) AS tot FROM c3 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a2.tot, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN a2.tot > 0 THEN CAST(a2.mx AS DOUBLE) / CAST(a2.tot AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN a3.tot > 0 THEN 1.0 - CAST(a3.dis AS DOUBLE) / CAST(a3.tot AS DOUBLE)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM documents d
+    LEFT JOIN a2 USING (doc_id)
+    LEFT JOIN a3 USING (doc_id)
+    ORDER BY doc_id
+    LIMIT 30
+    """,
+)
+def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition quality
+    signals (operators/text.py repetition_signals): top-bigram
+    occupancy + duplicated-trigram fraction, the rule family public
+    corpus pipelines cut on. Codegen explode + (doc, gram) hash agg."""
+    from trino_spark.operators.text import repetition_signals
+
+    return (
+        repetition_signals(t(spark, sf, "documents"))
+        .orderBy("doc_id")
+        .limit(30)
+    )
