@@ -1396,3 +1396,67 @@ def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(30)
     )
+
+
+@REG.add(
+    "dedup_semantic_keep",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON b.vec_id > a.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS vec_id,
+           CAST(least(u, min(v)) AS BIGINT) AS component,
+           least(u, min(v)) = u AS kept
+    FROM reach
+    GROUP BY u
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_keep_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-dup pairs (banded
+    LSH + exact cosine verify) -> connected components (min-label +
+    path halving) -> keep the minimum id of each semantic group. The
+    published pipeline stage for pruning semantically redundant
+    training data, composed from the two gate-green operators. The
+    oracle recomputes groups with an exact all-pairs join + recursive
+    transitive closure."""
+    from trino_spark.operators import similarity
+    from trino_spark.operators.components import connected_components
+
+    emb = t(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.5
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    pairs = similarity.embedding_neardup_pairs(corpus, threshold=0.99).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("node") == F.col("component")).alias("kept"),
+    ).orderBy("vec_id")
