@@ -643,3 +643,32 @@ def dialect_timetz(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY k
         """
     )
+
+
+@REG.add(
+    "dialect_sketch_twophase",
+    """
+    SELECT o_orderpriority AS k, CAST(cnt AS BIGINT) AS cnt
+    FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)
+    ORDER BY k
+    """,
+)
+def dialect_sketch_twophase(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end value check of the round-6 two-phase GROUPED_AGG
+    rewrite (rewrites.py _rewrite_sketch_twophase): approx_most_frequent
+    with capacity >= distinct values is EXACT, so partial maps per scan
+    partition + merge_approx_most_frequent must reproduce the plain
+    GROUP BY counts bit-for-bit. The map result is exploded to rows so
+    the driver canonicalizer can hash it."""
+    from pyspark.sql import functions as F
+
+    from trino_spark.queries.base import engine_for
+
+    m = engine_for(spark, sf).sql(
+        "SELECT approx_most_frequent(10, o_orderpriority, 1000) AS m FROM orders"
+    )
+    return (
+        m.select(F.explode("m").alias("k", "cnt"))
+        .select("k", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("k")
+    )
