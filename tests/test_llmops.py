@@ -579,8 +579,8 @@ class TestDuplicateSpans:
         assert len(rows_out) == 300  # every doc reports its hot span
 
 
-def test_repetition_signals_flags_repetitive_doc(spark):
-    from trino_spark.operators.text import repetition_signals
+def test_ngram_repetition_flags_repetitive_doc(spark):
+    from trino_spark.operators.text import ngram_repetition_signals as repetition_signals
 
     rows = [
         (1, "buy now " * 20),               # one bigram dominates

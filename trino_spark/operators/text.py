@@ -315,10 +315,12 @@ def boilerplate_ngrams(
     )
 
 
-def repetition_signals(
+def ngram_repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Intra-document repetition quality signals, as used by published
+    """Intra-document n-gram repetition signals — complements
+    `repetition_signals` (line-level + char-coverage) with the
+    occurrence-count members of the same published rule family, as used by published
     LLM training-data quality filters (the Gopher/MassiveText rule
     family: fraction of tokens in the most frequent n-gram, fraction of
     duplicated n-gram occurrences).

@@ -1353,7 +1353,7 @@ def dedup_duplicate_spans_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @REG.add(
-    "text_repetition_signals",
+    "text_ngram_repetition",
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -1384,15 +1384,16 @@ def dedup_duplicate_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     LIMIT 30
     """,
 )
-def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher/MassiveText-style intra-document repetition quality
-    signals (operators/text.py repetition_signals): top-bigram
-    occupancy + duplicated-trigram fraction, the rule family public
-    corpus pipelines cut on. Codegen explode + (doc, gram) hash agg."""
-    from trino_spark.operators.text import repetition_signals
+def text_ngram_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Occurrence-count n-gram repetition signals (operators/text.py
+    ngram_repetition_signals): top-bigram occupancy + duplicated-
+    trigram fraction — the occurrence-side complement of the
+    char-coverage signals in text_repetition_signals. Codegen explode
+    + (doc, gram) hash agg."""
+    from trino_spark.operators.text import ngram_repetition_signals
 
     return (
-        repetition_signals(t(spark, sf, "documents"))
+        ngram_repetition_signals(t(spark, sf, "documents"))
         .orderBy("doc_id")
         .limit(30)
     )
