@@ -659,7 +659,20 @@ def crosses(a, b):
         cross_pts = [
             p for s1 in _segments_of(a) for s2 in _segments_of(b) for p in _seg_intersection(*s1, *s2)
         ]
-        return len(cross_pts) > 0 and not contains(a, b) and not contains(b, a) and not _collinear_overlap(a, b)
+        # line/line crosses is an INTERIOR-interior point intersection
+        # (DE-9IM II dim 0): an intersection at either line's mod-2
+        # boundary endpoint is touches, not crosses (round-6 geo_fuzz
+        # de9im264 — two lines sharing a start point reported True)
+        bnd = [p for g in (a, b) for p in _line_boundary_pts(g)]
+        interior_pts = [
+            p
+            for p in cross_pts
+            if not any(
+                abs(p[0] - q[0]) <= _EPS and abs(p[1] - q[1]) <= _EPS
+                for q in bnd
+            )
+        ]
+        return len(interior_pts) > 0 and not contains(a, b) and not contains(b, a) and not _collinear_overlap(a, b)
     if da == 0:
         pts = _points_of(a)
         ins = [locate_point(b, p) != "out" for p in pts]
