@@ -673,3 +673,56 @@ class TestMultimapAndOrderedArrayAgg:
     def test_array_agg_plain_still_collects(self, spark, sf_dir):
         eng = self._eng(spark, sf_dir)
         assert eng.sql("SELECT cardinality(array_agg(n_name)) AS x FROM nation").collect()[0].x == 25
+
+
+class TestRound6RewritePasses:
+    """Pure-text unit pins for the round-6 passes: the bounded spatial
+    sample and the sketch two-phase split, including every abort
+    condition (blocks that must keep the direct form)."""
+
+    def test_spatial_sample_injected(self):
+        from trino_spark.dialect.rewrites import translate
+
+        out = translate("SELECT spatial_partitioning(g) FROM pts WHERE x > 0")
+        assert "LIMIT 10000" in out and "xxhash64" in out
+        assert "__sp_sample0" in out
+
+    def test_spatial_sample_aborts(self):
+        from trino_spark.dialect.rewrites import translate
+
+        for sql in (
+            "SELECT spatial_partitioning(g) FROM pts GROUP BY k",
+            "SELECT count(*), spatial_partitioning(g) FROM pts",
+        ):
+            assert "__sp_sample" not in translate(sql), sql
+
+    def test_sketch_twophase_global_and_grouped(self):
+        from trino_spark.dialect.rewrites import translate
+
+        out = translate("SELECT qdigest_agg(x) FROM t")
+        assert "merge_qdigest" in out and "spark_partition_id()" in out
+        out = translate("SELECT k, tdigest_agg(x) AS d FROM t GROUP BY k")
+        assert "merge_tdigest" in out and "GROUP BY k, __sk_salt" in out
+        # bare-identifier keys keep their output name
+        assert "SELECT k, merge_tdigest" in out
+
+    def test_sketch_twophase_aborts(self):
+        from trino_spark.dialect.rewrites import translate
+
+        for sql in (
+            "SELECT qdigest_agg(x) FROM t GROUP BY 1",           # ordinal
+            "SELECT k, qdigest_agg(x) FROM t GROUP BY ROLLUP(k)",
+            "SELECT k, count(*), qdigest_agg(x) FROM t GROUP BY k",
+            "SELECT qdigest_agg(x) OVER (PARTITION BY k) FROM t",
+            "SELECT k, qdigest_agg(x) FROM t GROUP BY k HAVING k > 1",
+            "SELECT approx_most_frequent(b, x, c) FROM t",        # non-literal sizes
+        ):
+            assert "__sk_salt" not in translate(sql), sql
+
+    def test_sketch_twophase_amf_capacity_partial(self):
+        from trino_spark.dialect.rewrites import translate
+
+        out = translate("SELECT approx_most_frequent(2, x, 10) FROM t")
+        # partials keep capacity entries; merge trims to the bucket count
+        assert "approx_most_frequent(10, x, 10)" in out
+        assert "merge_approx_most_frequent(2," in out
