@@ -150,3 +150,37 @@ def test_readonly_connector_rejects_writes(engine, sf_dir):
     engine.sql(f"CREATE CATALOG ro USING parquet WITH (location = '{sf_dir}')")
     with pytest.raises(Exception, match="does not support writes"):
         engine.sql("INSERT INTO ro.default.nation SELECT * FROM nation")
+
+
+def test_file_format_catalogs_csv_json_orc(engine, spark, tmp_path):
+    """Round-6: csv/json/orc/text file connectors (the hive connector's
+    HiveStorageFormat CSV/JSON/ORC/TEXTFILE read side)."""
+    import os
+
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5)],
+        "id bigint, name string, price double",
+    )
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+        os.path.join(base, "items.csv")
+    )
+    df.coalesce(1).write.mode("overwrite").json(os.path.join(base, "items.json"))
+    df.coalesce(1).write.mode("overwrite").orc(os.path.join(base, "items.orc"))
+    engine.sql(f"CREATE CATALOG fcsv USING csv WITH (location = '{base}')")
+    engine.sql(f"CREATE CATALOG fjson USING json WITH (location = '{base}')")
+    engine.sql(f"CREATE CATALOG forc USING orc WITH (location = '{base}')")
+    for cat in ("fcsv", "fjson", "forc"):
+        rows = engine.sql(
+            f"SELECT id, name FROM {cat}.default.items ORDER BY id"
+        ).collect()
+        assert [(r.id, r.name) for r in rows] == [
+            (1, "alpha"), (2, "beta"), (3, "gamma"),
+        ], cat
+    n = engine.sql(
+        "SELECT count(*) AS c FROM fcsv.default.items"
+        " JOIN fjson.default.items USING (id)"
+    ).collect()[0].c
+    assert n == 3
+    for cat in ("fcsv", "fjson", "forc"):
+        engine.sql(f"DROP CATALOG {cat}")

@@ -45,7 +45,24 @@ _DROP_RX = re.compile(
 )
 _REF_RX = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
 
-_CONNECTORS = ("parquet", "hive", "jdbc", "tpch", "tpcds", "memory", "blackhole", "faker")
+_CONNECTORS = (
+    "parquet",
+    "hive",
+    "jdbc",
+    "tpch",
+    "tpcds",
+    "memory",
+    "blackhole",
+    "faker",
+    # file-format connectors (reference: the hive connector's
+    # HiveStorageFormat.java CSV/JSON/ORC/TEXTFILE variants — one
+    # location-rooted catalog per format, read-side)
+    "csv",
+    "json",
+    "orc",
+    "text",
+)
+_FILE_CONNECTORS = ("parquet", "hive", "csv", "json", "orc", "text")
 
 
 def _parse_props(txt: str | None) -> dict[str, str]:
@@ -83,7 +100,7 @@ def try_execute(engine, stripped: str) -> DataFrame | None:
                 f"unknown connector: {conn} (supported: {', '.join(_CONNECTORS)})"
             )
         props = _parse_props(m.group("props"))
-        if conn in ("parquet", "hive"):
+        if conn in _FILE_CONNECTORS:
             loc = props.get("location")
             if not loc or not os.path.isdir(loc):
                 raise ValueError(f"connector {conn} needs location = '<existing dir>'")
@@ -184,16 +201,29 @@ def _view_for(engine, m: re.Match) -> str | None:
     if view in mount["views"]:
         return view
     conn = mount["connector"]
-    if conn in ("parquet", "hive"):
+    if conn in ("parquet", "hive", "csv", "json", "orc", "text"):
+        fmt = "parquet" if conn == "hive" else conn
+        ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json",
+               "orc": ".orc", "text": ".txt"}[fmt]
         loc = mount["properties"]["location"]
         path = os.path.join(loc, schema, table)
         if not os.path.exists(path):
             path = os.path.join(loc, table)
         if not os.path.exists(path):
-            path += ".parquet"
+            path += ext
         if not os.path.exists(path):
             raise ValueError(f"table not found: {cat}.{schema}.{table}")
-        spark.read.parquet(path).createOrReplaceTempView(view)
+        reader = spark.read
+        if fmt == "csv":
+            # HiveStorageFormat CSV defaults; catalog properties override
+            # (header / delimiter / inferschema as 'true'/'false' strings)
+            p = mount["properties"]
+            reader = reader.options(
+                header=p.get("header", "true"),
+                sep=p.get("delimiter", ","),
+                inferSchema=p.get("inferschema", "true"),
+            )
+        reader.format(fmt).load(path).createOrReplaceTempView(view)
     elif conn == "tpch":
         from trino_spark.sources import tpchgen
 
