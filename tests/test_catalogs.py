@@ -146,10 +146,48 @@ def test_faker_catalog_generates_deterministic_rows(engine):
     assert other != a  # table name perturbs the seed
 
 
-def test_readonly_connector_rejects_writes(engine, sf_dir):
+def test_insert_into_nonwritable_layout_errors(engine, sf_dir):
+    # the driver's testdata uses the single-level <table>.parquet layout;
+    # file-catalog writes require the canonical <location>/<schema>/<table>/
+    # directory, so this INSERT targets a table that does not exist there
     engine.sql(f"CREATE CATALOG ro USING parquet WITH (location = '{sf_dir}')")
-    with pytest.raises(Exception, match="does not support writes"):
+    with pytest.raises(Exception, match="not found"):
         engine.sql("INSERT INTO ro.default.nation SELECT * FROM nation")
+    engine.sql("DROP CATALOG ro")
+
+
+def test_csv_catalog_rejects_writes(engine, sf_dir):
+    engine.sql(f"CREATE CATALOG roc USING csv WITH (location = '{sf_dir}')")
+    with pytest.raises(Exception, match="does not support writes"):
+        engine.sql("INSERT INTO roc.default.nation SELECT * FROM nation")
+    engine.sql("DROP CATALOG roc")
+
+
+def test_parquet_catalog_write_lifecycle(engine, spark, tmp_path):
+    """Round-6: the hive-connector write path analog — CTAS creates
+    <location>/<schema>/<table>/, INSERT appends (positional, cast to
+    the table layout), TRUNCATE empties, DROP removes; all distributed
+    writes with the written-row count observed on the write itself."""
+    base = str(tmp_path)
+    engine.sql(f"CREATE CATALOG wh USING parquet WITH (location = '{base}')")
+    n = engine.sql(
+        "CREATE TABLE wh.main.nations AS SELECT n_nationkey, n_name FROM nation"
+    ).collect()[0][0]
+    assert n == 25
+    n = engine.sql(
+        "INSERT INTO wh.main.nations SELECT n_nationkey + 100, n_name FROM nation WHERE n_regionkey = 0"
+    ).collect()[0][0]
+    assert n == 5
+    rows = engine.sql("SELECT count(*) AS c FROM wh.main.nations").collect()
+    assert rows[0].c == 30
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql("CREATE TABLE wh.main.nations AS SELECT 1 AS x")
+    engine.sql("TRUNCATE TABLE wh.main.nations")
+    assert engine.sql("SELECT count(*) AS c FROM wh.main.nations").collect()[0].c == 0
+    engine.sql("DROP TABLE wh.main.nations")
+    with pytest.raises(Exception, match="not found"):
+        engine.sql("SELECT * FROM wh.main.nations")
+    engine.sql("DROP CATALOG wh")
 
 
 def test_file_format_catalogs_csv_json_orc(engine, spark, tmp_path):

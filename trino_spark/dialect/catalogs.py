@@ -287,6 +287,8 @@ def try_execute_dml(engine, stripped: str) -> DataFrame | None:
     if mount is None:
         return None
     conn = mount["connector"]
+    if conn in ("parquet", "hive"):
+        return _file_catalog_dml(engine, mount, stripped, m)
     if conn not in ("memory", "blackhole"):
         raise ValueError(f"catalog {cat} ({conn}) does not support writes")
     spark = engine.spark
@@ -347,6 +349,80 @@ def try_execute_dml(engine, stripped: str) -> DataFrame | None:
     tables[(schema, table)] = src.schema
     mount["views"].add(view)
     return spark.createDataFrame([(len(new_rows),)], "rows: bigint")
+
+
+def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
+    """Write path of the parquet/hive file catalogs (reference: the hive
+    connector's HivePageSinkProvider — CTAS creates
+    <location>/<schema>/<table>/, INSERT appends files, DROP removes the
+    directory, TRUNCATE rewrites it empty). All writes are distributed
+    Spark writes (no driver materialization — unlike the memory
+    connector this IS a 100 TB path)."""
+    import shutil
+
+    spark = engine.spark
+    cat, schema, table = (g.lower() for g in m.groups())
+    loc = mount["properties"]["location"]
+    pdir = os.path.join(loc, schema, table)
+    view = f"__cat_{cat}_{schema}_{table}"
+    up0 = stripped.upper().split()[0]
+
+    def _invalidate() -> None:
+        if view in mount["views"]:
+            spark.catalog.dropTempView(view)
+            mount["views"].discard(view)
+
+    if up0 == "DROP":
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        elif "IF EXISTS" not in stripped.upper():
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        _invalidate()
+        return spark.createDataFrame([(0,)], "rows: bigint")
+    if up0 in ("DELETE", "TRUNCATE"):
+        if re.search(r"\bWHERE\b", stripped, re.IGNORECASE):
+            raise ValueError(
+                "file catalogs support whole-table DELETE only (row-level "
+                "DML lives in the engine-managed snapshot tables)"
+            )
+        if not os.path.isdir(pdir):
+            raise ValueError(f"table not found: {cat}.{schema}.{table}")
+        empty = spark.read.parquet(pdir).limit(0)
+        empty.write.mode("overwrite").parquet(pdir)
+        _invalidate()
+        return spark.createDataFrame([(0,)], "rows: bigint")
+    rest = stripped[m.end():].lstrip()
+    if up0 == "CREATE":
+        rest = re.sub(r"^AS\s+", "", rest, flags=re.IGNORECASE)
+        if os.path.isdir(pdir):
+            if "IF NOT EXISTS" in stripped.upper():
+                return spark.createDataFrame([(0,)], "rows: bigint")
+            raise ValueError(f"table already exists: {cat}.{schema}.{table}")
+    elif not os.path.isdir(pdir):
+        raise ValueError(f"table not found: {cat}.{schema}.{table}")
+    # evaluate the source through the engine so dialect SQL, routines and
+    # security rewrites all apply; count rides the write via Observation
+    # (no second evaluation of the source plan)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    src = engine.sql(rest)
+    if up0 == "INSERT":
+        tgt = spark.read.parquet(pdir).schema
+        if len(src.columns) != len(tgt.fields):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src.columns)} values for "
+                f"{len(tgt.fields)} columns"
+            )
+        src = src.toDF(*[f.name for f in tgt.fields]).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt.fields]
+        )
+    obs = Observation()
+    src = src.observe(obs, F.count(F.lit(1)).alias("n"))
+    src.write.mode("append" if up0 == "INSERT" else "overwrite").parquet(pdir)
+    _invalidate()
+    n = int(obs.get["n"])
+    return spark.createDataFrame([(n,)], "rows: bigint")
 
 
 def _schema_sf(schema: str) -> float:
