@@ -528,3 +528,66 @@ def server_resource_groups(spark: SparkSession, sf: str) -> DataFrame:
         ("queue_full_rejected", rejected),
     ]
     return spark.createDataFrame(sorted(rows), "metric: string, value: int")
+
+
+@REG.add(
+    "dialect_catalog_write_lifecycle",
+    """
+    WITH base AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+    final AS (SELECT * FROM base UNION ALL
+              SELECT k + 100 AS k, r FROM base WHERE r = 0)
+    SELECT phase, CAST(n AS BIGINT) AS n, CAST(ksum AS BIGINT) AS ksum
+    FROM (
+      SELECT 'a_ctas' AS phase, count(*) AS n, sum(k) AS ksum FROM base
+      UNION ALL
+      SELECT 'b_inserted', count(*) AS n, sum(k) AS ksum FROM final
+      UNION ALL
+      SELECT 'c_truncated', 0 AS n, 0 AS ksum
+    )
+    ORDER BY phase
+    """,
+)
+def dialect_catalog_write_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """File-catalog write path (round 6; the hive connector's
+    HivePageSinkProvider analog): CREATE CATALOG over a scratch
+    directory, CTAS into <catalog>.<schema>.<table>, positional INSERT
+    append, TRUNCATE, DROP. Distributed writes; each phase's count and
+    key sum are re-derived by the oracle from the immutable nation
+    table."""
+    import shutil
+    import tempfile
+
+    eng = engine_for(spark, sf)
+    pid = os.getpid()
+    cat = f"whlc{pid}"
+    scratch = tempfile.mkdtemp(prefix="cat_lifecycle_")
+    try:
+        eng.sql(f"DROP CATALOG IF EXISTS {cat}")
+        eng.sql(f"CREATE CATALOG {cat} USING parquet WITH (location = '{scratch}')")
+        eng.sql(
+            f"CREATE TABLE {cat}.main.t AS"
+            " SELECT n_nationkey AS k, n_regionkey AS r FROM nation"
+        )
+        a = eng.sql(
+            f"SELECT count(*) AS n, sum(k) AS ksum FROM {cat}.main.t"
+        ).collect()[0]
+        eng.sql(
+            f"INSERT INTO {cat}.main.t SELECT k + 100, r FROM {cat}.main.t WHERE r = 0"
+        )
+        b = eng.sql(
+            f"SELECT count(*) AS n, sum(k) AS ksum FROM {cat}.main.t"
+        ).collect()[0]
+        eng.sql(f"TRUNCATE TABLE {cat}.main.t")
+        c = eng.sql(
+            f"SELECT count(*) AS n, coalesce(sum(k), 0) AS ksum FROM {cat}.main.t"
+        ).collect()[0]
+        eng.sql(f"DROP TABLE {cat}.main.t")
+        eng.sql(f"DROP CATALOG {cat}")
+        rows = [
+            ("a_ctas", int(a.n), int(a.ksum)),
+            ("b_inserted", int(b.n), int(b.ksum)),
+            ("c_truncated", int(c.n), int(c.ksum)),
+        ]
+        return spark.createDataFrame(rows, "phase string, n bigint, ksum bigint")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
