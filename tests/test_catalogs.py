@@ -156,11 +156,29 @@ def test_insert_into_nonwritable_layout_errors(engine, sf_dir):
     engine.sql("DROP CATALOG ro")
 
 
-def test_csv_catalog_rejects_writes(engine, sf_dir):
-    engine.sql(f"CREATE CATALOG roc USING csv WITH (location = '{sf_dir}')")
+def test_text_catalog_rejects_writes(engine, sf_dir):
+    # text is read-only (a single-string-column format has no general
+    # page-sink mapping); the structured file formats are writable
+    engine.sql(f"CREATE CATALOG rot USING text WITH (location = '{sf_dir}')")
     with pytest.raises(Exception, match="does not support writes"):
-        engine.sql("INSERT INTO roc.default.nation SELECT * FROM nation")
-    engine.sql("DROP CATALOG roc")
+        engine.sql("INSERT INTO rot.default.nation SELECT * FROM nation")
+    engine.sql("DROP CATALOG rot")
+
+
+def test_csv_catalog_write_roundtrip(engine, tmp_path):
+    base = str(tmp_path)
+    engine.sql(f"CREATE CATALOG wcsv USING csv WITH (location = '{base}')")
+    n = engine.sql(
+        "CREATE TABLE wcsv.main.regions AS"
+        " SELECT r_regionkey AS k, r_name AS name FROM region"
+    ).collect()[0][0]
+    assert n == 5
+    engine.sql("INSERT INTO wcsv.main.regions SELECT k + 10, name FROM wcsv.main.regions")
+    rows = engine.sql(
+        "SELECT count(*) AS c, sum(k) AS s FROM wcsv.main.regions"
+    ).collect()[0]
+    assert (rows.c, rows.s) == (10, 2 * (0 + 1 + 2 + 3 + 4) + 50)
+    engine.sql("DROP CATALOG wcsv")
 
 
 def test_parquet_catalog_write_lifecycle(engine, spark, tmp_path):

@@ -287,7 +287,7 @@ def try_execute_dml(engine, stripped: str) -> DataFrame | None:
     if mount is None:
         return None
     conn = mount["connector"]
-    if conn in ("parquet", "hive"):
+    if conn in ("parquet", "hive", "csv", "json", "orc"):
         return _file_catalog_dml(engine, mount, stripped, m)
     if conn not in ("memory", "blackhole"):
         raise ValueError(f"catalog {cat} ({conn}) does not support writes")
@@ -362,10 +362,29 @@ def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
 
     spark = engine.spark
     cat, schema, table = (g.lower() for g in m.groups())
+    conn = mount["connector"]
+    fmt = "parquet" if conn == "hive" else conn
     loc = mount["properties"]["location"]
     pdir = os.path.join(loc, schema, table)
     view = f"__cat_{cat}_{schema}_{table}"
     up0 = stripped.upper().split()[0]
+
+    def _read(path):
+        reader = spark.read
+        if fmt == "csv":
+            p = mount["properties"]
+            reader = reader.options(
+                header=p.get("header", "true"),
+                sep=p.get("delimiter", ","),
+                inferSchema=p.get("inferschema", "true"),
+            )
+        return reader.format(fmt).load(path)
+
+    def _writer(df):
+        w = df.write
+        if fmt == "csv":
+            w = w.option("header", mount["properties"].get("header", "true"))
+        return w.format(fmt)
 
     def _invalidate() -> None:
         if view in mount["views"]:
@@ -387,8 +406,8 @@ def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
             )
         if not os.path.isdir(pdir):
             raise ValueError(f"table not found: {cat}.{schema}.{table}")
-        empty = spark.read.parquet(pdir).limit(0)
-        empty.write.mode("overwrite").parquet(pdir)
+        empty = _read(pdir).limit(0)
+        _writer(empty).mode("overwrite").save(pdir)
         _invalidate()
         return spark.createDataFrame([(0,)], "rows: bigint")
     rest = stripped[m.end():].lstrip()
@@ -408,7 +427,7 @@ def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
 
     src = engine.sql(rest)
     if up0 == "INSERT":
-        tgt = spark.read.parquet(pdir).schema
+        tgt = _read(pdir).schema
         if len(src.columns) != len(tgt.fields):
             raise ValueError(
                 f"INSERT arity mismatch: {len(src.columns)} values for "
@@ -419,7 +438,7 @@ def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
         )
     obs = Observation()
     src = src.observe(obs, F.count(F.lit(1)).alias("n"))
-    src.write.mode("append" if up0 == "INSERT" else "overwrite").parquet(pdir)
+    _writer(src).mode("append" if up0 == "INSERT" else "overwrite").save(pdir)
     _invalidate()
     n = int(obs.get["n"])
     return spark.createDataFrame([(n,)], "rows: bigint")
