@@ -726,3 +726,25 @@ class TestRound6RewritePasses:
         # partials keep capacity entries; merge trims to the bucket count
         assert "approx_most_frequent(10, x, 10)" in out
         assert "merge_approx_most_frequent(2," in out
+
+
+def test_explain_format_json(spark):
+    """EXPLAIN (TYPE ..., FORMAT JSON) (ExplainRewrite.java JSON
+    rendering) — every supported combination returns parseable JSON."""
+    import json
+
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    for q in (
+        "EXPLAIN (TYPE DISTRIBUTED, FORMAT JSON) SELECT count(*) FROM nation",
+        "EXPLAIN (FORMAT JSON) SELECT 1",
+        "EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT n_name FROM nation",
+        "EXPLAIN (TYPE IO, FORMAT JSON) SELECT n_name FROM nation",
+    ):
+        parsed = json.loads(eng.sql(q).collect()[0].query_plan)
+        assert parsed, q
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="FORMAT"):
+        eng.sql("EXPLAIN (FORMAT GRAPHVIZ) SELECT 1")

@@ -581,11 +581,26 @@ class TrinoEngine:
             # relations summary.
             rest = stripped.split(None, 1)[1]
             mode = "formatted"
+            fmt = "TEXT"
             import re as _re2
 
-            tm = _re2.match(r"\(\s*TYPE\s+(\w+)\s*\)\s*(.*)$", rest, _re2.IGNORECASE | _re2.DOTALL)
+            tm = _re2.match(
+                r"\(\s*((?:(?:TYPE|FORMAT)\s+\w+\s*,?\s*)+)\)\s*(.*)$",
+                rest,
+                _re2.IGNORECASE | _re2.DOTALL,
+            )
             if tm:
-                ttype, rest = tm.group(1).upper(), tm.group(2)
+                opts = {
+                    k.upper(): v.upper()
+                    for k, v in _re2.findall(
+                        r"(TYPE|FORMAT)\s+(\w+)", tm.group(1), _re2.IGNORECASE
+                    )
+                }
+                rest = tm.group(2)
+                fmt = opts.get("FORMAT", "TEXT")
+                if fmt not in ("TEXT", "JSON"):
+                    raise ValueError(f"EXPLAIN (FORMAT {fmt}) not supported")
+                ttype = opts.get("TYPE", "DISTRIBUTED")
                 mode = {
                     "LOGICAL": "extended",
                     "DISTRIBUTED": "formatted",
@@ -594,6 +609,24 @@ class TrinoEngine:
                 }.get(ttype)
                 if mode is None:
                     raise ValueError(f"EXPLAIN (TYPE {ttype}) not supported")
+                if fmt == "JSON" and mode in ("validate",):
+                    raise ValueError("EXPLAIN (FORMAT JSON) supports TYPE LOGICAL/DISTRIBUTED/IO")
+            if fmt == "JSON" and up[1:2] != ["ANALYZE"] and mode != "validate":
+                # ExplainRewrite's JSON rendering: emit Spark's own plan
+                # JSON (TreeNode.toJSON) for the requested plan level
+                df = self.sql(rest)
+                qe = df._jdf.queryExecution()
+                if mode == "extended":
+                    text = qe.optimizedPlan().toJSON()
+                elif mode == "io":
+                    import json as _json
+
+                    plan = qe.optimizedPlan().toString()
+                    rels = sorted(set(_re2.findall(r"FileScan \S+|Relation \[[^\]]*\] \w+", plan)))
+                    text = _json.dumps({"inputTableColumnInfos": rels})
+                else:
+                    text = qe.executedPlan().toJSON()
+                return self.spark.createDataFrame([(text,)], "query_plan: string")
             if up[1:2] == ["ANALYZE"]:
                 text = self.explain_analyze(rest.split(None, 1)[1])
             elif mode == "validate":
