@@ -748,3 +748,28 @@ def test_explain_format_json(spark):
 
     with _pytest.raises(Exception, match="FORMAT"):
         eng.sql("EXPLAIN (FORMAT GRAPHVIZ) SELECT 1")
+
+
+def test_system_metadata_tables_round6(spark):
+    """system.metadata.catalogs / materialized_views + system.jdbc.types
+    + SHOW CURRENT ROLES (CatalogSystemTable / MaterializedViewSystemTable
+    / the system.jdbc schema / ShowRolesTask CURRENT)."""
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    assert eng.sql("SHOW CURRENT ROLES").collect() == []
+    cats = {r.catalog_name for r in eng.sql(
+        "SELECT * FROM system.metadata.catalogs").collect()}
+    assert "spark" in cats
+    n = eng.sql("SELECT count(*) AS c FROM system.jdbc.types"
+                " WHERE data_type = 4").collect()[0].c
+    assert n == 1  # java.sql.Types.INTEGER
+    eng.sql("CREATE MATERIALIZED VIEW mv_meta_probe AS"
+            " SELECT count(*) AS c FROM nation")
+    try:
+        rows = eng.sql(
+            "SELECT name, freshness FROM system.metadata.materialized_views"
+        ).collect()
+        assert ("mv_meta_probe", "FRESH") in {(r.name, r.freshness) for r in rows}
+    finally:
+        eng.sql("DROP MATERIALIZED VIEW mv_meta_probe")

@@ -82,6 +82,10 @@ def try_execute(engine, sql: str) -> DataFrame | None:
                 raise ValueError(f"role not found: {name}")
             st["current"] = name
         return spark.createDataFrame([(name,)], "role: string")
+    if up[:3] == ["SHOW", "CURRENT", "ROLES"]:
+        # ShowRolesTask with CURRENT: the enabled roles of this session
+        rows = [(st["current"],)] if st["current"] else []
+        return spark.createDataFrame(rows or [], "role: string")
     if up[:2] == ["SHOW", "ROLES"]:
         rows = [(r,) for r in sorted(st["roles"])]
         return spark.createDataFrame(rows or [], "role: string")

@@ -333,6 +333,52 @@ class TrinoEngine:
             trino_sql = self._sub_outside_literals(
                 trino_sql, "information_schema.views", "_information_schema_views"
             )
+        if "system.metadata.catalogs" in trino_sql:
+            # CatalogSystemTable.java: the session catalog + dynamic mounts
+            rows = [("spark", "spark")] + [
+                (name, mount["connector"])
+                for name, mount in sorted(getattr(self, "catalogs", {}).items())
+            ]
+            self.spark.createDataFrame(
+                rows, "catalog_name: string, connector_name: string"
+            ).createOrReplaceTempView("_system_metadata_catalogs")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.metadata.catalogs", "_system_metadata_catalogs"
+            )
+        if "system.metadata.materialized_views" in trino_sql:
+            # MaterializedViewSystemTable.java: name/definition/freshness
+            rows = [
+                (
+                    n,
+                    self.materialized_views[n],
+                    self._mv_freshness(n),
+                )
+                for n in sorted(self.materialized_views)
+            ]
+            self.spark.createDataFrame(
+                rows or [], "name: string, definition: string, freshness: string"
+            ).createOrReplaceTempView("_system_metadata_mvs")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.metadata.materialized_views", "_system_metadata_mvs"
+            )
+        if "system.jdbc.types" in trino_sql:
+            # JdbcTypesSystemTable (system.jdbc schema serving JDBC driver
+            # metadata): type_name + java.sql.Types DATA_TYPE codes
+            rows = [
+                ("boolean", 16), ("tinyint", -6), ("smallint", 5),
+                ("integer", 4), ("bigint", -5), ("real", 7),
+                ("double", 8), ("decimal", 3), ("varchar", 12),
+                ("char", 1), ("varbinary", -3), ("date", 91),
+                ("time", 92), ("timestamp", 93),
+                ("timestamp with time zone", 2014), ("array", 2003),
+                ("map", 2000), ("row", 2002), ("json", 2000),
+            ]
+            self.spark.createDataFrame(
+                rows, "type_name: string, data_type: int"
+            ).createOrReplaceTempView("_system_jdbc_types")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.jdbc.types", "_system_jdbc_types"
+            )
         if "system.runtime.queries" in trino_sql:
             # system.runtime.queries (QuerySystemTable.java): planning-time
             # dispatch state per recorded query.
