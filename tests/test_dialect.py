@@ -773,3 +773,30 @@ def test_system_metadata_tables_round6(spark):
         assert ("mv_meta_probe", "FRESH") in {(r.name, r.freshness) for r in rows}
     finally:
         eng.sql("DROP MATERIALIZED VIEW mv_meta_probe")
+
+
+def test_system_runtime_and_properties_round6(spark):
+    """system.runtime.tasks / enriched system.runtime.queries columns /
+    system.metadata.*_properties / current_catalog + current_schema
+    niladics (TaskSystemTable, QuerySystemTable, *PropertiesSystemTable,
+    grammar niladics)."""
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    eng.sql("SELECT 1").collect()  # populate the query log
+    rows = eng.sql(
+        "SELECT query_id, user, state FROM system.runtime.queries"
+        " ORDER BY created DESC LIMIT 1"
+    ).collect()
+    assert rows and rows[0].user == "trino" and rows[0].state == "FINISHED"
+    assert eng.sql("SELECT * FROM system.runtime.tasks").collect() == []
+    fmt = eng.sql(
+        "SELECT default_value FROM system.metadata.table_properties"
+        " WHERE property_name = 'format'"
+    ).collect()[0].default_value
+    assert fmt == "PARQUET"
+    r = eng.sql("SELECT current_catalog AS c, current_schema AS s").collect()[0]
+    assert (r.c, r.s) == ("spark", "default")
+    eng.sql("USE analytics")
+    assert eng.sql("SELECT current_schema AS s").collect()[0].s == "analytics"
+    eng.sql("USE default")

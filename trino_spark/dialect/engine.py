@@ -194,10 +194,25 @@ class TrinoEngine:
         )
 
     def _log_query(self, qid: str, sql: str, state: str, elapsed_s: float) -> None:
+        import datetime as _dt
+
         log = getattr(self, "_query_log", None)
         if log is None:
             log = self._query_log = []
-        log.append((qid, state, sql.strip()[:1000], round(elapsed_s * 1000, 3)))
+        end = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        created = end - _dt.timedelta(seconds=elapsed_s)
+        log.append(
+            (
+                qid,
+                state,
+                getattr(self, "session_user", "trino"),
+                sql.strip()[:1000],
+                round(elapsed_s * 1000, 3),
+                created,
+                created,  # started: dispatch is immediate in this engine
+                end,
+            )
+        )
         del log[:-200]  # bounded, like the reference's history window
 
     @staticmethod
@@ -253,6 +268,22 @@ class TrinoEngine:
                 trino_sql,
                 lambda p: re.sub(
                     r"\bversion\s*\(\s*\)", f"'{__version__}'", p, flags=re.IGNORECASE
+                ),
+            )
+        if re.search(r"\bcurrent_schema\b(?!\s*[.(])", trino_sql, re.IGNORECASE):
+            # current_schema niladic: the engine's own USE-tracked schema
+            # (the translate() fallback maps it to current_database() for
+            # raw spark.sql callers)
+            from trino_spark.dialect.access import map_outside_literals
+
+            _sch = getattr(self, "_current_schema", "default")
+            trino_sql = map_outside_literals(
+                trino_sql,
+                lambda p: re.sub(
+                    r"\bcurrent_schema\b(?!\s*[.(])",
+                    lambda _m: "'" + _sch.replace("'", "''") + "'",
+                    p,
+                    flags=re.IGNORECASE,
                 ),
             )
         if re.search(r"\bcurrent_groups\s*\(\s*\)", trino_sql, re.IGNORECASE):
@@ -333,6 +364,58 @@ class TrinoEngine:
             trino_sql = self._sub_outside_literals(
                 trino_sql, "information_schema.views", "_information_schema_views"
             )
+        if "system.runtime.tasks" in trino_sql:
+            # TaskSystemTable.java: live execution tasks. Local mode maps
+            # Spark's active stages — one row per (stage, running tasks).
+            sc = self.spark.sparkContext
+            st = sc.statusTracker()
+            rows = []
+            for sid in st.getActiveStageIds():
+                info = st.getStageInfo(sid)
+                if info:
+                    rows.append(
+                        (
+                            sc.applicationId,
+                            f"stage-{sid}",
+                            "RUNNING",
+                            int(info.numTasks),
+                            int(info.numActiveTasks),
+                            int(info.numCompletedTasks),
+                            int(info.numFailedTasks),
+                        )
+                    )
+            self.spark.createDataFrame(
+                rows or [],
+                "node_id: string, task_id: string, state: string, splits: int,"
+                " running_splits: int, completed_splits: int, failed_splits: int",
+            ).createOrReplaceTempView("_system_runtime_tasks")
+            trino_sql = self._sub_outside_literals(
+                trino_sql, "system.runtime.tasks", "_system_runtime_tasks"
+            )
+        for _prop_tbl, _props in (
+            ("table_properties", [("format", "varchar", "PARQUET", "File format"),
+                                  ("location", "varchar", "", "Storage location"),
+                                  ("partitioned_by", "array(varchar)", "[]", "Partition columns"),
+                                  ("bucketed_by", "array(varchar)", "[]", "Bucketing columns"),
+                                  ("bucket_count", "integer", "0", "Number of buckets")]),
+            ("schema_properties", [("location", "varchar", "", "Storage location")]),
+            ("column_properties", []),
+            ("analyze_properties", [("columns", "array(varchar)", "[]", "Columns to analyze")]),
+            ("materialized_view_properties", [("storage_schema", "varchar", "", "Storage schema")]),
+        ):
+            key = f"system.metadata.{_prop_tbl}"
+            if key in trino_sql:
+                # {Schema,Table,Column,Analyze,MaterializedView}Properties
+                # SystemTable.java: the property names each catalog accepts
+                rows = [("spark", n, t, d, desc) for n, t, d, desc in _props]
+                self.spark.createDataFrame(
+                    rows or [],
+                    "catalog_name: string, property_name: string, type: string,"
+                    " default_value: string, description: string",
+                ).createOrReplaceTempView(f"_system_metadata_{_prop_tbl}")
+                trino_sql = self._sub_outside_literals(
+                    trino_sql, key, f"_system_metadata_{_prop_tbl}"
+                )
         if "system.metadata.catalogs" in trino_sql:
             # CatalogSystemTable.java: the session catalog + dynamic mounts
             rows = [("spark", "spark")] + [
@@ -385,7 +468,9 @@ class TrinoEngine:
             rows = list(getattr(self, "_query_log", []))
             self.spark.createDataFrame(
                 rows or [],
-                "query_id: string, state: string, query: string, elapsed_ms: double",
+                "query_id: string, state: string, user: string, query: string,"
+                " elapsed_ms: double, created: timestamp, started: timestamp,"
+                " `end`: timestamp",
             ).createOrReplaceTempView("_system_runtime_queries")
             trino_sql = self._sub_outside_literals(
                 trino_sql, "system.runtime.queries", "_system_runtime_queries"

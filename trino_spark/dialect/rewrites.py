@@ -1332,13 +1332,28 @@ def _rewrite_offset_limit(toks: list[Tok]) -> list[Tok]:
 
 
 def _rewrite_niladic(toks: list[Tok]) -> list[Tok]:
-    """Niladic keywords Spark only accepts with parens: localtimestamp."""
+    """Niladic keywords Spark only accepts with parens (localtimestamp)
+    or under a different spelling: current_catalog -> the session
+    catalog literal, current_schema -> current_database() (Trino's
+    grammar treats both as parenless niladics)."""
     out: list[Tok] = []
     for idx, t in enumerate(toks):
         if t.kind == "WORD" and t.text.upper() == "LOCALTIMESTAMP":
             j = next_code(toks, idx + 1)
             if not (j < len(toks) and toks[j].is_sym("(")):
                 out.extend(tokenize("localtimestamp()"))
+                continue
+        if t.kind == "WORD" and t.text.upper() in ("CURRENT_CATALOG", "CURRENT_SCHEMA"):
+            j = next_code(toks, idx + 1)
+            # leave `current_schema.table`-style qualifiers alone
+            if not (j < len(toks) and (toks[j].is_sym("(") or toks[j].is_sym("."))):
+                out.extend(
+                    tokenize(
+                        "'spark'"
+                        if t.text.upper() == "CURRENT_CATALOG"
+                        else "current_database()"
+                    )
+                )
                 continue
         out.append(t)
     return out
