@@ -543,3 +543,56 @@ class TestDenyAndSessionAuth:
         engine.sql("SET ROLE NONE")
         engine.sql(f"DROP BRANCH b IN TABLE {tbl}")
         engine.sql(f"DROP TABLE {tbl}")
+
+
+class TestRoleHierarchy:
+    """Round-6: role-to-role grants (docs sql/grant-roles.md /
+    revoke-roles.md / show-role-grants.md; GrantRolesTask) with
+    transitive privilege inheritance and inherited DENY."""
+
+    @pytest.fixture()
+    def eng(self, engine):
+        engine.sql("DROP TABLE IF EXISTS rh_t")
+        engine.sql("CREATE TABLE rh_t AS SELECT n_nationkey AS k FROM nation")
+        for r in ("rh_reader", "rh_analyst", "rh_lead"):
+            engine.sql(f"CREATE ROLE {r}")
+        engine.sql("GRANT SELECT ON rh_t TO ROLE rh_reader")
+        yield engine
+        engine.sql("SET ROLE NONE")
+        for r in ("rh_lead", "rh_analyst", "rh_reader"):
+            engine.sql(f"DROP ROLE {r}")
+        engine.sql("DROP TABLE IF EXISTS rh_t")
+
+    def test_transitive_inheritance(self, eng):
+        eng.sql("GRANT rh_reader TO ROLE rh_analyst")
+        eng.sql("GRANT rh_analyst TO ROLE rh_lead")
+        eng.sql("SET ROLE rh_analyst")
+        assert eng.sql("SELECT count(*) AS c FROM rh_t").collect()[0].c == 25
+        eng.sql("SET ROLE rh_lead")  # two levels deep
+        assert eng.sql("SELECT count(*) AS c FROM rh_t").collect()[0].c == 25
+        cur = {r.role for r in eng.sql("SHOW CURRENT ROLES").collect()}
+        assert cur == {"rh_lead", "rh_analyst", "rh_reader"}
+        eng.sql("SET ROLE NONE")
+        eng.sql("REVOKE rh_reader FROM ROLE rh_analyst")
+        eng.sql("SET ROLE rh_lead")
+        with pytest.raises(AccessDenied):
+            eng.sql("SELECT count(*) FROM rh_t").collect()
+
+    def test_show_role_grants_non_recursive(self, eng):
+        eng.sql("GRANT rh_reader TO ROLE rh_analyst")
+        eng.sql("GRANT rh_analyst TO ROLE rh_lead")
+        eng.sql("SET ROLE rh_lead")
+        rows = {r.role for r in eng.sql("SHOW ROLE GRANTS").collect()}
+        assert rows == {"rh_analyst"}  # non-recursive per the docs
+
+    def test_circular_grant_rejected(self, eng):
+        eng.sql("GRANT rh_reader TO ROLE rh_analyst")
+        with pytest.raises(Exception, match="circular"):
+            eng.sql("GRANT rh_analyst TO ROLE rh_reader")
+
+    def test_inherited_deny_wins(self, eng):
+        eng.sql("GRANT rh_reader TO ROLE rh_analyst")
+        eng.sql("DENY SELECT ON rh_t TO rh_reader")
+        eng.sql("SET ROLE rh_analyst")
+        with pytest.raises(AccessDenied, match="denied"):
+            eng.sql("SELECT count(*) FROM rh_t").collect()

@@ -53,6 +53,22 @@ def _state(engine):
     return engine._acl
 
 
+def _effective_roles(st, role: str) -> set:
+    """`role` plus every role transitively granted TO it (GRANT r1 TO
+    ROLE r2 makes r2 inherit r1's privileges — the reference's role
+    hierarchy, io.trino.metadata.MetadataManager#listApplicableRoles)."""
+    out: set = set()
+    stack = [role]
+    rg = st.get("role_grants", set())
+    while stack:
+        r = stack.pop()
+        if r in out:
+            continue
+        out.add(r)
+        stack.extend(g for g, grantee in rg if grantee == r)
+    return out
+
+
 def try_execute(engine, sql: str) -> DataFrame | None:
     st = _state(engine)
     s = sql.strip().rstrip(";")
@@ -83,8 +99,17 @@ def try_execute(engine, sql: str) -> DataFrame | None:
             st["current"] = name
         return spark.createDataFrame([(name,)], "role: string")
     if up[:3] == ["SHOW", "CURRENT", "ROLES"]:
-        # ShowRolesTask with CURRENT: the enabled roles of this session
-        rows = [(st["current"],)] if st["current"] else []
+        # ShowRolesTask with CURRENT: the enabled roles of this session —
+        # the SET ROLE plus everything transitively granted to it
+        rows = sorted((r,) for r in _effective_roles(st, st["current"])) if st["current"] else []
+        return spark.createDataFrame(rows or [], "role: string")
+    if up[:3] == ["SHOW", "ROLE", "GRANTS"]:
+        # ShowRoleGrants: roles granted NON-recursively to the session
+        # identity (docs sql/show-role-grants.md)
+        cur = st["current"]
+        rows = sorted(
+            (g,) for g, grantee in st.get("role_grants", set()) if grantee == cur
+        ) if cur else []
         return spark.createDataFrame(rows or [], "role: string")
     if up[:2] == ["SHOW", "ROLES"]:
         rows = [(r,) for r in sorted(st["roles"])]
@@ -100,8 +125,46 @@ def try_execute(engine, sql: str) -> DataFrame | None:
         ]
         return spark.createDataFrame(rows or [], "grantee: string, privilege: string, table_name: string")
     if up[:1] == ["GRANT"]:
+        # role-to-role grant (docs sql/grant-roles.md; GrantRolesTask):
+        # GRANT r1 [, r2 ...] TO ROLE r [WITH ADMIN OPTION]
+        rg = re.match(
+            r"GRANT\s+([\w\"]+(?:\s*,\s*[\w\"]+)*)\s+TO\s+ROLE\s+([\w\"]+)"
+            r"(?:\s+WITH\s+ADMIN\s+OPTION)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if rg and " ON " not in s.upper():
+            if st["current"] is not None:
+                raise AccessDenied("Access Denied: only the owner session grants roles")
+            grantee = rg.group(2).strip('"').lower()
+            if grantee not in st["roles"]:
+                raise ValueError(f"role not found: {grantee}")
+            granted = []
+            for r in rg.group(1).split(","):
+                r = r.strip().strip('"').lower()
+                if r not in st["roles"]:
+                    raise ValueError(f"role not found: {r}")
+                if r == grantee or grantee in _effective_roles(st, r):
+                    raise ValueError(f"circular role grant: {r} -> {grantee}")
+                st.setdefault("role_grants", set()).add((r, grantee))
+                granted.append(r)
+            return spark.createDataFrame([(g, grantee) for g in granted], "role: string, grantee: string")
         return _grant_revoke(engine, s, revoke=False)
     if up[:1] == ["REVOKE"]:
+        rr = re.match(
+            r"REVOKE\s+(?:ADMIN\s+OPTION\s+FOR\s+)?([\w\"]+(?:\s*,\s*[\w\"]+)*)"
+            r"\s+FROM\s+ROLE\s+([\w\"]+)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if rr and " ON " not in s.upper():
+            if st["current"] is not None:
+                raise AccessDenied("Access Denied: only the owner session revokes roles")
+            grantee = rr.group(2).strip('"').lower()
+            for r in rr.group(1).split(","):
+                r = r.strip().strip('"').lower()
+                st.setdefault("role_grants", set()).discard((r, grantee))
+            return spark.createDataFrame([(grantee,)], "grantee: string")
         return _grant_revoke(engine, s, revoke=True)
     if up[:1] == ["DENY"]:
         # DENY privilege ON t TO role (grammar #deny; DenyTask.java):
@@ -201,7 +264,8 @@ def enforce(engine, sql: str) -> None:
     role = st["current"]
     if role is None:
         return
-    grants = st["roles"].get(role, set())
+    eff = _effective_roles(st, role)
+    grants = set().union(*(st["roles"].get(r, set()) for r in eff))
     s = sql.strip()
     up = s.upper().split()
     toks = s.split()
@@ -277,8 +341,12 @@ def enforce(engine, sql: str) -> None:
         base = re.match(r"(.+?)__(?:v\d+|snapshots|branch_\w+)$", tbl)
         if base and base.group(1) in getattr(engine, "dml_tables", {}):
             tbl = base.group(1)
-        if (priv, tbl) in st.get("denies", {}).get(role, set()):
-            # DENY overrides any grant (grammar #deny; DenyTask.java).
+        denies = set().union(
+            *(st.get("denies", {}).get(r, set()) for r in eff)
+        ) if st.get("denies") else set()
+        if (priv, tbl) in denies:
+            # DENY overrides any grant (grammar #deny; DenyTask.java),
+            # including one inherited through a granted role.
             raise AccessDenied(f"Access Denied: role '{role}' is denied {priv} on {tbl}")
         if (priv, tbl) not in grants:
             raise AccessDenied(f"Access Denied: role '{role}' lacks {priv} on {tbl}")
