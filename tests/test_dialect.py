@@ -800,3 +800,24 @@ def test_system_runtime_and_properties_round6(spark):
     eng.sql("USE analytics")
     assert eng.sql("SELECT current_schema AS s").collect()[0].s == "analytics"
     eng.sql("USE default")
+
+
+def test_offset_fetch_and_unicode_literals(spark):
+    """Round-6: OFFSET n ROWS composed with FETCH/LIMIT (the fetch pass
+    now runs before the offset reorder) and U&'...' Unicode literals
+    with default and custom UESCAPE."""
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    rows = eng.sql(
+        "SELECT n_name FROM nation ORDER BY n_name"
+        " OFFSET 3 ROWS FETCH NEXT 2 ROWS ONLY"
+    ).collect()
+    assert len(rows) == 2 and rows[0].n_name == "NATION_11"
+    assert len(eng.sql(
+        "SELECT n_name FROM nation ORDER BY n_name OFFSET 23 ROWS"
+    ).collect()) == 2
+    r = eng.sql("SELECT U&'\\0041\\0042' AS v, U&'!+01F600' UESCAPE '!' AS e").collect()[0]
+    assert r.v == "AB" and r.e == "\N{GRINNING FACE}"
+    # doubled escape char denotes itself
+    assert eng.sql("SELECT U&'a\\\\b' AS v").collect()[0].v == "a\\b"

@@ -1308,8 +1308,11 @@ def _rewrite_typed_literal(toks: list[Tok]) -> list[Tok]:
 
 
 def _rewrite_offset_limit(toks: list[Tok]) -> list[Tok]:
-    """Trino `OFFSET n [ROW|ROWS] LIMIT m` -> Spark `LIMIT m OFFSET n`
-    (Spark requires LIMIT before OFFSET)."""
+    """Trino `OFFSET n [ROW|ROWS] [LIMIT m]` -> Spark order/spelling:
+    `LIMIT m OFFSET n` (Spark requires LIMIT first) or a bare `OFFSET n`
+    (Spark accepts no ROW/ROWS keyword). Runs AFTER _rewrite_fetch, so
+    `OFFSET n ROWS FETCH NEXT m ROWS ONLY` arrives here as
+    `OFFSET n ROWS LIMIT m`."""
     out: list[Tok] = []
     i = 0
     while i < len(toks):
@@ -1326,6 +1329,54 @@ def _rewrite_offset_limit(toks: list[Tok]) -> list[Tok]:
                     out.extend(tokenize(f" LIMIT {toks[m_i].text} OFFSET {n} "))
                     i = m_i + 1
                     continue
+                out.extend(tokenize(f" OFFSET {n} "))
+                i = k
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_unicode_literal(toks: list[Tok]) -> list[Tok]:
+    """U&'...' [UESCAPE 'c'] Unicode string literals (grammar
+    UNICODE_STRING; Trino docs language/types VARCHAR examples):
+    decode \\XXXX (4 hex) and \\+XXXXXX (6 hex) escapes at rewrite time
+    into a plain literal."""
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        j = i + 1  # U& must be adjacent: no WS between U, & and the string
+        if (
+            t.is_word("U")
+            and j + 1 < n
+            and toks[j].is_sym("&")
+            and toks[j + 1].kind == "STR"
+        ):
+            body = toks[j + 1].text[1:-1].replace("''", "'")
+            esc = "\\"
+            k = next_code(toks, j + 2)
+            consumed = j + 2
+            if k < n and toks[k].is_word("UESCAPE"):
+                e = next_code(toks, k + 1)
+                if e < n and toks[e].kind == "STR":
+                    esc = toks[e].text[1:-1]
+                    consumed = e + 1
+            ch = re.escape(esc)
+            decoded = re.sub(
+                ch + r"\+([0-9A-Fa-f]{6})|" + ch + r"([0-9A-Fa-f]{4})|" + ch + ch,
+                lambda m: chr(int(m.group(1) or m.group(2), 16))
+                if (m.group(1) or m.group(2))
+                else esc,
+                body,
+            )
+            # Spark's string parser treats backslash as an escape inside
+            # '...' (Trino's does not), so re-escape any literal backslash
+            decoded = decoded.replace("\\", "\\\\").replace("'", "''")
+            out.append(Tok("STR", "'" + decoded + "'"))
+            i = consumed
+            continue
         out.append(t)
         i += 1
     return out
@@ -1966,6 +2017,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_qident(toks)
     toks = _rewrite_spatial_sample(toks)
     toks = _rewrite_sketch_twophase(toks)
+    toks = _rewrite_unicode_literal(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)
     toks = _rewrite_timetz(toks)
@@ -1973,6 +2025,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_row(toks)
     toks = _rewrite_quantified(toks)
     toks = _rewrite_niladic(toks)
+    toks, ties = _rewrite_fetch(toks)
     toks = _rewrite_offset_limit(toks)
     toks = _rewrite_functions(toks)
     toks = _rewrite_table_ptf(toks)
@@ -1981,7 +2034,6 @@ def translate(sql: str) -> str:
     toks = _rewrite_unnest(toks)
     toks = _rewrite_cast_char(toks)
     toks = _rewrite_types(toks)
-    toks, ties = _rewrite_fetch(toks)
     result = render(toks)
     if ties:
         result = _rewrite_ties(result)
