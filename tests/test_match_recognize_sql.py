@@ -228,3 +228,74 @@ class TestAggregateMeasures:
                 ) 
                 """
             ).collect()
+
+
+class TestPatternWindow:
+    """Round-6: row-pattern recognition in WINDOW (docs
+    pattern-recognition-in-window.md) — per-row anchored matches,
+    FINAL measures, NULL for unmatched rows, input cardinality kept."""
+
+    @pytest.fixture()
+    def eng(self, spark):
+        from trino_spark.dialect.engine import TrinoEngine
+
+        df = spark.createDataFrame(
+            [(1, 1, 100.0), (1, 2, 90.0), (1, 3, 80.0), (1, 4, 120.0),
+             (2, 1, 50.0), (2, 2, 60.0)],
+            "cust int, seq int, price double",
+        )
+        df.createOrReplaceTempView("pw_t")
+        return TrinoEngine(spark, "/root/testdata/sf0.001")
+
+    def test_anchored_runs(self, eng):
+        rows = eng.sql(
+            "SELECT cust, seq, run_len OVER w AS rl, bottom OVER w AS b"
+            " FROM pw_t WINDOW w AS ("
+            "  PARTITION BY cust ORDER BY seq"
+            "  MEASURES count(*) AS run_len, LAST(price) AS bottom"
+            "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+            "  PATTERN (A B*) DEFINE B AS price < PREV(price)"
+            ") ORDER BY cust, seq"
+        ).collect()
+        assert [(r.cust, r.seq, r.rl, r.b) for r in rows] == [
+            (1, 1, 3, 80.0), (1, 2, 2, 80.0), (1, 3, 1, 80.0),
+            (1, 4, 1, 120.0), (2, 1, 1, 50.0), (2, 2, 1, 60.0),
+        ]
+
+    def test_unmatched_rows_null_and_classifier(self, eng):
+        rows = eng.sql(
+            "SELECT seq, v OVER w AS v, lbl OVER w AS lbl FROM pw_t"
+            " WHERE cust = 1 WINDOW w AS ("
+            "  PARTITION BY cust ORDER BY seq"
+            "  MEASURES RUNNING LAST(price) AS v, CLASSIFIER() AS lbl"
+            "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+            "  PATTERN (A B+) DEFINE B AS price < PREV(price)"
+            ") ORDER BY seq"
+        ).collect()
+        assert [(r.seq, r.v, r.lbl) for r in rows] == [
+            (1, 80.0, "B"), (2, 80.0, "B"), (3, None, None), (4, None, None),
+        ]
+
+    def test_plain_window_clause_stays_native(self, eng):
+        rows = eng.sql(
+            "SELECT seq, sum(price) OVER w AS s FROM pw_t WHERE cust = 2"
+            " WINDOW w AS (PARTITION BY cust ORDER BY seq)"
+            " ORDER BY seq"
+        ).collect()
+        assert [(r.seq, r.s) for r in rows] == [(1, 50.0), (2, 110.0)]
+
+    def test_bad_frame_and_seek_rejected(self, eng):
+        with pytest.raises(Exception, match="frame"):
+            eng.sql(
+                "SELECT m OVER w FROM pw_t WINDOW w AS ("
+                " ORDER BY seq MEASURES count(*) AS m"
+                " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"
+                " PATTERN (A) DEFINE A AS true)"
+            )
+        with pytest.raises(Exception, match="SEEK"):
+            eng.sql(
+                "SELECT m OVER w FROM pw_t WINDOW w AS ("
+                " ORDER BY seq MEASURES count(*) AS m"
+                " AFTER MATCH SKIP PAST LAST ROW SEEK"
+                " PATTERN (A) DEFINE A AS true)"
+            )

@@ -955,6 +955,16 @@ class TrinoEngine:
             out = _mrsql.try_rewrite(self, stripped)
             if out is not None:
                 return out
+        if _re.search(r"\bWINDOW\b", stripped, _re.IGNORECASE) and _re.search(
+            r"\bPATTERN\s*\(", stripped, _re.IGNORECASE
+        ):
+            # Row-pattern recognition in WINDOW (docs
+            # pattern-recognition-in-window.md): per-row anchored match.
+            from trino_spark.dialect import match_recognize_sql as _mrsql
+
+            out = _mrsql.try_rewrite_window(self, stripped)
+            if out is not None:
+                return out
         expanded = _routines_mod.expand(trino_sql, self.routines)
         spark_sql = translate(expanded)
         if spark_sql.lstrip()[:4].upper() == "WITH":

@@ -160,7 +160,13 @@ def parse_spec(body: str) -> MRSpec:
             mm = re.match(r"(.*)\bAS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
             if not mm:
                 raise ValueError(f"MEASURES item needs AS name: {item}")
-            measures.append((mm.group(1).strip(), mm.group(2)))
+            # RUNNING/FINAL semantics prefixes: measures here evaluate at
+            # the match's LAST row (ONE ROW PER MATCH / window form), where
+            # RUNNING and FINAL coincide — strip the keyword.
+            expr = re.sub(
+                r"^\s*(?:RUNNING|FINAL)\b", "", mm.group(1).strip(), flags=re.IGNORECASE
+            ).strip()
+            measures.append((expr, mm.group(2)))
 
     define: dict[str, str] = {}
     if define_txt:
@@ -479,4 +485,103 @@ def try_rewrite(engine, sql: str) -> DataFrame | None:
     view = f"_mr_{uuid.uuid4().hex[:8]}"
     out.createOrReplaceTempView(view)
     new_sql = sql[: src_m.start(1)] + view + sql[cl + 1 :]
+    return engine.sql(new_sql)
+
+
+# -------------------------------------------- pattern recognition in WINDOW
+
+_WINDOW_RX = re.compile(r"\bWINDOW\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
+_FRAME_RX = re.compile(
+    r"\bROWS\s+BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING\b",
+    re.IGNORECASE,
+)
+
+
+def try_rewrite_window(engine, sql: str) -> DataFrame | None:
+    """Row-pattern recognition in a WINDOW clause (docs
+    pattern-recognition-in-window.md; grammar windowSpecification with
+    MEASURES/PATTERN):
+
+        SELECT m OVER w FROM t WINDOW w AS (
+          PARTITION BY ... ORDER BY ...
+          MEASURES ... AS m
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+          PATTERN (...) DEFINE ...)
+
+    Executes the pattern anchored per row on operators/match_recognize
+    .pattern_window, registers the measure-augmented relation as a view,
+    and re-dispatches the statement with `m OVER w` references replaced
+    by the computed columns. INITIAL mode only (SEEK raises); plain
+    window clauses without PATTERN stay Spark-native."""
+    m = _WINDOW_RX.search(sql)
+    if m is None:
+        return None
+    op = sql.index("(", m.end() - 1)
+    cl = _match_paren(sql, op)
+    body = sql[op + 1 : cl]
+    if not re.search(r"\bPATTERN\s*\(", body, re.IGNORECASE):
+        return None  # ordinary WINDOW clause
+    wname = m.group(1)
+    after = sql[cl + 1 :].lstrip()
+    if after.startswith(","):
+        raise ValueError("only one pattern window per statement is supported")
+    if re.search(r"\bROWS\s+BETWEEN\b", body, re.IGNORECASE) and not _FRAME_RX.search(body):
+        raise ValueError(
+            "pattern window frame must be ROWS BETWEEN CURRENT ROW AND"
+            " UNBOUNDED FOLLOWING (the reference's requirement)"
+        )
+    body2 = _FRAME_RX.sub(" ", body)
+    if re.search(r"\bSEEK\b", body2, re.IGNORECASE):
+        raise ValueError("pattern window SEEK mode not supported (INITIAL only)")
+    body2 = re.sub(r"\bINITIAL\b", " ", body2, flags=re.IGNORECASE)
+    spec = parse_spec(body2)
+    if not spec.measures:
+        raise ValueError("pattern window requires MEASURES")
+
+    # input relation: everything between FROM and the WINDOW keyword
+    # (WHERE included), evaluated through the engine so dialect SQL works
+    seg = re.search(
+        r"\bFROM\b(.*?)(?=\bWINDOW\b)", sql, re.IGNORECASE | re.DOTALL
+    )
+    if not seg:
+        raise ValueError("pattern window: could not locate FROM clause")
+    base = engine.sql("SELECT * FROM" + seg.group(1))
+
+    from pyspark.sql import types as T
+
+    from trino_spark.operators.match_recognize import pattern_window
+
+    measure_fields = [
+        T.StructField(name, _measure_type(expr, base.schema))
+        for expr, name in spec.measures
+    ]
+    out = pattern_window(
+        base,
+        partition_by=spec.partition_by,
+        order_by=spec.order_by,
+        pattern=spec.pattern,
+        define={l: compile_define(c) for l, c in spec.define.items()},
+        measures={
+            name: compile_measure(expr, spec.subsets)
+            for expr, name in spec.measures
+        },
+        measure_fields=measure_fields,
+    )
+    view = f"_pw_{uuid.uuid4().hex[:8]}"
+    out.createOrReplaceTempView(view)
+    new_sql = (
+        sql[: seg.start()] + f"FROM {view} " + sql[cl + 1 :]
+    )
+    for _expr, name in spec.measures:
+        new_sql = re.sub(
+            rf"\b{re.escape(name)}\s+OVER\s+{re.escape(wname)}\b",
+            name,
+            new_sql,
+            flags=re.IGNORECASE,
+        )
+    if re.search(rf"\bOVER\s+{re.escape(wname)}\b", new_sql, re.IGNORECASE):
+        raise ValueError(
+            "pattern window supports only MEASURE references over the"
+            " pattern window (aggregate OVER w not yet implemented)"
+        )
     return engine.sql(new_sql)

@@ -566,3 +566,79 @@ def match_recognize(
         .sortWithinPartitions(*partition_by, *order_by)
         .mapInPandas(process, schema=output_schema)
     )
+
+
+def pattern_window(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    define: dict[str, Callable[[pd.DataFrame, int, int], bool]],
+    measures: dict[str, Callable[[pd.DataFrame, list[str]], object]],
+    measure_fields: list,
+) -> DataFrame:
+    """Row-pattern recognition in WINDOW (docs
+    pattern-recognition-in-window.md; reference: window specifications
+    with MEASURES / PATTERN / DEFINE over the frame ROWS BETWEEN CURRENT
+    ROW AND UNBOUNDED FOLLOWING).
+
+    For EVERY input row, the pattern is matched ANCHORED at that row
+    (INITIAL mode); on a match the measures evaluate with FINAL
+    semantics over the matched rows, otherwise (and for rows where only
+    the empty match exists and a measure needs rows) the measure is
+    NULL. Output = the input columns + one column per measure, same
+    cardinality as the input — unlike the table-form MATCH_RECOGNIZE,
+    no row is dropped.
+
+    Scale shape: applyInPandas per (hash-partitioned) window partition,
+    like the table form; matching is leftmost-greedy per row via the
+    shared NFA. Worst case is O(rows x match length) per partition —
+    the reference pays the same (its window matcher re-anchors per
+    row)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ast = _parse_pattern(pattern)
+    out_schema = StructType(list(df.schema.fields) + list(measure_fields))
+    names = list(measures)
+    synth = not partition_by
+    if synth:
+        df = df.withColumn("_pw_all", F.lit(1))
+        keys = ["_pw_all"]
+    else:
+        keys = list(partition_by)
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        n = len(g)
+
+        def test(label: str, i: int, start: int) -> bool:
+            fn = define.get(label)
+            return True if fn is None else fn(g, i, start)
+
+        cols: dict[str, list] = {name: [None] * n for name in names}
+        for r in range(n):
+            labels: list[str] = []
+            end = next(_match_from(ast, r, n, test, r, labels), None)
+            if end is None:
+                continue
+            sl = g.iloc[r:end]
+            lbls = list(labels)
+            for name in names:
+                try:
+                    cols[name][r] = measures[name](sl, lbls)
+                except (IndexError, TypeError):
+                    cols[name][r] = None  # empty match / NULL arithmetic
+        for name in names:
+            g[name] = cols[name]
+        if synth:
+            g = g.drop(columns=["_pw_all"])
+        return g
+
+    out = df.groupBy(*keys).applyInPandas(
+        process,
+        schema=StructType(
+            [f for f in out_schema.fields if f.name != "_pw_all"]
+        ),
+    )
+    return out

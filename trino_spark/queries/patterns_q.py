@@ -210,3 +210,66 @@ def match_recognize_bounded_allrows(spark: SparkSession, sf: str) -> DataFrame:
         measures_vectorized_all=measures_vec_all,
     )
     return out.orderBy("user_id", "match_no", "event_id")
+
+
+@REG.add(
+    "mr_pattern_window",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice < lag(o_totalprice) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderkey)
+                  THEN 0 ELSE 1 END AS brk
+      FROM orders WHERE o_custkey < 200
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY o_custkey, grp) AS n_in_grp,
+             row_number() OVER (PARTITION BY o_custkey, grp
+                                ORDER BY o_orderkey) AS pos,
+             last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey, grp ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS grp_bottom
+      FROM g
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(n_in_grp - pos + 1 AS BIGINT) AS run_len,
+           grp_bottom AS bottom
+    FROM r
+    ORDER BY o_custkey, o_orderkey
+    LIMIT 60
+    """,
+)
+def mr_pattern_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-pattern recognition in WINDOW (round 6; docs
+    pattern-recognition-in-window.md): for every order, the length and
+    floor of the price run descending from it — PATTERN (A B*) anchored
+    per row, measures with FINAL semantics, unmatched rows impossible
+    (A matches any row). The oracle restates the anchored-run measures
+    as gaps-and-islands window SQL (a run starting at row r extends to
+    the end of r's maximal descending island)."""
+    from trino_spark.queries.base import engine_for
+
+    return engine_for(spark, sf).sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               run_len OVER w AS run_len,
+               bottom OVER w AS bottom
+        FROM (SELECT * FROM orders WHERE o_custkey < 200)
+        WINDOW w AS (
+          PARTITION BY o_custkey ORDER BY o_orderkey
+          MEASURES count(*) AS run_len, LAST(o_totalprice) AS bottom
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+          PATTERN (A B*)
+          DEFINE B AS o_totalprice < PREV(o_totalprice)
+        )
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 60
+        """
+    )
