@@ -299,3 +299,17 @@ class TestPatternWindow:
                 " AFTER MATCH SKIP PAST LAST ROW SEEK"
                 " PATTERN (A) DEFINE A AS true)"
             )
+
+    def test_window_function_calls_over_pattern_window(self, eng):
+        rows = eng.sql(
+            "SELECT seq, sum(price) OVER w AS s, count(*) OVER w AS c"
+            " FROM pw_t WHERE cust = 1 WINDOW w AS ("
+            "  PARTITION BY cust ORDER BY seq"
+            "  MEASURES LAST(price) AS bottom"
+            "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+            "  PATTERN (A B*) DEFINE B AS price < PREV(price)"
+            ") ORDER BY seq"
+        ).collect()
+        assert [(r.seq, r.s, r.c) for r in rows] == [
+            (1, 270.0, 3), (2, 170.0, 2), (3, 80.0, 1), (4, 120.0, 1),
+        ]

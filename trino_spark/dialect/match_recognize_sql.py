@@ -535,6 +535,21 @@ def try_rewrite_window(engine, sql: str) -> DataFrame | None:
         raise ValueError("pattern window SEEK mode not supported (INITIAL only)")
     body2 = re.sub(r"\bINITIAL\b", " ", body2, flags=re.IGNORECASE)
     spec = parse_spec(body2)
+    # window FUNCTION calls over the pattern window — `sum(x) OVER w` —
+    # compute over the row's match (docs pattern-recognition-in-window
+    # "window function call over the window"): synthesize a measure per
+    # distinct call and reference it like a declared measure
+    synth: dict[str, str] = {}
+    for fm in re.finditer(
+        rf"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(([^()]*)\)\s+OVER\s+{re.escape(wname)}\b",
+        sql,
+        re.IGNORECASE,
+    ):
+        call = f"{fm.group(1)}({fm.group(2).strip()})"
+        if call.upper() not in synth:
+            synth[call.upper()] = call
+    for i, call in enumerate(synth.values()):
+        spec.measures.append((call, f"__pwagg_{i}"))
     if not spec.measures:
         raise ValueError("pattern window requires MEASURES")
 
@@ -573,15 +588,24 @@ def try_rewrite_window(engine, sql: str) -> DataFrame | None:
         sql[: seg.start()] + f"FROM {view} " + sql[cl + 1 :]
     )
     for _expr, name in spec.measures:
+        if name.startswith("__pwagg_"):
+            continue
         new_sql = re.sub(
             rf"\b{re.escape(name)}\s+OVER\s+{re.escape(wname)}\b",
             name,
             new_sql,
             flags=re.IGNORECASE,
         )
+    for i, call in enumerate(synth.values()):
+        fname, args = call.split("(", 1)
+        pat = (
+            rf"\b{fname}\s*\(\s*{re.escape(args[:-1].strip())}\s*\)"
+            rf"\s+OVER\s+{re.escape(wname)}\b"
+        )
+        new_sql = re.sub(pat, f"__pwagg_{i}", new_sql, flags=re.IGNORECASE)
     if re.search(rf"\bOVER\s+{re.escape(wname)}\b", new_sql, re.IGNORECASE):
         raise ValueError(
-            "pattern window supports only MEASURE references over the"
-            " pattern window (aggregate OVER w not yet implemented)"
+            "pattern window references must be declared measures or"
+            " COUNT/SUM/AVG/MIN/MAX calls over the window"
         )
     return engine.sql(new_sql)
