@@ -78,9 +78,19 @@ def all_specs() -> dict[str, QuerySpec]:
         "tpcds_q64",
         "tpcds_q14b",
         "tpcds_q14a",
-        # high-value re-greens for the remaining budget: flagship +
-        # round-6-modified components (changed code must re-prove)
+        # round-6 NEW oracle queries (never driver-sampled): with the 44
+        # TPC-DS rows above these are the ENTIRE remaining never-green
+        # set — 49 rows, so one clean 50-row sheet closes every oracle
+        # in the registry
+        "text_ngram_repetition",
+        "dedup_semantic_keep",
+        "dialect_sketch_twophase",
+        "dialect_catalog_write_lifecycle",
+        "mr_pattern_window",
+        # slot 50: the flagship re-green
         "q01_pricing_summary",
+        # high-value re-greens (round-6-modified components re-prove
+        # under any extra budget)
         "dedup_duplicate_spans",
         "geo_sql_surface",
         "corpus_prepare_e2e",
