@@ -134,12 +134,20 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS -> left-semi join (Trino: HashSemiJoinOperator,
     main/operator/HashSemiJoinOperator.java:44). Late-line predicate
     l_commitdate<l_receiptdate adapted to l_shipdate>o_orderdate (columns absent).
-    """
+
+    Round-6: the join condition l_shipdate > o_orderdate with
+    o_orderdate >= 1996-07-01 IMPLIES l_shipdate > 1996-07-01 — a scan
+    predicate Catalyst cannot derive across the non-equi condition.
+    Stating it explicitly pushes it into the parquet scan (1.09 s ->
+    0.69 s at sf1; on date-sorted 100 TB data it prunes whole row
+    groups before the probe)."""
     orders = t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    li = t(spark, sf, "lineitem")
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
     semi = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
