@@ -113,11 +113,68 @@ def fuzz_mr(n_patterns: int = 15, seed: int = 42, n_users: int = 12, seq_len: in
     return bad
 
 
+def fuzz_pattern_window(n_patterns: int = 10, seed: int = 42, n_users: int = 8, seq_len: int = 14):
+    """Window-form differential mode (round 6): for EVERY row, the
+    engine's per-row ANCHORED match (pattern_window) against Python
+    `re.match` at that offset — count-of-matched-rows per row, NULL when
+    no match, 0 on an empty match. Same equivalence basis as the table
+    mode (leftmost-biased greedy alternation)."""
+    from trino_spark.dialect.engine import TrinoEngine
+    from trino_spark.session import get_spark
+
+    rng = random.Random(seed * 7 + 1)
+    spark = get_spark(app_name="mr_fuzz")
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    rows, seqs = [], {}
+    for u in range(n_users):
+        s = "".join(rng.choice("abc") for _ in range(rng.randint(3, seq_len)))
+        seqs[u] = s
+        rows += [(u, i, ch) for i, ch in enumerate(s)]
+    spark.createDataFrame(
+        rows, "user_id long, seq long, sym string"
+    ).createOrReplaceTempView("pw_fuzz_events")
+
+    bad: list[str] = []
+    for p in range(n_patterns):
+        pattern = gen_pattern(rng)
+        sql = f"""
+        SELECT user_id, seq, rl OVER w AS rl
+        FROM pw_fuzz_events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY seq
+          MEASURES COUNT(*) AS rl
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+          PATTERN ({pattern})
+          DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        )
+        """
+        try:
+            got = sorted((r.user_id, r.seq, r.rl) for r in eng.sql(sql).collect())
+        except Exception as exc:
+            bad.append(f"[window] PATTERN ({pattern}) ENGINE ERROR: {str(exc).splitlines()[0][:160]}")
+            continue
+        body = pattern.replace(" ", "")
+        for sym, ch in _CHARS.items():
+            body = body.replace(sym, ch)
+        rx = _re.compile(body)
+        want = []
+        for u, s in seqs.items():
+            for i in range(len(s)):
+                m = rx.match(s, i)
+                want.append((u, i, (m.end() - i) if m else None))
+        want.sort()
+        if got != want:
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:4]
+            bad.append(f"[window] PATTERN ({pattern}) DIVERGED: {diff}")
+    return bad
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     bad = fuzz_mr(n, seed)
+    bad += fuzz_pattern_window(max(5, n // 2), seed)
     for line in bad:
         print(line)
-    print(f"\n{n} patterns, {len(bad)} mismatches (seed {seed})")
+    print(f"\n{n} patterns (+{max(5, n // 2)} window), {len(bad)} mismatches (seed {seed})")
     sys.exit(1 if bad else 0)

@@ -24,3 +24,9 @@ def test_mr_differential(spark, sf_dir):
     from mr_fuzz import fuzz_mr
 
     assert fuzz_mr(n_patterns=10, seed=42) == []
+
+
+def test_pattern_window_differential(spark, sf_dir):
+    from mr_fuzz import fuzz_pattern_window
+
+    assert fuzz_pattern_window(n_patterns=8, seed=42) == []
