@@ -406,7 +406,10 @@ def _file_catalog_dml(engine, mount, stripped: str, m: re.Match) -> DataFrame:
             )
         if not os.path.isdir(pdir):
             raise ValueError(f"table not found: {cat}.{schema}.{table}")
-        empty = _read(pdir).limit(0)
+        # capture the schema, then write a source-independent empty frame
+        # (overwriting a path the plan still reads from is undefined)
+        tgt_schema = _read(pdir).schema
+        empty = spark.createDataFrame([], tgt_schema)
         _writer(empty).mode("overwrite").save(pdir)
         _invalidate()
         return spark.createDataFrame([(0,)], "rows: bigint")
