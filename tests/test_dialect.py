@@ -821,3 +821,24 @@ def test_offset_fetch_and_unicode_literals(spark):
     assert r.v == "AB" and r.e == "\N{GRINNING FACE}"
     # doubled escape char denotes itself
     assert eng.sql("SELECT U&'a\\\\b' AS v").collect()[0].v == "a\\b"
+
+
+def test_system_jdbc_schema_round6(spark):
+    """The system.jdbc metadata schema (JdbcSystemTables serving JDBC
+    DatabaseMetaData): tables/schemas/columns/table_types/catalogs
+    projected off information_schema."""
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    t = eng.sql(
+        "SELECT * FROM system.jdbc.tables WHERE table_name = 'nation'"
+    ).collect()
+    assert [(r.table_cat, r.table_name, r.table_type) for r in t] == [
+        ("spark", "nation", "TABLE")
+    ]
+    cols = {r.column_name for r in eng.sql(
+        "SELECT column_name FROM system.jdbc.columns WHERE table_name = 'nation'"
+    ).collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+    assert {r.table_type for r in eng.sql(
+        "SELECT * FROM system.jdbc.table_types").collect()} == {"TABLE", "VIEW"}

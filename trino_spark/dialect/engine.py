@@ -444,6 +444,27 @@ class TrinoEngine:
             trino_sql = self._sub_outside_literals(
                 trino_sql, "system.metadata.materialized_views", "_system_metadata_mvs"
             )
+        for _jt, _src in (
+            ("system.jdbc.tables",
+             "SELECT 'spark' AS table_cat, table_schema AS table_schem,"
+             " table_name, 'TABLE' AS table_type FROM information_schema_tables"),
+            ("system.jdbc.schemas",
+             "SELECT DISTINCT table_schema AS table_schem, 'spark' AS table_catalog"
+             " FROM information_schema_tables"),
+            ("system.jdbc.columns",
+             "SELECT 'spark' AS table_cat, table_schema AS table_schem,"
+             " table_name, column_name, data_type AS type_name,"
+             " ordinal_position FROM information_schema_columns"),
+            ("system.jdbc.table_types",
+             "SELECT explode(array('TABLE', 'VIEW')) AS table_type"),
+            ("system.jdbc.catalogs", "SELECT 'spark' AS table_cat"),
+        ):
+            if _jt in trino_sql:
+                # the system.jdbc schema (JdbcSystemTables serving JDBC
+                # driver DatabaseMetaData): projected off information_schema
+                view = "_" + _jt.replace(".", "_")
+                self.spark.sql(_src).createOrReplaceTempView(view)
+                trino_sql = self._sub_outside_literals(trino_sql, _jt, view)
         if "system.jdbc.types" in trino_sql:
             # JdbcTypesSystemTable (system.jdbc schema serving JDBC driver
             # metadata): type_name + java.sql.Types DATA_TYPE codes
