@@ -842,3 +842,29 @@ def test_system_jdbc_schema_round6(spark):
     assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
     assert {r.table_type for r in eng.sql(
         "SELECT * FROM system.jdbc.table_types").collect()} == {"TABLE", "VIEW"}
+
+
+def test_groups_window_frame(spark):
+    """GROUPS frames rewrite to RANGE over dense_rank (round 6; SQL:2011
+    frame mode Spark lacks): duplicate-key groups count as one unit."""
+    from trino_spark.dialect.engine import TrinoEngine
+
+    eng = TrinoEngine(spark, "/root/testdata/sf0.001")
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (1, 30)], "k int, v int"
+    )
+    df.createOrReplaceTempView("grf_t")
+    rows = eng.sql(
+        "SELECT v, CAST(count(*) OVER (ORDER BY v GROUPS BETWEEN CURRENT"
+        " ROW AND 1 FOLLOWING) AS INT) AS c FROM grf_t ORDER BY v, c"
+    ).collect()
+    assert [(r.v, r.c) for r in rows] == [(10, 3), (10, 3), (20, 2), (30, 1)]
+    # aggregated blocks keep the direct form (and so fail in Spark) —
+    # the rewrite must not fire under GROUP BY
+    from trino_spark.dialect.rewrites import translate
+
+    out = translate(
+        "SELECT k, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND"
+        " CURRENT ROW) FROM t GROUP BY k"
+    )
+    assert "__gr_src" not in out

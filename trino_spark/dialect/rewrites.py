@@ -2007,6 +2007,129 @@ def _sketch_twophase_once(
     return list(toks[:sel]) + tokenize(block) + list(toks[block_end:]), False
 
 
+_GROUPS_FRAME_RX = re.compile(
+    r"\bGROUPS\s+BETWEEN\s+(UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+PRECEDING|\d+\s+FOLLOWING)"
+    r"\s+AND\s+(UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|\d+\s+PRECEDING|\d+\s+FOLLOWING)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_groups_frame(toks: list[Tok]) -> list[Tok]:
+    """GROUPS window frames (SQL:2011; Trino WindowFrame.Type.GROUPS) —
+    Spark has no GROUPS mode, but a GROUPS frame over ORDER BY k is
+    exactly a RANGE frame over dense_rank() ORDER BY k:
+
+        agg(e) OVER (PARTITION BY p ORDER BY k
+                     GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+     -> agg(e) OVER (PARTITION BY p ORDER BY __gr0
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        FROM (SELECT *, dense_rank() OVER (PARTITION BY p ORDER BY k)
+              AS __gr0 FROM <from>) __gr_src0
+
+    Same enclosing-block machinery as the spatial/sketch passes; blocks
+    with GROUP BY keep the direct form (the wrap would change the rows
+    the rank sees)."""
+    for _ in range(8):
+        res = _groups_frame_once(toks)
+        if res is None:
+            return toks
+        toks = res
+    return toks
+
+
+def _groups_frame_once(toks: list[Tok]) -> "list[Tok] | None":
+    n = len(toks)
+    # find an OVER ( ... GROUPS BETWEEN ... ) spec
+    for f in range(n):
+        if not toks[f].is_word("OVER"):
+            continue
+        op = next_code(toks, f + 1)
+        if op >= n or not toks[op].is_sym("("):
+            continue
+        cl = match_paren(toks, op)
+        spec = render(toks[op + 1 : cl])
+        fm = _GROUPS_FRAME_RX.search(spec)
+        if not fm:
+            continue
+        pm = re.search(
+            r"\bPARTITION\s+BY\s+(.*?)(?=\bORDER\s+BY\b|\bGROUPS\b|$)",
+            spec,
+            re.IGNORECASE | re.DOTALL,
+        )
+        om = re.search(
+            r"\bORDER\s+BY\s+(.*?)(?=\bGROUPS\b|$)", spec, re.IGNORECASE | re.DOTALL
+        )
+        if not om:
+            return None  # GROUPS without ORDER BY: invalid, leave to Spark
+        part_txt = pm.group(1).strip() if pm else ""
+        order_txt = om.group(1).strip().rstrip(",")
+        if re.search(r"\bDESC\b", order_txt, re.IGNORECASE):
+            return None  # rank direction flip not supported — leave as-is
+
+        # enclosing SELECT block (same walk as the sibling passes)
+        depth = 0
+        sel = -1
+        for i in range(f - 1, -1, -1):
+            t = toks[i]
+            if t.is_sym(")"):
+                depth += 1
+            elif t.is_sym("("):
+                depth = max(0, depth - 1)
+            elif depth == 0 and t.is_word("SELECT"):
+                sel = i
+                break
+        if sel < 0:
+            return None
+        depth = 0
+        from_idx = -1
+        boundary = n
+        for i in range(sel + 1, n):
+            t = toks[i]
+            if t.is_sym("("):
+                depth += 1
+            elif t.is_sym(")"):
+                if depth == 0:
+                    boundary = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                if t.is_word("FROM") and from_idx < 0:
+                    from_idx = i
+                elif t.is_word("GROUP", "HAVING") and from_idx >= 0:
+                    return None  # aggregated block: wrap would be wrong
+                elif from_idx >= 0 and t.is_word(
+                    "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+                    "WINDOW", "FETCH", "OFFSET",
+                ):
+                    boundary = i
+                    break
+        if from_idx < 0 or not (sel < f < from_idx):
+            return None  # the GROUPS window must sit in this select list
+
+        tag = render(toks).count("__gr_src")
+        rk = f"__gr{tag}"
+        part_clause = f"PARTITION BY {part_txt} " if part_txt else ""
+        new_spec = (
+            spec[: fm.start()]
+            .replace(om.group(0), f"ORDER BY {rk} ")
+            + f"RANGE BETWEEN {fm.group(1)} AND {fm.group(2)}"
+            + spec[fm.end():]
+        )
+        from_text = render(toks[from_idx + 1 : boundary]).strip()
+        new_from = (
+            f" (SELECT *, dense_rank() OVER ({part_clause}ORDER BY"
+            f" {order_txt}) AS {rk} FROM {from_text}) __gr_src{tag} "
+        )
+        return (
+            list(toks[:op])
+            + tokenize(f"({new_spec})")
+            + list(toks[cl + 1 : from_idx + 1])
+            + tokenize(new_from)
+            + list(toks[boundary:])
+        )
+    return None
+
+
 def translate(sql: str) -> str:
     """Trino-dialect SQL → Spark-SQL text."""
     # Standalone VALUES statement (grammar SqlBase.g4 query -> VALUES):
@@ -2017,6 +2140,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_qident(toks)
     toks = _rewrite_spatial_sample(toks)
     toks = _rewrite_sketch_twophase(toks)
+    toks = _rewrite_groups_frame(toks)
     toks = _rewrite_unicode_literal(toks)
     toks = _rewrite_array_literal(toks)
     toks = _rewrite_decimal_literal(toks)

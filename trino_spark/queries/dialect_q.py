@@ -672,3 +672,57 @@ def dialect_sketch_twophase(spark: SparkSession, sf: str) -> DataFrame:
         .select("k", F.col("cnt").cast("long").alias("cnt"))
         .orderBy("k")
     )
+
+
+@REG.add(
+    "dialect_groups_frame",
+    """
+    WITH g AS (
+      SELECT o_custkey, o_orderdate,
+             sum(o_totalprice) AS gsum, count(*) AS gcnt
+      FROM orders WHERE o_custkey < 120
+      GROUP BY o_custkey, o_orderdate
+    ),
+    w AS (
+      SELECT o_custkey, o_orderdate,
+             coalesce(lag(gsum) OVER (PARTITION BY o_custkey ORDER BY o_orderdate), 0)
+               + gsum
+               + coalesce(lead(gsum) OVER (PARTITION BY o_custkey ORDER BY o_orderdate), 0)
+               AS neighborhood_value,
+             sum(gcnt) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                             ROWS UNBOUNDED PRECEDING) AS peers_to_date
+      FROM g
+    )
+    SELECT o.o_custkey, o.o_orderkey,
+           CAST(w.neighborhood_value AS DOUBLE) AS neighborhood_value,
+           CAST(w.peers_to_date AS BIGINT) AS peers_to_date
+    FROM orders o JOIN w ON o.o_custkey = w.o_custkey AND o.o_orderdate = w.o_orderdate
+    WHERE o.o_custkey < 120
+    ORDER BY o.o_custkey, o.o_orderkey
+    LIMIT 60
+    """,
+)
+def dialect_groups_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPS window frames (SQL:2011; round-6 SQL-surface closure of
+    the §2.5 gap — Spark has no GROUPS mode, the dialect rewrites to a
+    RANGE frame over dense_rank). DuckDB executes GROUPS natively, so
+    the oracle is the identical SQL — a true cross-engine differential
+    including the duplicate-order-date group semantics."""
+    from trino_spark.queries.base import engine_for
+
+    return engine_for(spark, sf).sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS DOUBLE) AS neighborhood_value,
+               CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS peers_to_date
+        FROM orders WHERE o_custkey < 120
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 60
+        """
+    )
